@@ -1,0 +1,156 @@
+"""Matmul FFT — real-arithmetic FFT for TPUs without complex support.
+
+The serving TPU backend (and the MXU generally) has no complex dtype:
+``jnp.fft`` and complex multiplies are unavailable on the target chip.
+This module implements the DFT as two stages of dense matmuls
+(Cooley-Tukey N = M1·M2 decomposition, the FlashFFTConv formulation —
+PAPERS.md), which is the idiomatic mapping onto the 128x128 systolic
+array: for N = 16384 both factor matrices are exactly 128x128.
+
+Complex values are carried as separate (re, im) float32 planes.
+
+Bin layout.  With n = M2*n1 + n2 and k = k1 + M1*k2 the transform is
+
+    X[k1, k2] = sum_{n2} W_N^{k1 n2} (sum_{n1} W_M1^{k1 n1} x[n1, n2])
+                W_M2^{n2 k2}
+
+and the natural output layout is the *permuted* matrix [k1, k2]
+(flattened j = k1*M2 + k2 representing bin k = k1 + M1*k2).  The engine
+never unscrambles: the frequency-domain MAC is elementwise in bins, so
+filter spectra are simply stored in the same permuted layout
+(:func:`permute_spectrum`) and the inverse transform consumes it directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _split_factors(n: int) -> tuple[int, int]:
+    """Factor n = m1 * m2 with m1, m2 as close as possible (n power of 2)."""
+    if n & (n - 1):
+        raise ValueError(f"FFT size must be a power of two, got {n}")
+    log = n.bit_length() - 1
+    m1 = 1 << ((log + 1) // 2)
+    return m1, n // m1
+
+
+@dataclasses.dataclass(frozen=True)
+class FFTPlan:
+    """Constant factor matrices for one FFT size (host numpy; they are
+    closed over by jitted functions and baked in as XLA constants)."""
+
+    n: int
+    m1: int
+    m2: int
+    f1_re: np.ndarray  # [M1, M1]
+    f1_im: np.ndarray
+    tw_re: np.ndarray  # [M1, M2] twiddle W_N^{k1 n2}
+    tw_im: np.ndarray
+    f2_re: np.ndarray  # [M2, M2]
+    f2_im: np.ndarray
+
+
+@lru_cache(maxsize=None)
+def get_plan(n: int) -> FFTPlan:
+    m1, m2 = _split_factors(n)
+
+    def dft(m):
+        k = np.arange(m)
+        ang = -2.0 * np.pi * np.outer(k, k) / m
+        return np.cos(ang), np.sin(ang)
+
+    f1_re, f1_im = dft(m1)
+    f2_re, f2_im = dft(m2)
+    ang = -2.0 * np.pi * np.outer(np.arange(m1), np.arange(m2)) / n
+    return FFTPlan(
+        n=n,
+        m1=m1,
+        m2=m2,
+        f1_re=f1_re.astype(np.float32),
+        f1_im=f1_im.astype(np.float32),
+        tw_re=np.cos(ang).astype(np.float32),
+        tw_im=np.sin(ang).astype(np.float32),
+        f2_re=f2_re.astype(np.float32),
+        f2_im=f2_im.astype(np.float32),
+    )
+
+
+def fft_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward DFT of a real signal, permuted-layout output.
+
+    ``x``: float ``[..., L]`` with L <= n (zero-padded to n).
+    Returns ``(re, im)`` each ``[..., n]`` in permuted bin order.
+    """
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    a = x.reshape(*x.shape[:-1], m1, m2)  # A[n1, n2]
+    # Stage 1 (real input): S1 = F1 @ A.
+    s1r = jnp.einsum("kn,...nm->...km", plan.f1_re, a, precision=_PRECISION)
+    s1i = jnp.einsum("kn,...nm->...km", plan.f1_im, a, precision=_PRECISION)
+    # Twiddle.
+    tr, ti = plan.tw_re, plan.tw_im
+    t_r = s1r * tr - s1i * ti
+    t_i = s1r * ti + s1i * tr
+    # Stage 2: X = T @ F2 (contract n2).
+    xr = (
+        jnp.einsum("...km,ml->...kl", t_r, plan.f2_re, precision=_PRECISION)
+        - jnp.einsum("...km,ml->...kl", t_i, plan.f2_im, precision=_PRECISION)
+    )
+    xi = (
+        jnp.einsum("...km,ml->...kl", t_r, plan.f2_im, precision=_PRECISION)
+        + jnp.einsum("...km,ml->...kl", t_i, plan.f2_re, precision=_PRECISION)
+    )
+    batch = x.shape[:-1]
+    return xr.reshape(*batch, n), xi.reshape(*batch, n)
+
+
+def ifft_to_real(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse DFT consuming permuted-layout spectra; returns the real part.
+
+    ``xr``/``xi``: ``[..., n]`` permuted bins.  Returns float32 ``[..., n]``.
+    """
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    ar = xr.reshape(*xr.shape[:-1], m1, m2)
+    ai = xi.reshape(*xi.shape[:-1], m1, m2)
+    # Stage 1: U[k1, n2] = sum_{k2} X[k1, k2] conj(F2)[k2, n2].
+    ur = (
+        jnp.einsum("...kl,ml->...km", ar, plan.f2_re, precision=_PRECISION)
+        + jnp.einsum("...kl,ml->...km", ai, plan.f2_im, precision=_PRECISION)
+    )
+    ui = (
+        -jnp.einsum("...kl,ml->...km", ar, plan.f2_im, precision=_PRECISION)
+        + jnp.einsum("...kl,ml->...km", ai, plan.f2_re, precision=_PRECISION)
+    )
+    # Conjugate twiddle.
+    tr, ti = plan.tw_re, plan.tw_im
+    vr = ur * tr + ui * ti
+    vi = -ur * ti + ui * tr
+    # Stage 2: x[n1, n2] = (1/N) sum_{k1} conj(F1)[n1, k1] V[k1, n2]; real
+    # part only (spectra of real signals).
+    out = (
+        jnp.einsum("nk,...km->...nm", plan.f1_re, vr, precision=_PRECISION)
+        + jnp.einsum("nk,...km->...nm", plan.f1_im, vi, precision=_PRECISION)
+    )
+    return (out / n).reshape(*xr.shape[:-1], n)
+
+
+def permute_spectrum(spec: np.ndarray, n: int) -> np.ndarray:
+    """Reorder a natural-order complex spectrum [..., n] (host numpy) into
+    the permuted [k1, k2] layout produced by :func:`fft_real`."""
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    # P[k1, k2] = spec[k1 + M1*k2]; spec.reshape(M2, M1) indexes [k2, k1].
+    mat = spec.reshape(*spec.shape[:-1], m2, m1)
+    return np.swapaxes(mat, -1, -2).reshape(*spec.shape[:-1], n)

@@ -1,0 +1,172 @@
+"""Streaming partitioned convolution — the TPU device engine.
+
+Semantics match the reference's uniform partitioned scheme (zita-convolver
+``Convproc`` as configured by zita-fconfig.cc:78-94: quantum = minpart =
+maxpart = fragm): the output equals plain linear convolution of the input
+with the accumulated impulse response, computed block-by-block with
+overlap-add, with the convolution tail past end-of-input dropped by the
+caller (the reference writes exactly as many frames as it reads,
+sound-processor.cc:86-96).
+
+TPU-first design notes:
+
+* In a uniform frequency-delay-line (FDL) scheme the output block ``t``
+  depends only on the *input* spectra of blocks ``t-P+1 .. t`` and on the
+  previous block's overlap tail — there is no sequential data dependency
+  through the filter state.  So unlike the reference's one-block-at-a-time
+  pump (sound-processor.cc:98-127), the engine processes a whole chunk of
+  ``T`` blocks in a single device step with full parallelism across
+  blocks, streams, channels, and frequency bins.  Carried state is tiny:
+  the last ``P-1`` input spectra and one ``fragm``-frame overlap tail.
+
+* The target TPU backend has no complex dtype, so all spectra are
+  (re, im) float32 planes in the permuted matmul-FFT bin layout of
+  :mod:`folve_tpu.engine.rfft`; the FFTs themselves are MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from folve_tpu.engine.filter_bank import FilterBank
+from folve_tpu.engine.rfft import fft_real, ifft_to_real
+
+_PRECISION = lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StreamState:
+    """Per-stream carried convolution state.
+
+    ``hist``: float32 ``[P-1, Cin, 2, K]`` — re/im spectra of the most
+    recent ``P-1`` input blocks, oldest first (the frequency-delay line).
+    ``tail``: float32 ``[Cout, fragm]`` — overlap-add carry from the last
+    processed block.
+    ``max_abs``: float32 scalar — running max |output| over frames the
+    caller declared valid (the reference's clipping monitor,
+    sound-processor.cc:119-124).
+    """
+
+    hist: jax.Array
+    tail: jax.Array
+    max_abs: jax.Array
+
+
+def init_state(bank: FilterBank) -> StreamState:
+    p, cin, cout, _, k = bank.h_spec.shape
+    return StreamState(
+        hist=jnp.zeros((p - 1, cin, 2, k), dtype=jnp.float32),
+        tail=jnp.zeros((cout, bank.fragm), dtype=jnp.float32),
+        max_abs=jnp.zeros((), dtype=jnp.float32),
+    )
+
+
+def _fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int) -> tuple[jax.Array, jax.Array]:
+    """Frequency-delay-line MAC: Y[t] = sum_p H[p] * Xall[t + (P-1) - p].
+
+    ``h_spec``: [P, Cin, Cout, 2, K]; ``xall``: [T+P-1, Cin, 2, K].
+    Returns (Yr, Yi) each [T, Cout, K].
+    """
+    p = h_spec.shape[0]
+    cout, k = h_spec.shape[2], h_spec.shape[4]
+
+    def mac(pi, acc):
+        yr, yi = acc
+        xs = lax.dynamic_slice_in_dim(xall, (p - 1) - pi, t, axis=0)
+        xr, xi = xs[:, :, 0], xs[:, :, 1]  # [T, Cin, K]
+        hr, hi = h_spec[pi, :, :, 0], h_spec[pi, :, :, 1]  # [Cin, Cout, K]
+        rr = jnp.einsum("tik,iok->tok", xr, hr, precision=_PRECISION)
+        ii = jnp.einsum("tik,iok->tok", xi, hi, precision=_PRECISION)
+        ri = jnp.einsum("tik,iok->tok", xr, hi, precision=_PRECISION)
+        ir = jnp.einsum("tik,iok->tok", xi, hr, precision=_PRECISION)
+        return yr + (rr - ii), yi + (ri + ir)
+
+    zeros = jnp.zeros((t, cout, k), dtype=jnp.float32)
+    return lax.fori_loop(0, p, mac, (zeros, zeros), unroll=True)
+
+
+def chunk_step(
+    bank: FilterBank,
+    state: StreamState,
+    x: jax.Array,
+    n_valid: jax.Array | int | None = None,
+) -> tuple[StreamState, jax.Array]:
+    """Convolve ``T`` full input blocks in one device step.
+
+    ``x``: float32 ``[T, Cin, fragm]`` — the next T blocks of input.
+    Partial final blocks must be zero-padded by the caller (mirroring the
+    reference's tail-block zero-pad, sound-processor.cc:99-105); pass
+    ``n_valid`` = number of genuine frames in the chunk so the clipping
+    monitor ignores the padding's convolution output past end-of-stream.
+
+    Returns ``(new_state, y)`` with ``y``: float32 ``[T, Cout, fragm]``.
+    """
+    p, cin, cout, _, k = bank.h_spec.shape
+    b = bank.fragm
+    t = x.shape[0]
+    if x.shape[1] != cin or x.shape[2] != b:
+        raise ValueError(f"x must be [T, {cin}, {b}], got {x.shape}")
+    if n_valid is None:
+        n_valid = t * b
+
+    # 1. Block spectra: DFT of each block zero-padded to 2*fragm.
+    xr, xi = fft_real(x.astype(jnp.float32), 2 * b)  # each [T, Cin, K]
+    xf = jnp.stack([xr, xi], axis=2)  # [T, Cin, 2, K]
+
+    # 2. FDL MAC against all partitions, fully parallel across T.
+    xall = jnp.concatenate([state.hist, xf], axis=0)  # [T+P-1, Cin, 2, K]
+    y_re, y_im = _fdl_mac(bank.h_spec, xall, t)
+
+    # 3. Inverse FFT + overlap-add between consecutive blocks.
+    y2 = ifft_to_real(y_re, y_im, 2 * b)  # [T, Cout, 2B]
+    heads = y2[:, :, :b]
+    tails = y2[:, :, b:]
+    carry_in = jnp.concatenate([state.tail[None], tails[:-1]], axis=0)
+    y = heads + carry_in  # [T, Cout, B]
+
+    # 4. Clipping monitor over valid frames only.
+    frame_idx = lax.broadcasted_iota(jnp.int32, (t, 1, b), 0) * b + lax.broadcasted_iota(
+        jnp.int32, (t, 1, b), 2
+    )
+    valid = frame_idx < jnp.asarray(n_valid, dtype=jnp.int32)
+    max_abs = jnp.maximum(state.max_abs, jnp.max(jnp.where(valid, jnp.abs(y), 0.0)))
+
+    new_hist = xall[t:] if p > 1 else state.hist
+    new_state = StreamState(hist=new_hist, tail=tails[-1], max_abs=max_abs)
+    return new_state, y
+
+
+def block_step(
+    bank: FilterBank, state: StreamState, x: jax.Array
+) -> tuple[StreamState, jax.Array]:
+    """Single-block convenience wrapper: ``x`` is ``[Cin, fragm]``."""
+    state, y = chunk_step(bank, state, x[None])
+    return state, y[0]
+
+
+@partial(jax.jit, static_argnames=("reset_max",))
+def reset_state(state: StreamState, reset_max: bool = True) -> StreamState:
+    """Re-arm a state for a fresh stream (reference: Convproc reset via
+    SoundProcessor::Reset, sound-processor.cc:139-145)."""
+    return StreamState(
+        hist=jnp.zeros_like(state.hist),
+        tail=jnp.zeros_like(state.tail),
+        max_abs=jnp.zeros_like(state.max_abs) if reset_max else state.max_abs,
+    )
+
+
+# Batched serving: many streams, one fused device step (the TPU analog of
+# the reference's "multiple cores via parallel file accesses",
+# README.md:362-364).  All streams in a batch share one FilterBank pytree
+# *structure* (same shapes); distinct filters are fine — vmap carries a
+# per-stream h_spec.
+batched_chunk_step = jax.vmap(chunk_step, in_axes=(0, 0, 0, 0))
+
+# Same-filter variant: one FilterBank broadcast across the stream batch.
+shared_filter_chunk_step = jax.vmap(chunk_step, in_axes=(None, 0, 0, 0))

@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real TPU hardware in CI is a single chip; multi-chip sharding is
+validated on virtual CPU devices (and separately by the driver's
+``dryrun_multichip``).  These env vars must be set before jax imports.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# The image presets JAX_PLATFORMS=axon (the TPU tunnel) and its
+# sitecustomize imports jax at interpreter startup, so jax's config has
+# already captured that env var — override through jax.config instead.
+# Use FOLVE_TEST_PLATFORM to run the suite on real hardware.
+_platform = os.environ.get("FOLVE_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xF01BE)
