@@ -1,0 +1,70 @@
+"""Audio IO: container/codec detection, decode and encode.
+
+This package replaces the reference's libsndfile dependency with native
+implementations (WAV here, FLAC in ``folve_tpu.audio.flac``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
+from folve_tpu.audio.wav import WavError, read_wav, read_wav_info, write_wav
+
+
+def sniff_container(path: str) -> Optional[Container]:
+    """Detect the container from file magic (the reference probes with
+    sf_open_fd, convolve-file-handler.cc:62-76; we sniff directly)."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(12)
+    except OSError:
+        return None
+    if len(magic) >= 12 and magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
+        return Container.WAV
+    if magic[:4] == b"fLaC":
+        return Container.FLAC
+    if magic[:4] == b"OggS":
+        return Container.OGG
+    if magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
+        return Container.AIFF
+    return None
+
+
+def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
+    """Decode any supported audio file -> (float32 [frames, ch], info)."""
+    container = sniff_container(path)
+    if container == Container.WAV:
+        return read_wav(path)
+    if container == Container.FLAC:
+        from folve_tpu.audio.flac import read_flac
+
+        return read_flac(path)
+    raise ValueError(f"unsupported or unrecognized audio file: {path}")
+
+
+def read_audio_info(path: str) -> AudioInfo:
+    container = sniff_container(path)
+    if container == Container.WAV:
+        return read_wav_info(path)
+    if container == Container.FLAC:
+        from folve_tpu.audio.flac import read_flac_info
+
+        return read_flac_info(path)
+    raise ValueError(f"unsupported or unrecognized audio file: {path}")
+
+
+__all__ = [
+    "AudioInfo",
+    "Container",
+    "SampleCodec",
+    "WavError",
+    "read_audio",
+    "read_audio_info",
+    "read_wav",
+    "read_wav_info",
+    "write_wav",
+    "sniff_container",
+]

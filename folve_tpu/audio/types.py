@@ -1,0 +1,67 @@
+"""Audio stream metadata shared across codecs and the runtime.
+
+Mirrors the role of libsndfile's ``SF_INFO`` (used throughout the
+reference, e.g. convolve-file-handler.cc:62-76) with an explicit
+container/codec split instead of libsndfile's packed format word.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Container(enum.Enum):
+    WAV = "wav"
+    FLAC = "flac"
+    OGG = "ogg"
+    AIFF = "aiff"
+    RAW = "raw"
+
+
+class SampleCodec(enum.Enum):
+    PCM_S8 = "pcm_s8"
+    PCM_16 = "pcm_16"
+    PCM_24 = "pcm_24"
+    PCM_32 = "pcm_32"
+    PCM_U8 = "pcm_u8"
+    FLOAT = "float"
+    DOUBLE = "double"
+    FLAC = "flac"
+    VORBIS = "vorbis"
+
+
+_BITS = {
+    SampleCodec.PCM_S8: 8,
+    SampleCodec.PCM_U8: 8,
+    SampleCodec.PCM_16: 16,
+    SampleCodec.PCM_24: 24,
+    SampleCodec.PCM_32: 32,
+    SampleCodec.FLOAT: 32,
+    SampleCodec.DOUBLE: 64,
+}
+
+
+@dataclasses.dataclass
+class AudioInfo:
+    """Shape of a decoded audio stream."""
+
+    rate: int
+    channels: int
+    frames: int
+    container: Container
+    codec: SampleCodec
+    bits_per_sample: int = 0
+
+    def __post_init__(self):
+        if not self.bits_per_sample:
+            self.bits_per_sample = _BITS.get(self.codec, 16)
+
+    @property
+    def duration_seconds(self) -> float:
+        return self.frames / self.rate if self.rate else 0.0
+
+    def format_string(self) -> str:
+        """Human-readable like the status page's format column
+        (reference: HandlerStats::format, convolve-file-handler.cc:230)."""
+        return f"{self.container.value}:{self.rate}/{self.channels}/{self.bits_per_sample}"

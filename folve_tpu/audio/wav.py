@@ -1,0 +1,185 @@
+"""RIFF/WAVE codec (numpy, no external audio libraries).
+
+Replaces the libsndfile WAV paths the reference leans on (IR loading via
+zita-audiofile.cc, output encoding via conversion-buffer.cc's virtual IO).
+Float conversion conventions match libsndfile so filter gains stay
+bit-comparable: integer PCM maps to [-1, 1) by dividing by 2^(bits-1);
+float->PCM writes scale by 2^(bits-1) and clip.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import BinaryIO, Union
+
+import numpy as np
+
+from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+class WavError(ValueError):
+    pass
+
+
+def _open(src: Union[str, bytes, BinaryIO]) -> BinaryIO:
+    if isinstance(src, str):
+        return open(src, "rb")
+    if isinstance(src, (bytes, bytearray)):
+        return io.BytesIO(src)
+    return src
+
+
+def read_wav_info(src) -> AudioInfo:
+    f = _open(src)
+    info, _, _ = _parse_header(f)
+    return info
+
+
+def _parse_header(f: BinaryIO):
+    riff = f.read(12)
+    if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE file")
+    fmt = None
+    data_offset = None
+    data_size = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+        if cid == b"fmt ":
+            fmt = f.read(size)
+        elif cid == b"data":
+            data_offset = f.tell()
+            data_size = size
+            f.seek(size + (size & 1), io.SEEK_CUR)
+            continue
+        else:
+            f.seek(size + (size & 1), io.SEEK_CUR)
+            continue
+        if size & 1:
+            f.seek(1, io.SEEK_CUR)
+    if fmt is None or data_offset is None:
+        raise WavError("missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise WavError("fmt chunk too short")
+    tag, channels, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == _WAVE_FORMAT_EXTENSIBLE:
+        if len(fmt) < 40:
+            raise WavError("extensible fmt chunk too short")
+        tag = struct.unpack("<H", fmt[24:26])[0]
+    if channels == 0 or block_align == 0:
+        raise WavError("bad channel count or block alignment")
+    if tag == _WAVE_FORMAT_PCM:
+        codec = {8: SampleCodec.PCM_U8, 16: SampleCodec.PCM_16,
+                 24: SampleCodec.PCM_24, 32: SampleCodec.PCM_32}.get(bits)
+        if codec is None:
+            raise WavError(f"unsupported PCM bit depth {bits}")
+    elif tag == _WAVE_FORMAT_IEEE_FLOAT:
+        codec = {32: SampleCodec.FLOAT, 64: SampleCodec.DOUBLE}.get(bits)
+        if codec is None:
+            raise WavError(f"unsupported float bit depth {bits}")
+    else:
+        raise WavError(f"unsupported WAVE format tag 0x{tag:04x}")
+    frames = data_size // block_align
+    info = AudioInfo(
+        rate=rate,
+        channels=channels,
+        frames=frames,
+        container=Container.WAV,
+        codec=codec,
+        bits_per_sample=bits,
+    )
+    return info, data_offset, data_size
+
+
+def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
+    ch = info.channels
+    c = info.codec
+    if c == SampleCodec.PCM_16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif c == SampleCodec.PCM_24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        val = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        val = (val << 8) >> 8  # sign-extend 24 -> 32
+        x = val.astype(np.float32) / 8388608.0
+    elif c == SampleCodec.PCM_32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif c == SampleCodec.PCM_U8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif c == SampleCodec.FLOAT:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif c == SampleCodec.DOUBLE:
+        x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+    else:
+        raise WavError(f"cannot decode codec {c}")
+    n = (len(x) // ch) * ch
+    return x[:n].reshape(-1, ch)
+
+
+def read_wav(src) -> tuple[np.ndarray, AudioInfo]:
+    """Decode a whole WAV file -> (float32 [frames, channels], AudioInfo)."""
+    f = _open(src)
+    info, offset, size = _parse_header(f)
+    f.seek(offset)
+    raw = f.read(size)
+    return _decode_pcm(raw, info), info
+
+
+def _encode_pcm(x: np.ndarray, codec: SampleCodec) -> bytes:
+    if codec == SampleCodec.PCM_16:
+        v = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+        return v.tobytes()
+    if codec == SampleCodec.PCM_24:
+        v = np.clip(np.round(x * 8388608.0), -8388608, 8388607).astype(np.int32)
+        out = np.empty((v.size, 3), dtype=np.uint8)
+        flat = v.reshape(-1)
+        out[:, 0] = flat & 0xFF
+        out[:, 1] = (flat >> 8) & 0xFF
+        out[:, 2] = (flat >> 16) & 0xFF
+        return out.tobytes()
+    if codec == SampleCodec.PCM_32:
+        v = np.clip(np.round(x * 2147483648.0), -2147483648, 2147483647).astype("<i4")
+        return v.tobytes()
+    if codec == SampleCodec.FLOAT:
+        return x.astype("<f4").tobytes()
+    if codec == SampleCodec.DOUBLE:
+        return x.astype("<f8").tobytes()
+    raise WavError(f"cannot encode codec {codec}")
+
+
+def write_wav(
+    dst: Union[str, BinaryIO],
+    data: np.ndarray,
+    rate: int,
+    codec: SampleCodec = SampleCodec.FLOAT,
+) -> None:
+    """Encode float32 [frames, channels] to a WAV file."""
+    if data.ndim == 1:
+        data = data[:, None]
+    channels = data.shape[1]
+    bits = {SampleCodec.PCM_16: 16, SampleCodec.PCM_24: 24, SampleCodec.PCM_32: 32,
+            SampleCodec.FLOAT: 32, SampleCodec.DOUBLE: 64}[codec]
+    tag = _WAVE_FORMAT_IEEE_FLOAT if codec in (SampleCodec.FLOAT, SampleCodec.DOUBLE) else _WAVE_FORMAT_PCM
+    payload = _encode_pcm(data, codec)
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, rate, rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    if isinstance(dst, str):
+        with open(dst, "wb") as f:
+            f.write(blob)
+    else:
+        dst.write(blob)
