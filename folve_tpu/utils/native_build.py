@@ -1,0 +1,63 @@
+"""Build-on-demand for the native runtime library.
+
+Compiles ``native/libfolve_native.so`` with the system toolchain the
+first time it is needed (or when sources changed), mirroring how the
+reference assumes locally-built native deps (Makefile:14-19).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfolve_native.so")
+_STAMP_PATH = os.path.join(_NATIVE_DIR, ".build_stamp")
+_SOURCES = ["flac_codec.cc", "md5.cc", "flac_bits.h", "md5.h", "Makefile"]
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _source_digest() -> str:
+    h = hashlib.sha256()
+    for name in _SOURCES:
+        path = os.path.join(_NATIVE_DIR, name)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
+def ensure_built() -> str:
+    """Build the shared library if missing or stale; returns its path."""
+    digest = _source_digest()
+    with _lock:
+        if os.path.exists(_LIB_PATH) and os.path.exists(_STAMP_PATH):
+            with open(_STAMP_PATH) as f:
+                if f.read().strip() == digest:
+                    return _LIB_PATH
+        subprocess.run(
+            ["make", "-s", "libfolve_native.so"],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+        )
+        with open(_STAMP_PATH, "w") as f:
+            f.write(digest)
+    return _LIB_PATH
+
+
+def load_native() -> ctypes.CDLL:
+    """Load (building if necessary) the native library, cached."""
+    global _lib
+    if _lib is None:
+        with _lock:
+            pass  # ensure_built has its own lock; read check below
+        path = ensure_built()
+        _lib = ctypes.CDLL(path)
+    return _lib

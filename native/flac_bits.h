@@ -1,0 +1,163 @@
+// Bit-level IO + CRCs for the FLAC codec.
+#pragma once
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace folve {
+
+// CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — FLAC frame headers.
+uint8_t Crc8(const uint8_t* data, size_t len);
+// CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frames.
+uint16_t Crc16(const uint8_t* data, size_t len);
+
+// MSB-first bit reader over a memory buffer.
+class BitReader {
+ public:
+  BitReader(const uint8_t* data, size_t len) : data_(data), len_(len) {}
+
+  bool ok() const { return !error_; }
+  size_t byte_pos() const { return pos_; }
+  int bit_offset() const { return bit_; }
+  bool aligned() const { return bit_ == 0; }
+  bool AtEnd() const { return pos_ >= len_ && bit_ == 0; }
+
+  void SeekByte(size_t pos) {
+    pos_ = pos;
+    bit_ = 0;
+    error_ = false;
+  }
+
+  // Read up to 32 bits MSB-first.
+  uint32_t ReadBits(int n) {
+    uint32_t v = 0;
+    while (n > 0) {
+      if (pos_ >= len_) {
+        error_ = true;
+        return 0;
+      }
+      int avail = 8 - bit_;
+      int take = n < avail ? n : avail;
+      uint32_t chunk = (data_[pos_] >> (avail - take)) & ((1u << take) - 1);
+      v = (v << take) | chunk;
+      bit_ += take;
+      if (bit_ == 8) {
+        bit_ = 0;
+        pos_++;
+      }
+      n -= take;
+    }
+    return v;
+  }
+
+  uint64_t ReadBits64(int n) {
+    uint64_t v = 0;
+    if (n > 32) {
+      v = ReadBits(n - 32);
+      v <<= 32;
+      v |= ReadBits(32);
+    } else {
+      v = ReadBits(n);
+    }
+    return v;
+  }
+
+  int32_t ReadSigned(int n) {
+    uint32_t v = ReadBits(n);
+    if (n == 0) return 0;
+    uint32_t sign = 1u << (n - 1);
+    return (int32_t)((v ^ sign) - sign);
+  }
+
+  // Count zero bits until (and consuming) the terminating 1 bit.
+  uint32_t ReadUnary() {
+    uint32_t q = 0;
+    for (;;) {
+      if (pos_ >= len_) {
+        error_ = true;
+        return 0;
+      }
+      uint8_t cur = data_[pos_] & (0xFFu >> bit_);
+      if (cur == 0) {
+        q += 8 - bit_;
+        bit_ = 0;
+        pos_++;
+        continue;
+      }
+      // Highest set bit within the remaining bits of this byte.
+      int hi = 31 - __builtin_clz((uint32_t)cur);  // bit index from LSB
+      int bitpos = 7 - hi;                         // from MSB
+      q += bitpos - bit_;
+      bit_ = bitpos + 1;
+      if (bit_ == 8) {
+        bit_ = 0;
+        pos_++;
+      }
+      return q;
+    }
+  }
+
+  void AlignToByte() {
+    if (bit_) {
+      bit_ = 0;
+      pos_++;
+    }
+  }
+
+ private:
+  const uint8_t* data_;
+  size_t len_;
+  size_t pos_ = 0;
+  int bit_ = 0;
+  bool error_ = false;
+};
+
+// MSB-first bit writer appending to a byte vector.
+class BitWriter {
+ public:
+  explicit BitWriter(std::vector<uint8_t>* out) : out_(out) {}
+
+  void WriteBits(uint32_t v, int n) {
+    while (n > 0) {
+      if (bit_ == 0) out_->push_back(0);
+      int avail = 8 - bit_;
+      int take = n < avail ? n : avail;
+      uint8_t chunk = (uint8_t)((v >> (n - take)) & ((1u << take) - 1));
+      out_->back() |= chunk << (avail - take);
+      bit_ = (bit_ + take) & 7;
+      n -= take;
+    }
+  }
+
+  void WriteBits64(uint64_t v, int n) {
+    if (n > 32) {
+      WriteBits((uint32_t)(v >> 32), n - 32);
+      WriteBits((uint32_t)v, 32);
+    } else {
+      WriteBits((uint32_t)v, n);
+    }
+  }
+
+  void WriteSigned(int32_t v, int n) { WriteBits(((uint32_t)v) & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1)), n); }
+
+  void WriteUnary(uint32_t q) {
+    while (q >= 32) {
+      WriteBits(0, 32);
+      q -= 32;
+    }
+    WriteBits(1, (int)q + 1);
+  }
+
+  void AlignToByte() {
+    if (bit_) bit_ = 0;
+  }
+
+  bool aligned() const { return bit_ == 0; }
+
+ private:
+  std::vector<uint8_t>* out_;
+  int bit_ = 0;
+};
+
+}  // namespace folve

@@ -1,0 +1,922 @@
+// FLAC codec — native decoder + encoder, no third-party libraries.
+//
+// Replaces the libsndfile/libFLAC dependency of the reference
+// (convolve-file-handler.cc uses libsndfile for FLAC decode/encode and
+// libFLAC metadata enums only).  Implements the FLAC format per the
+// public specification: metadata blocks, frame headers with CRC-8,
+// subframes (CONSTANT/VERBATIM/FIXED/LPC), partitioned Rice residuals,
+// stereo decorrelation (left/side, right/side, mid/side), frame CRC-16,
+// and a streaming encoder with fixed block size whose STREAMINFO can be
+// re-emitted after the fact (the host patches headers the way the
+// reference does with SFC_UPDATE_HEADER_NOW, convolve-file-handler.cc:281-317).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "flac_bits.h"
+#include "md5.h"
+
+namespace folve {
+
+uint8_t Crc8(const uint8_t* data, size_t len) {
+  static uint8_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) {
+      uint8_t c = (uint8_t)i;
+      for (int k = 0; k < 8; k++) c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+      table[i] = c;
+    }
+    init = true;
+  }
+  uint8_t crc = 0;
+  for (size_t i = 0; i < len; i++) crc = table[crc ^ data[i]];
+  return crc;
+}
+
+uint16_t Crc16(const uint8_t* data, size_t len) {
+  static uint16_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) {
+      uint16_t c = (uint16_t)(i << 8);
+      for (int k = 0; k < 8; k++) c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+      table[i] = c;
+    }
+    init = true;
+  }
+  uint16_t crc = 0;
+  for (size_t i = 0; i < len; i++) crc = (uint16_t)((crc << 8) ^ table[(crc >> 8) ^ data[i]]);
+  return crc;
+}
+
+// ---------------------------------------------------------------------------
+// Shared format tables
+// ---------------------------------------------------------------------------
+
+struct StreamInfo {
+  uint32_t min_blocksize = 0, max_blocksize = 0;
+  uint32_t min_framesize = 0, max_framesize = 0;
+  uint32_t sample_rate = 0;
+  uint32_t channels = 0;
+  uint32_t bits_per_sample = 0;
+  uint64_t total_samples = 0;
+  uint8_t md5[16] = {0};
+};
+
+static const int kBlockSizeTable[16] = {0,   192,  576,  1152, 2304, 4608, -1, -2,
+                                        256, 512,  1024, 2048, 4096, 8192, 16384, 32768};
+static const int kSampleRateTable[12] = {0 /*from streaminfo*/, 88200, 176400, 192000,
+                                         8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000};
+static const int kSampleSizeTable[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+
+// ---------------------------------------------------------------------------
+// Decoder
+// ---------------------------------------------------------------------------
+
+class Decoder {
+ public:
+  // Takes ownership of a copy of the input bytes.
+  Decoder(const uint8_t* data, size_t len) : buf_(data, data + len) {}
+
+  bool Init() {
+    BitReader br(buf_.data(), buf_.size());
+    if (br.ReadBits(32) != 0x664C6143u /* "fLaC" */) return Fail("bad magic");
+    bool last = false;
+    while (!last && br.ok()) {
+      last = br.ReadBits(1);
+      uint32_t type = br.ReadBits(7);
+      uint32_t blen = br.ReadBits(24);
+      size_t start = br.byte_pos();
+      if (type == 0) {  // STREAMINFO
+        if (blen < 34) return Fail("short streaminfo");
+        info_.min_blocksize = br.ReadBits(16);
+        info_.max_blocksize = br.ReadBits(16);
+        info_.min_framesize = br.ReadBits(24);
+        info_.max_framesize = br.ReadBits(24);
+        info_.sample_rate = br.ReadBits(20);
+        info_.channels = br.ReadBits(3) + 1;
+        info_.bits_per_sample = br.ReadBits(5) + 1;
+        info_.total_samples = br.ReadBits64(36);
+        for (int i = 0; i < 16; i++) info_.md5[i] = (uint8_t)br.ReadBits(8);
+        have_streaminfo_ = true;
+      }
+      br.SeekByte(start + blen);
+      if (start + blen > buf_.size()) return Fail("truncated metadata");
+    }
+    if (!br.ok() || !have_streaminfo_) return Fail("missing streaminfo");
+    if (info_.sample_rate == 0 || info_.channels == 0) return Fail("bad streaminfo");
+    first_frame_pos_ = br.byte_pos();
+    pos_ = first_frame_pos_;
+    return true;
+  }
+
+  const StreamInfo& info() const { return info_; }
+  const std::string& error() const { return error_; }
+
+  void Rewind() {
+    pos_ = first_frame_pos_;
+    pending_.clear();
+    pending_off_ = 0;
+    eof_ = false;
+  }
+
+  // Decode up to n interleaved frames into out; returns frames produced.
+  int64_t Read(int32_t* out, int64_t n) {
+    const uint32_t ch = info_.channels;
+    int64_t produced = 0;
+    while (produced < n) {
+      if (pending_off_ < pending_.size()) {
+        int64_t avail = (int64_t)(pending_.size() - pending_off_) / ch;
+        int64_t take = std::min(avail, n - produced);
+        memcpy(out + produced * ch, pending_.data() + pending_off_,
+               (size_t)take * ch * sizeof(int32_t));
+        pending_off_ += (size_t)take * ch;
+        produced += take;
+        continue;
+      }
+      if (eof_) break;
+      if (!DecodeFrame()) {
+        eof_ = true;
+      }
+    }
+    return produced;
+  }
+
+ private:
+  bool Fail(const char* msg) {
+    error_ = msg;
+    return false;
+  }
+
+  // Coded number: UTF-8-like, up to 36 bits over 7 bytes.
+  bool ReadCodedNumber(BitReader& br, uint64_t* out) {
+    uint32_t b0 = br.ReadBits(8);
+    if (!br.ok()) return false;
+    int extra;
+    uint64_t v;
+    if (b0 < 0x80) {
+      *out = b0;
+      return true;
+    } else if ((b0 & 0xE0) == 0xC0) {
+      extra = 1;
+      v = b0 & 0x1F;
+    } else if ((b0 & 0xF0) == 0xE0) {
+      extra = 2;
+      v = b0 & 0x0F;
+    } else if ((b0 & 0xF8) == 0xF0) {
+      extra = 3;
+      v = b0 & 0x07;
+    } else if ((b0 & 0xFC) == 0xF8) {
+      extra = 4;
+      v = b0 & 0x03;
+    } else if ((b0 & 0xFE) == 0xFC) {
+      extra = 5;
+      v = b0 & 0x01;
+    } else if (b0 == 0xFE) {
+      extra = 6;
+      v = 0;
+    } else {
+      return false;
+    }
+    for (int i = 0; i < extra; i++) {
+      uint32_t b = br.ReadBits(8);
+      if (!br.ok() || (b & 0xC0) != 0x80) return false;
+      v = (v << 6) | (b & 0x3F);
+    }
+    *out = v;
+    return true;
+  }
+
+  bool DecodeSubframe(BitReader& br, uint32_t bps, uint32_t n, int32_t* dst) {
+    if (br.ReadBits(1) != 0) return false;  // mandatory zero pad bit
+    uint32_t type = br.ReadBits(6);
+    uint32_t wasted = 0;
+    if (br.ReadBits(1)) wasted = br.ReadUnary() + 1;
+    if (!br.ok() || wasted >= bps) return false;
+    uint32_t ebps = bps - wasted;
+
+    if (type == 0) {  // CONSTANT
+      int32_t v = br.ReadSigned((int)ebps);
+      for (uint32_t i = 0; i < n; i++) dst[i] = v;
+    } else if (type == 1) {  // VERBATIM
+      for (uint32_t i = 0; i < n; i++) dst[i] = br.ReadSigned((int)ebps);
+    } else if (type >= 8 && type <= 12) {  // FIXED, order = type-8
+      uint32_t order = type - 8;
+      if (order > n) return false;
+      for (uint32_t i = 0; i < order; i++) dst[i] = br.ReadSigned((int)ebps);
+      if (!DecodeResidual(br, n, order, dst)) return false;
+      RestoreFixed(dst, n, order);
+    } else if (type >= 32) {  // LPC, order = type-31
+      uint32_t order = type - 31;
+      if (order > n) return false;
+      for (uint32_t i = 0; i < order; i++) dst[i] = br.ReadSigned((int)ebps);
+      uint32_t prec = br.ReadBits(4);
+      if (prec == 15 || !br.ok()) return false;
+      prec += 1;
+      int shift = br.ReadSigned(5);
+      if (shift < 0) return false;
+      int32_t coefs[32];
+      for (uint32_t i = 0; i < order; i++) coefs[i] = br.ReadSigned((int)prec);
+      if (!DecodeResidual(br, n, order, dst)) return false;
+      for (uint32_t i = order; i < n; i++) {
+        int64_t acc = 0;
+        for (uint32_t j = 0; j < order; j++) acc += (int64_t)coefs[j] * dst[i - 1 - j];
+        dst[i] += (int32_t)(acc >> shift);
+      }
+    } else {
+      return false;  // reserved
+    }
+    if (!br.ok()) return false;
+    if (wasted) {
+      for (uint32_t i = 0; i < n; i++) dst[i] = (int32_t)((uint32_t)dst[i] << wasted);
+    }
+    return true;
+  }
+
+  // Residual into dst[order..n)
+  bool DecodeResidual(BitReader& br, uint32_t n, uint32_t order, int32_t* dst) {
+    uint32_t method = br.ReadBits(2);
+    if (method > 1) return false;
+    uint32_t pbits = method == 0 ? 4 : 5;
+    uint32_t escape = method == 0 ? 15 : 31;
+    uint32_t porder = br.ReadBits(4);
+    uint32_t parts = 1u << porder;
+    if ((n >> porder) << porder != n) return false;
+    if ((n >> porder) < order) return false;
+    uint32_t idx = order;
+    for (uint32_t p = 0; p < parts; p++) {
+      uint32_t count = (n >> porder) - (p == 0 ? order : 0);
+      if ((int32_t)count < 0) return false;
+      uint32_t param = br.ReadBits(pbits);
+      if (param == escape) {
+        uint32_t raw = br.ReadBits(5);
+        for (uint32_t i = 0; i < count; i++) dst[idx++] = raw ? br.ReadSigned((int)raw) : 0;
+      } else {
+        for (uint32_t i = 0; i < count; i++) {
+          uint32_t q = br.ReadUnary();
+          uint32_t r = param ? br.ReadBits((int)param) : 0;
+          uint32_t folded = (q << param) | r;
+          dst[idx++] = (int32_t)((folded >> 1) ^ (~(folded & 1) + 1));
+        }
+      }
+      if (!br.ok()) return false;
+    }
+    return idx == n;
+  }
+
+  static void RestoreFixed(int32_t* x, uint32_t n, uint32_t order) {
+    switch (order) {
+      case 0:
+        break;
+      case 1:
+        for (uint32_t i = 1; i < n; i++) x[i] += x[i - 1];
+        break;
+      case 2:
+        for (uint32_t i = 2; i < n; i++) x[i] += 2 * x[i - 1] - x[i - 2];
+        break;
+      case 3:
+        for (uint32_t i = 3; i < n; i++) x[i] += 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3];
+        break;
+      case 4:
+        for (uint32_t i = 4; i < n; i++)
+          x[i] += 4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3] - x[i - 4];
+        break;
+    }
+  }
+
+  bool DecodeFrame() {
+  retry:
+    // Find the next frame sync from pos_.
+    size_t p = pos_;
+    while (p + 2 <= buf_.size() &&
+           !(buf_[p] == 0xFF && (buf_[p + 1] & 0xFC) == 0xF8)) {
+      p++;
+    }
+    if (p + 16 > buf_.size()) return false;
+    BitReader br(buf_.data(), buf_.size());
+    br.SeekByte(p);
+    size_t header_start = p;
+    br.ReadBits(14);  // sync
+    br.ReadBits(1);   // reserved
+    uint32_t var_block = br.ReadBits(1);
+    uint32_t bs_code = br.ReadBits(4);
+    uint32_t sr_code = br.ReadBits(4);
+    uint32_t ch_code = br.ReadBits(4);
+    uint32_t ss_code = br.ReadBits(3);
+    br.ReadBits(1);  // reserved
+    uint64_t coded_num = 0;
+    if (!ReadCodedNumber(br, &coded_num)) return false;
+    (void)var_block;
+    uint32_t blocksize = 0;
+    if (bs_code == 0) return false;
+    int bst = kBlockSizeTable[bs_code];
+    if (bst == -1)
+      blocksize = br.ReadBits(8) + 1;
+    else if (bst == -2)
+      blocksize = br.ReadBits(16) + 1;
+    else
+      blocksize = (uint32_t)bst;
+    if (sr_code == 12)
+      br.ReadBits(8);
+    else if (sr_code == 13 || sr_code == 14)
+      br.ReadBits(16);
+    else if (sr_code == 15)
+      return false;
+    // CRC-8 over the header bytes.
+    size_t crc_pos = br.byte_pos();
+    uint8_t hdr_crc = (uint8_t)br.ReadBits(8);
+    if (Crc8(buf_.data() + header_start, crc_pos - header_start) != hdr_crc) {
+      // Bad sync/emulated header — resync one byte later.
+      pos_ = header_start + 1;
+      goto retry;
+    }
+
+    uint32_t bps = info_.bits_per_sample;
+    if (ss_code != 0) {
+      int t = kSampleSizeTable[ss_code];
+      if (t <= 0) return false;
+      bps = (uint32_t)t;
+    }
+    uint32_t nch = info_.channels;
+    bool left_side = false, right_side = false, mid_side = false;
+    if (ch_code <= 7) {
+      if (ch_code + 1 != nch) return false;
+    } else if (ch_code == 8) {
+      left_side = true;
+      if (nch != 2) return false;
+    } else if (ch_code == 9) {
+      right_side = true;
+      if (nch != 2) return false;
+    } else if (ch_code == 10) {
+      mid_side = true;
+      if (nch != 2) return false;
+    } else {
+      return false;
+    }
+
+    std::vector<std::vector<int32_t>> chan(nch, std::vector<int32_t>(blocksize));
+    for (uint32_t c = 0; c < nch; c++) {
+      uint32_t sub_bps = bps;
+      if ((left_side && c == 1) || (right_side && c == 0) || (mid_side && c == 1))
+        sub_bps += 1;  // side channel carries one extra bit
+      if (!DecodeSubframe(br, sub_bps, blocksize, chan[c].data())) return false;
+    }
+    br.AlignToByte();
+    size_t frame_end = br.byte_pos();
+    uint16_t crc = (uint16_t)br.ReadBits(16);
+    if (!br.ok()) return false;
+    if (Crc16(buf_.data() + header_start, frame_end - header_start) != crc) {
+      // Corrupt frame; skip past this header and resync.
+      pos_ = header_start + 1;
+      goto retry;
+    }
+    pos_ = br.byte_pos();
+
+    // Undo stereo decorrelation.
+    if (left_side) {
+      for (uint32_t i = 0; i < blocksize; i++) chan[1][i] = chan[0][i] - chan[1][i];
+    } else if (right_side) {
+      for (uint32_t i = 0; i < blocksize; i++) chan[0][i] = chan[1][i] + chan[0][i];
+    } else if (mid_side) {
+      for (uint32_t i = 0; i < blocksize; i++) {
+        int32_t mid = chan[0][i];
+        int32_t side = chan[1][i];
+        mid = (int32_t)(((uint32_t)mid << 1) | ((uint32_t)side & 1));
+        chan[0][i] = (mid + side) >> 1;
+        chan[1][i] = (mid - side) >> 1;
+      }
+    }
+
+    pending_.resize((size_t)blocksize * nch);
+    pending_off_ = 0;
+    for (uint32_t i = 0; i < blocksize; i++)
+      for (uint32_t c = 0; c < nch; c++) pending_[(size_t)i * nch + c] = chan[c][i];
+    return true;
+  }
+
+  std::vector<uint8_t> buf_;
+  StreamInfo info_;
+  bool have_streaminfo_ = false;
+  size_t first_frame_pos_ = 0;
+  size_t pos_ = 0;
+  std::vector<int32_t> pending_;
+  size_t pending_off_ = 0;
+  bool eof_ = false;
+  std::string error_;
+};
+
+// ---------------------------------------------------------------------------
+// Encoder
+// ---------------------------------------------------------------------------
+
+class Encoder {
+ public:
+  Encoder(uint32_t rate, uint32_t channels, uint32_t bps, uint32_t blocksize,
+          uint64_t total_samples_hint)
+      : rate_(rate), channels_(channels), bps_(bps), blocksize_(blocksize),
+        total_hint_(total_samples_hint) {}
+
+  uint32_t blocksize() const { return blocksize_; }
+  uint64_t frames_written() const { return frames_written_; }
+
+  // fLaC magic + STREAMINFO (+ padding block).  Emitted before any audio;
+  // sample count uses the hint (0 = unknown), MD5 still zero.
+  std::vector<uint8_t> Header() {
+    std::vector<uint8_t> out;
+    out.insert(out.end(), {'f', 'L', 'a', 'C'});
+    AppendStreamInfoBlock(&out, /*last=*/false);
+    // Small padding block, mirroring the final padding the reference
+    // appends (convolve-file-handler.cc:476-481).
+    out.push_back(0x81);  // last-block flag | PADDING type 1
+    out.push_back(0);
+    out.push_back(0);
+    out.push_back(16);
+    out.insert(out.end(), 16, 0);
+    header_size_ = out.size();
+    return out;
+  }
+
+  size_t header_size() const { return header_size_; }
+
+  // Current STREAMINFO contents (34 bytes) reflecting everything written
+  // so far — for header patching after streaming (the reference's
+  // SFC_UPDATE_HEADER_NOW + WriteCharAt path).
+  std::vector<uint8_t> StreamInfoBytes(bool with_md5) {
+    StreamInfo si = CurrentInfo();
+    if (with_md5) {
+      MD5 md5_copy = md5_;
+      md5_copy.Final(si.md5);
+    }
+    return SerializeStreamInfo(si);
+  }
+
+  // Encode n interleaved frames; returns encoded bytes (possibly empty —
+  // data is buffered until a full block is available).
+  std::vector<uint8_t> Write(const int32_t* interleaved, uint64_t n) {
+    std::vector<uint8_t> out;
+    // MD5 runs over little-endian raw samples at bps width (per spec).
+    UpdateMd5(interleaved, n);
+    carry_.insert(carry_.end(), interleaved, interleaved + n * channels_);
+    while (carry_.size() >= (size_t)blocksize_ * channels_) {
+      EncodeBlock(carry_.data(), blocksize_, &out);
+      carry_.erase(carry_.begin(), carry_.begin() + (size_t)blocksize_ * channels_);
+    }
+    return out;
+  }
+
+  // Flush the final partial block.
+  std::vector<uint8_t> Finish() {
+    std::vector<uint8_t> out;
+    uint32_t rem = (uint32_t)(carry_.size() / channels_);
+    if (rem) EncodeBlock(carry_.data(), rem, &out);
+    carry_.clear();
+    return out;
+  }
+
+ private:
+  StreamInfo CurrentInfo() {
+    StreamInfo si;
+    si.min_blocksize = blocksize_;
+    si.max_blocksize = blocksize_;
+    si.min_framesize = min_framesize_ == UINT32_MAX ? 0 : min_framesize_;
+    si.max_framesize = max_framesize_;
+    si.sample_rate = rate_;
+    si.channels = channels_;
+    si.bits_per_sample = bps_;
+    si.total_samples = frames_written_ ? frames_written_ : total_hint_;
+    return si;
+  }
+
+  static std::vector<uint8_t> SerializeStreamInfo(const StreamInfo& si) {
+    std::vector<uint8_t> out;
+    BitWriter bw(&out);
+    bw.WriteBits(si.min_blocksize, 16);
+    bw.WriteBits(si.max_blocksize, 16);
+    bw.WriteBits(si.min_framesize, 24);
+    bw.WriteBits(si.max_framesize, 24);
+    bw.WriteBits(si.sample_rate, 20);
+    bw.WriteBits(si.channels - 1, 3);
+    bw.WriteBits(si.bits_per_sample - 1, 5);
+    bw.WriteBits64(si.total_samples, 36);
+    for (int i = 0; i < 16; i++) bw.WriteBits(si.md5[i], 8);
+    return out;
+  }
+
+  void AppendStreamInfoBlock(std::vector<uint8_t>* out, bool last) {
+    std::vector<uint8_t> si = SerializeStreamInfo(CurrentInfo());
+    out->push_back((last ? 0x80 : 0x00) | 0x00);
+    out->push_back(0);
+    out->push_back(0);
+    out->push_back((uint8_t)si.size());
+    out->insert(out->end(), si.begin(), si.end());
+  }
+
+  void UpdateMd5(const int32_t* x, uint64_t nframes) {
+    size_t count = (size_t)nframes * channels_;
+    uint32_t bytes = (bps_ + 7) / 8;
+    md5_buf_.resize(count * bytes);
+    uint8_t* p = md5_buf_.data();
+    for (size_t i = 0; i < count; i++) {
+      uint32_t v = (uint32_t)x[i];
+      for (uint32_t b = 0; b < bytes; b++) *p++ = (uint8_t)(v >> (8 * b));
+    }
+    md5_.Update(md5_buf_.data(), md5_buf_.size());
+  }
+
+  // --- prediction helpers -------------------------------------------------
+
+  static uint64_t SumAbs(const int64_t* e, uint32_t n) {
+    uint64_t s = 0;
+    for (uint32_t i = 0; i < n; i++) s += (uint64_t)(e[i] < 0 ? -e[i] : e[i]);
+    return s;
+  }
+
+  // Compute fixed-predictor residuals of given order into res (n-order values).
+  static void FixedResidual(const int32_t* x, uint32_t n, uint32_t order, int64_t* res) {
+    switch (order) {
+      case 0:
+        for (uint32_t i = 0; i < n; i++) res[i] = x[i];
+        break;
+      case 1:
+        for (uint32_t i = 1; i < n; i++) res[i - 1] = (int64_t)x[i] - x[i - 1];
+        break;
+      case 2:
+        for (uint32_t i = 2; i < n; i++)
+          res[i - 2] = (int64_t)x[i] - 2 * (int64_t)x[i - 1] + x[i - 2];
+        break;
+      case 3:
+        for (uint32_t i = 3; i < n; i++)
+          res[i - 3] = (int64_t)x[i] - 3 * (int64_t)x[i - 1] + 3 * (int64_t)x[i - 2] - x[i - 3];
+        break;
+      case 4:
+        for (uint32_t i = 4; i < n; i++)
+          res[i - 4] = (int64_t)x[i] - 4 * (int64_t)x[i - 1] + 6 * (int64_t)x[i - 2] -
+                       4 * (int64_t)x[i - 3] + x[i - 4];
+        break;
+    }
+  }
+
+  static uint32_t BestRiceParam(const uint64_t sum, uint32_t n, uint32_t max_param) {
+    // k ~ log2(mean(|e|)) — standard estimator.
+    if (n == 0) return 0;
+    uint64_t mean = sum / n;
+    uint32_t k = 0;
+    while ((1ull << (k + 1)) < mean + 1 && k < max_param) k++;
+    return k;
+  }
+
+  // Encode a rice-partitioned residual; returns encoded bit cost if
+  // dry_run, else writes to bw.
+  void WriteResidual(BitWriter& bw, const int64_t* res, uint32_t n, uint32_t order,
+                     uint32_t blocksize) {
+    // Choose a partition order that divides the blocksize; cap 2^po <= 64.
+    uint32_t porder = 0;
+    while (porder < 6 && (blocksize % (1u << (porder + 1))) == 0 &&
+           (blocksize >> (porder + 1)) > order && (n >> (porder + 1)) >= 64)
+      porder++;
+    bw.WriteBits(0, 2);  // method 0: 4-bit rice params
+    bw.WriteBits(porder, 4);
+    uint32_t parts = 1u << porder;
+    uint32_t idx = 0;
+    for (uint32_t p = 0; p < parts; p++) {
+      uint32_t count = (blocksize >> porder) - (p == 0 ? order : 0);
+      uint64_t sum = 0;
+      for (uint32_t i = 0; i < count; i++) {
+        int64_t e = res[idx + i];
+        sum += (uint64_t)(e < 0 ? -e : e);
+      }
+      uint32_t k = BestRiceParam(sum, count, 14);
+      // Escape to raw if values don't fit rice reasonably (very rare).
+      bool escape = false;
+      uint32_t rawbits = 0;
+      for (uint32_t i = 0; i < count; i++) {
+        uint64_t folded = Fold(res[idx + i]);
+        if ((folded >> k) > 1u << 16) {
+          escape = true;
+        }
+        uint32_t need = Bits64(folded) + 1;
+        if (need > rawbits) rawbits = need;
+      }
+      if (escape && rawbits <= 31) {
+        bw.WriteBits(15, 4);  // escape code
+        bw.WriteBits(rawbits, 5);
+        for (uint32_t i = 0; i < count; i++)
+          bw.WriteSigned((int32_t)res[idx + i], (int)rawbits);
+      } else {
+        bw.WriteBits(k, 4);
+        for (uint32_t i = 0; i < count; i++) {
+          uint64_t folded = Fold(res[idx + i]);
+          bw.WriteUnary((uint32_t)(folded >> k));
+          if (k) bw.WriteBits((uint32_t)(folded & ((1u << k) - 1)), (int)k);
+        }
+      }
+      idx += count;
+    }
+  }
+
+  static inline uint64_t Fold(int64_t v) {
+    return v >= 0 ? ((uint64_t)v << 1) : (((uint64_t)(-v) << 1) - 1);
+  }
+
+  static inline uint32_t Bits64(uint64_t v) {
+    uint32_t b = 0;
+    while (v) {
+      b++;
+      v >>= 1;
+    }
+    return b;
+  }
+
+  // Encode one channel's subframe (FIXED or CONSTANT or VERBATIM).
+  void EncodeSubframe(BitWriter& bw, const int32_t* x, uint32_t n, uint32_t bps) {
+    bw.WriteBits(0, 1);  // pad
+    bool constant = true;
+    for (uint32_t i = 1; i < n; i++)
+      if (x[i] != x[0]) {
+        constant = false;
+        break;
+      }
+    if (constant) {
+      bw.WriteBits(0, 6);  // CONSTANT
+      bw.WriteBits(0, 1);  // no wasted bits
+      bw.WriteSigned(x[0], (int)bps);
+      return;
+    }
+    // Pick best fixed order by sum of |residual|.
+    uint32_t max_order = std::min<uint32_t>(4, n > 4 ? 4 : n - 1);
+    uint32_t best_order = 0;
+    uint64_t best_sum = UINT64_MAX;
+    std::vector<int64_t> res(n);
+    for (uint32_t o = 0; o <= max_order; o++) {
+      FixedResidual(x, n, o, res.data());
+      uint64_t s = SumAbs(res.data(), n - o);
+      if (s < best_sum) {
+        best_sum = s;
+        best_order = o;
+      }
+    }
+    // Escape hatch: residuals of huge bps could overflow rice badly; use
+    // verbatim if the estimate is terrible.
+    FixedResidual(x, n, best_order, res.data());
+    bw.WriteBits(8 + best_order, 6);  // FIXED order
+    bw.WriteBits(0, 1);               // no wasted bits
+    for (uint32_t i = 0; i < best_order; i++) bw.WriteSigned(x[i], (int)bps);
+    WriteResidual(bw, res.data(), n - best_order, best_order, n);
+  }
+
+  void EncodeBlock(const int32_t* interleaved, uint32_t n, std::vector<uint8_t>* out) {
+    std::vector<uint8_t> frame;
+    BitWriter bw(&frame);
+    // --- frame header
+    bw.WriteBits(0x3FFE, 14);  // sync
+    bw.WriteBits(0, 1);
+    bw.WriteBits(0, 1);  // fixed blocksize stream
+    uint32_t bs_code;
+    int bs_extra = -1;
+    switch (n) {
+      case 192: bs_code = 1; break;
+      case 576: bs_code = 2; break;
+      case 1152: bs_code = 3; break;
+      case 2304: bs_code = 4; break;
+      case 4608: bs_code = 5; break;
+      case 256: bs_code = 8; break;
+      case 512: bs_code = 9; break;
+      case 1024: bs_code = 10; break;
+      case 2048: bs_code = 11; break;
+      case 4096: bs_code = 12; break;
+      case 8192: bs_code = 13; break;
+      case 16384: bs_code = 14; break;
+      case 32768: bs_code = 15; break;
+      default:
+        if (n <= 256) {
+          bs_code = 6;
+          bs_extra = (int)n - 1;
+        } else {
+          bs_code = 7;
+          bs_extra = (int)n - 1;
+        }
+    }
+    bw.WriteBits(bs_code, 4);
+    uint32_t sr_code = 0;
+    switch (rate_) {
+      case 88200: sr_code = 1; break;
+      case 176400: sr_code = 2; break;
+      case 192000: sr_code = 3; break;
+      case 8000: sr_code = 4; break;
+      case 16000: sr_code = 5; break;
+      case 22050: sr_code = 6; break;
+      case 24000: sr_code = 7; break;
+      case 32000: sr_code = 8; break;
+      case 44100: sr_code = 9; break;
+      case 48000: sr_code = 10; break;
+      case 96000: sr_code = 11; break;
+      default: sr_code = 0; break;  // get from STREAMINFO
+    }
+    bw.WriteBits(sr_code, 4);
+
+    // Stereo decorrelation decision (2 channels only).
+    std::vector<std::vector<int32_t>> chans;
+    uint32_t ch_code;
+    DecorrelateAndChoose(interleaved, n, &chans, &ch_code);
+    bw.WriteBits(ch_code, 4);
+    uint32_t ss_code;
+    switch (bps_) {
+      case 8: ss_code = 1; break;
+      case 12: ss_code = 2; break;
+      case 16: ss_code = 4; break;
+      case 20: ss_code = 5; break;
+      case 24: ss_code = 6; break;
+      case 32: ss_code = 7; break;
+      default: ss_code = 0; break;
+    }
+    bw.WriteBits(ss_code, 3);
+    bw.WriteBits(0, 1);
+    // Coded frame number (fixed-blocksize stream => frame index).
+    WriteCodedNumber(bw, frame_index_);
+    if (bs_extra >= 0) bw.WriteBits((uint32_t)bs_extra, bs_code == 6 ? 8 : 16);
+    bw.WriteBits(Crc8(frame.data(), frame.size()), 8);
+
+    // --- subframes
+    for (uint32_t c = 0; c < chans.size(); c++) {
+      uint32_t sub_bps = bps_;
+      if ((ch_code == 8 && c == 1) || (ch_code == 9 && c == 0) ||
+          (ch_code == 10 && c == 1))
+        sub_bps += 1;
+      EncodeSubframe(bw, chans[c].data(), n, sub_bps);
+    }
+    bw.AlignToByte();
+    uint16_t crc16 = Crc16(frame.data(), frame.size());
+    bw.WriteBits(crc16, 16);
+
+    if (frame.size() < min_framesize_) min_framesize_ = (uint32_t)frame.size();
+    if (frame.size() > max_framesize_) max_framesize_ = (uint32_t)frame.size();
+    frame_index_++;
+    frames_written_ += n;
+    out->insert(out->end(), frame.begin(), frame.end());
+  }
+
+  void WriteCodedNumber(BitWriter& bw, uint64_t v) {
+    if (v < 0x80) {
+      bw.WriteBits((uint32_t)v, 8);
+      return;
+    }
+    int bits = 64 - __builtin_clzll(v);
+    // The leading byte stores (6-extra) bits when extra<6, 0 bits when
+    // extra==6; each continuation byte stores 6 bits.
+    int extra;
+    for (extra = 1; extra <= 6; extra++) {
+      int capacity = (extra < 6 ? 6 - extra : 0) + 6 * extra;
+      if (bits <= capacity) break;
+    }
+    static const uint32_t lead_prefix[7] = {0, 0xC0, 0xE0, 0xF0, 0xF8, 0xFC, 0xFE};
+    uint32_t lead_bits = extra < 6 ? (uint32_t)(v >> (6 * extra)) : 0;
+    bw.WriteBits(lead_prefix[extra] | lead_bits, 8);
+    for (int i = extra - 1; i >= 0; i--)
+      bw.WriteBits(0x80u | ((uint32_t)(v >> (6 * i)) & 0x3F), 8);
+  }
+
+  void DecorrelateAndChoose(const int32_t* x, uint32_t n,
+                            std::vector<std::vector<int32_t>>* chans,
+                            uint32_t* ch_code) {
+    uint32_t nch = channels_;
+    chans->assign(nch, std::vector<int32_t>(n));
+    for (uint32_t i = 0; i < n; i++)
+      for (uint32_t c = 0; c < nch; c++) (*chans)[c][i] = x[(size_t)i * nch + c];
+    if (nch != 2) {
+      *ch_code = nch - 1;
+      return;
+    }
+    // Estimate cost of each stereo mode with order-2 residual sums.
+    std::vector<int64_t> res(n);
+    auto cost = [&](const std::vector<int32_t>& v) {
+      FixedResidual(v.data(), n, std::min(2u, n - 1), res.data());
+      return SumAbs(res.data(), n - std::min(2u, n - 1));
+    };
+    std::vector<int32_t> mid(n), side(n);
+    for (uint32_t i = 0; i < n; i++) {
+      int32_t l = (*chans)[0][i], r = (*chans)[1][i];
+      side[i] = l - r;
+      mid[i] = (l + r) >> 1;
+    }
+    uint64_t cl = cost((*chans)[0]);
+    uint64_t cr = cost((*chans)[1]);
+    uint64_t cs = cost(side);
+    uint64_t cm = cost(mid);
+    uint64_t indep = cl + cr, ls = cl + cs, rs = cr + cs, ms = cm + cs;
+    uint64_t best = std::min(std::min(indep, ls), std::min(rs, ms));
+    if (best == indep) {
+      *ch_code = 1;
+    } else if (best == ls) {
+      *ch_code = 8;
+      (*chans)[1] = side;
+    } else if (best == rs) {
+      *ch_code = 9;
+      (*chans)[0] = side;
+      // channel order: side, right
+      // (*chans)[1] already right
+    } else {
+      *ch_code = 10;
+      (*chans)[0] = mid;
+      (*chans)[1] = side;
+    }
+  }
+
+  uint32_t rate_, channels_, bps_, blocksize_;
+  uint64_t total_hint_;
+  uint64_t frames_written_ = 0;
+  uint64_t frame_index_ = 0;
+  uint32_t min_framesize_ = UINT32_MAX;
+  uint32_t max_framesize_ = 0;
+  std::vector<int32_t> carry_;
+  std::vector<uint8_t> md5_buf_;
+  MD5 md5_;
+  size_t header_size_ = 0;
+};
+
+}  // namespace folve
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct FolveFlacInfo {
+  uint32_t rate;
+  uint32_t channels;
+  uint32_t bits;
+  uint64_t frames;
+  uint32_t min_blocksize;
+  uint32_t max_blocksize;
+  uint8_t md5[16];
+};
+
+void* folve_flac_open(const uint8_t* data, uint64_t len) {
+  auto* d = new folve::Decoder(data, (size_t)len);
+  if (!d->Init()) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+void folve_flac_info(void* handle, FolveFlacInfo* out) {
+  auto* d = (folve::Decoder*)handle;
+  const auto& si = d->info();
+  out->rate = si.sample_rate;
+  out->channels = si.channels;
+  out->bits = si.bits_per_sample;
+  out->frames = si.total_samples;
+  out->min_blocksize = si.min_blocksize;
+  out->max_blocksize = si.max_blocksize;
+  memcpy(out->md5, si.md5, 16);
+}
+
+int64_t folve_flac_read(void* handle, int32_t* out, int64_t nframes) {
+  return ((folve::Decoder*)handle)->Read(out, nframes);
+}
+
+void folve_flac_rewind(void* handle) { ((folve::Decoder*)handle)->Rewind(); }
+
+void folve_flac_close(void* handle) { delete (folve::Decoder*)handle; }
+
+void* folve_flac_enc_new(uint32_t rate, uint32_t channels, uint32_t bits,
+                         uint32_t blocksize, uint64_t total_hint) {
+  return new folve::Encoder(rate, channels, bits, blocksize, total_hint);
+}
+
+static thread_local std::vector<uint8_t> g_enc_out;
+
+// Each of the following returns the number of bytes produced; fetch them
+// with folve_flac_enc_copy.
+uint64_t folve_flac_enc_header(void* h) {
+  g_enc_out = ((folve::Encoder*)h)->Header();
+  return g_enc_out.size();
+}
+
+uint64_t folve_flac_enc_write(void* h, const int32_t* x, uint64_t nframes) {
+  g_enc_out = ((folve::Encoder*)h)->Write(x, nframes);
+  return g_enc_out.size();
+}
+
+uint64_t folve_flac_enc_finish(void* h) {
+  g_enc_out = ((folve::Encoder*)h)->Finish();
+  return g_enc_out.size();
+}
+
+uint64_t folve_flac_enc_streaminfo(void* h, int with_md5) {
+  g_enc_out = ((folve::Encoder*)h)->StreamInfoBytes(with_md5 != 0);
+  return g_enc_out.size();
+}
+
+void folve_flac_enc_copy(uint8_t* dst) {
+  memcpy(dst, g_enc_out.data(), g_enc_out.size());
+}
+
+void folve_flac_enc_free(void* h) { delete (folve::Encoder*)h; }
+
+}  // extern "C"
