@@ -1,0 +1,86 @@
+"""Streaming decode sources — the runtime's replacement for SNDFILE*.
+
+The reference reads input audio through libsndfile handles
+(sf_readf_float in sound-processor.cc:76-84).  Here a source is any
+object with ``info`` and ``read_float(nframes) -> float32 [n, ch]``;
+this module provides them for WAV and FLAC.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional, Protocol
+
+import numpy as np
+
+from folve_tpu.audio import sniff_container
+from folve_tpu.audio.types import AudioInfo, Container
+from folve_tpu.audio.wav import _decode_pcm, _open, _parse_header
+
+
+class AudioSource(Protocol):
+    info: AudioInfo
+
+    def read_float(self, nframes: int) -> np.ndarray: ...
+
+    def close(self) -> None: ...
+
+
+class WavSource:
+    """Chunked WAV reader (no full-file decode up front)."""
+
+    def __init__(self, path_or_file):
+        self._f = _open(path_or_file)
+        self.info, self._data_offset, self._data_size = _parse_header(self._f)
+        self._frame_bytes = self.info.channels * self.info.bits_per_sample // 8
+        self._pos = 0  # frames consumed
+
+    def read_float(self, nframes: int) -> np.ndarray:
+        remaining = self.info.frames - self._pos
+        take = max(0, min(nframes, remaining))
+        if take == 0:
+            return np.zeros((0, self.info.channels), dtype=np.float32)
+        self._f.seek(self._data_offset + self._pos * self._frame_bytes)
+        raw = self._f.read(take * self._frame_bytes)
+        self._pos += take
+        return _decode_pcm(raw, self.info)
+
+    def seek(self, frame: int) -> None:
+        self._pos = max(0, min(frame, self.info.frames))
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        except Exception:
+            pass
+
+
+class FlacSource:
+    """Streaming FLAC decode source."""
+
+    def __init__(self, path_or_bytes):
+        from folve_tpu.audio.flac import FlacDecoder
+
+        self._dec = FlacDecoder(path_or_bytes)
+        self.info = self._dec.info
+
+    def read_float(self, nframes: int) -> np.ndarray:
+        return self._dec.read_float(nframes)
+
+    def close(self) -> None:
+        self._dec.close()
+
+
+def open_source(path: str) -> Optional[AudioSource]:
+    """Open a streaming source for a file, or None if not decodable
+    (the probe-and-fallback used at convolve-file-handler.cc:62-76)."""
+    container = sniff_container(path)
+    try:
+        if container == Container.WAV:
+            return WavSource(path)
+        if container == Container.FLAC:
+            with open(path, "rb") as f:
+                return FlacSource(f.read())
+    except Exception:
+        return None
+    return None

@@ -1,0 +1,532 @@
+"""File handlers — per-open-file state machines.
+
+Behavioral twins of file-handler.h, pass-through-handler.{h,cc} and
+convolve-file-handler.{h,cc}: the convolving handler streams
+decode -> TPU convolution -> FLAC encode into a ConversionBuffer,
+with the reference's player-compatibility behaviors: end-of-file skip
+zeros (convolve-file-handler.cc:102-126), prebuffer trigger past
+header+64k (:134-149), verbatim FLAC-header copy with byte surgery
+(:259-322, :438-482), dynamic size estimation (:183-200), clipping
+stats (:169-180), premature-EOF close (:378-386), gapless handover
+(:328-424).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+import time
+from typing import Optional, TYPE_CHECKING
+
+import numpy as np
+
+from folve_tpu.audio.flac import FlacEncoder
+from folve_tpu.audio.source import open_source
+from folve_tpu.audio.types import Container
+from folve_tpu.runtime.conversion_buffer import ConversionBuffer
+
+if TYPE_CHECKING:
+    from folve_tpu.runtime.filesystem import FolveFilesystem
+    from folve_tpu.runtime.processor import SoundProcessor
+
+
+class Status:
+    OPEN = "open"
+    IDLE = "idle"
+    RETIRED = "retired"
+
+
+@dataclasses.dataclass
+class HandlerStats:
+    """Status-page record (file-handler.h:31-51)."""
+
+    filename: str = ""
+    format: str = ""
+    message: str = ""
+    duration_seconds: float = 0.0
+    access_progress: float = 0.0
+    buffer_progress: float = 0.0
+    status: str = Status.OPEN
+    last_access: float = 0.0
+    max_output_value: float = 0.0
+    in_gapless: bool = False
+    out_gapless: bool = False
+    filter_dir: str = ""
+
+
+@dataclasses.dataclass
+class FileStat:
+    """Mutable stat record served to the VFS layer."""
+
+    st_size: int = 0
+    st_mode: int = 0o100444
+    st_mtime: float = 0.0
+    st_atime: float = 0.0
+    st_ctime: float = 0.0
+    st_nlink: int = 1
+    st_uid: int = 0
+    st_gid: int = 0
+
+    @classmethod
+    def from_path(cls, path: str) -> "FileStat":
+        st = os.stat(path)
+        return cls(
+            st_size=st.st_size,
+            st_mode=st.st_mode,
+            st_mtime=st.st_mtime,
+            st_atime=st.st_atime,
+            st_ctime=st.st_ctime,
+            st_nlink=st.st_nlink,
+            st_uid=st.st_uid,
+            st_gid=st.st_gid,
+        )
+
+
+class FileHandler:
+    """Abstract per-open-file interface (file-handler.h:59-86)."""
+
+    def __init__(self, filter_dir: str):
+        self._filter_dir = filter_dir
+
+    def filter_dir(self) -> str:
+        return self._filter_dir
+
+    def read(self, size: int, offset: int) -> bytes:
+        raise NotImplementedError
+
+    def stat(self) -> FileStat:
+        raise NotImplementedError
+
+    def get_handler_status(self) -> HandlerStats:
+        raise NotImplementedError
+
+    def is_gapless(self) -> bool:
+        return False
+
+    def passover_processor(self, processor: "SoundProcessor") -> bool:
+        return False
+
+    def notify_passed_processor_unreferenced(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def release(self) -> None:
+        """Teardown when evicted from the handler cache."""
+        self.close()
+
+
+class PassThroughHandler(FileHandler):
+    """Direct pread passthrough for non-audio/unfiltered files
+    (pass-through-handler.{h,cc})."""
+
+    def __init__(self, underlying_file: str, filter_dir: str, info: HandlerStats):
+        super().__init__(filter_dir)
+        self._fd = os.open(underlying_file, os.O_RDONLY)
+        self._stats = dataclasses.replace(info)
+        self._file_size = os.fstat(self._fd).st_size
+        self._max_accessed = 0
+        if not self._stats.message:
+            self._stats.message = "Not converting, just passing through."
+
+    def read(self, size: int, offset: int) -> bytes:
+        data = os.pread(self._fd, size, offset)
+        end = offset + len(data)
+        if end > self._max_accessed:
+            self._max_accessed = end
+        return data
+
+    def stat(self) -> FileStat:
+        fstat = os.fstat(self._fd)
+        return FileStat(
+            st_size=fstat.st_size,
+            st_mode=fstat.st_mode,
+            st_mtime=fstat.st_mtime,
+            st_atime=fstat.st_atime,
+            st_ctime=fstat.st_ctime,
+            st_nlink=fstat.st_nlink,
+            st_uid=fstat.st_uid,
+            st_gid=fstat.st_gid,
+        )
+
+    def get_handler_status(self) -> HandlerStats:
+        s = dataclasses.replace(self._stats)
+        if self._file_size:
+            s.access_progress = self._max_accessed / self._file_size
+            s.buffer_progress = 1.0
+        return s
+
+    def close(self) -> None:
+        if self._fd >= 0:
+            os.close(self._fd)
+            self._fd = -1
+
+
+_FUDGE_OVERHANG = 512  # convolve-file-handler.cc:110
+_WELL_BEYOND_HEADER = 64 << 10  # :141
+
+
+class ConvolveFileHandler(FileHandler):
+    """The workhorse: stream decode -> convolve (TPU) -> FLAC encode."""
+
+    @classmethod
+    def create(
+        cls,
+        fs: "FolveFilesystem",
+        fs_path: str,
+        filter_subdir: str,
+        underlying_file: str,
+    ) -> Optional["ConvolveFileHandler"]:
+        """Probe the file and build the pipeline; None -> caller falls
+        back to pass-through (convolve-file-handler.cc:54-93)."""
+        source = open_source(underlying_file)
+        partial = HandlerStats(
+            filename=fs_path,
+            filter_dir=filter_subdir,
+            status=Status.OPEN,
+            last_access=time.time(),
+        )
+        if source is None:
+            partial.message = "Not a supported audio file; pass through."
+            fs.record_handler_message(fs_path, partial.message)
+            return None
+        info = source.info
+        partial.duration_seconds = info.duration_seconds
+        partial.format = info.format_string()
+
+        config_dir = os.path.join(fs.base_config_dir, filter_subdir)
+        processor, errmsg = fs.processor_pool.get_or_create(
+            config_dir, info.rate, info.channels, info.bits_per_sample
+        )
+        if processor is None:
+            partial.message = errmsg or "No processor."
+            fs.record_handler_message(fs_path, partial.message)
+            source.close()
+            return None
+        return cls(fs, fs_path, filter_subdir, underlying_file, source, partial, processor)
+
+    def __init__(self, fs, fs_path, filter_subdir, underlying_file, source, stats, processor):
+        super().__init__(filter_subdir)
+        self._fs = fs
+        self._underlying_file = underlying_file
+        self._source = source
+        self._in_info = source.info
+        self._base_stats = stats
+        self._processor: Optional["SoundProcessor"] = processor
+        self._error = False
+        self._stats_lock = threading.Lock()
+        self._input_frames_left = self._in_info.frames
+
+        # Initial stat; the size is inflated by the oversize factor and
+        # refined as output is produced (convolve-file-handler.cc:203-257).
+        self._file_stat = FileStat.from_path(underlying_file)
+        self._file_stat.st_mode &= ~0o222  # strip write bits (folve-main.cc:151)
+        self._original_file_size = self._file_stat.st_size
+        self._start_estimating_size = int(0.4 * self._file_stat.st_size)
+        self._file_stat.st_size = int(self._file_stat.st_size * fs.file_oversize_factor)
+
+        # Output format policy (convolve-file-handler.cc:237-251):
+        # wav -> FLAC/24, ogg -> FLAC/16, flac stays flac at source depth
+        # (capped at 24, our encoder's ceiling).
+        in_container = self._in_info.container
+        if in_container == Container.WAV:
+            out_bits = 24
+        elif in_container == Container.OGG:
+            out_bits = 16
+        else:
+            out_bits = min(self._in_info.bits_per_sample, 24)
+            if out_bits not in (8, 16, 24):
+                out_bits = 24
+        self._out_bits = out_bits
+        self._copy_flac_header_verbatim = (
+            in_container == Container.FLAC and not fs.workaround_flac_header_issue
+        )
+
+        self._buffer = ConversionBuffer(self)
+        self._encoder = FlacEncoder(
+            rate=self._in_info.rate,
+            channels=processor.output_channels,
+            bits=out_bits,
+            blocksize=fs.flac_block_size,
+            total_frames_hint=self._in_info.frames,
+        )
+        self._setup_header()
+
+    # ---------------------------------------------------------------- header
+
+    def _setup_header(self) -> None:
+        """Emit the output header into the buffer before any audio
+        (SetOutputSoundfile, convolve-file-handler.cc:259-322)."""
+        if self._copy_flac_header_verbatim:
+            self._copy_flac_header()
+            self._patch_streaminfo()
+        else:
+            self._buffer.append(self._encoder.header())
+        self._buffer.header_finished()
+
+    def _copy_flac_header(self) -> None:
+        """Verbatim metadata copy: keep everything except the seektable,
+        redact the MD5 (convolve-file-handler.cc:438-482)."""
+        buf = self._buffer
+        with open(self._underlying_file, "rb") as f:
+            magic = f.read(4)
+            if magic != b"fLaC":
+                self._error = True
+                return
+            buf.append(b"fLaC")
+            need_finish_padding = False
+            while True:
+                header = f.read(4)
+                if len(header) < 4:
+                    break
+                is_last = bool(header[0] & 0x80)
+                btype = header[0] & 0x7F
+                blen = (header[1] << 16) | (header[2] << 8) | header[3]
+                body = f.read(blen)
+                need_finish_padding = False
+                if btype == 0 and blen == 34:  # STREAMINFO: redact MD5
+                    buf.append(header)
+                    buf.append(body[:-16])
+                    buf.append(bytes(16))
+                elif btype == 3:  # SEEKTABLE: bogus after re-encode; drop
+                    need_finish_padding = is_last
+                else:
+                    buf.append(header)
+                    buf.append(body)
+                if is_last:
+                    break
+            if need_finish_padding:  # last block was dropped: force finish
+                buf.append(bytes([0x80 | 1, 0, 0, 0]))
+
+    def _patch_streaminfo(self) -> None:
+        """Byte surgery on the copied STREAMINFO: our encoder's block
+        size, unknown frame sizes, output channels/bits
+        (convolve-file-handler.cc:291-306)."""
+        buf = self._buffer
+        bs = self._encoder.blocksize
+        buf.write_char_at((bs >> 8) & 0xFF, 8)
+        buf.write_char_at(bs & 0xFF, 9)
+        buf.write_char_at((bs >> 8) & 0xFF, 10)
+        buf.write_char_at(bs & 0xFF, 11)
+        for i in range(12, 18):  # min/max framesize: unknown
+            buf.write_char_at(0, i)
+        bits = self._out_bits
+        channels = self._encoder.channels
+        buf.write_char_at(
+            ((self._in_info.rate & 0x0F) << 4)
+            | ((channels - 1) << 1)
+            | (((bits - 1) & 0x10) >> 4),
+            20,
+        )
+
+    # ----------------------------------------------------------------- read
+
+    def read(self, size: int, offset: int) -> bytes:
+        if self._error:
+            raise OSError(5, "handler in error state")
+        current_filesize = self._buffer.file_size()
+        read_horizon = offset + size
+        # End-of-file skip heuristic: silently serve zeros instead of
+        # convolving the whole file (convolve-file-handler.cc:107-126).
+        if (
+            current_filesize < offset
+            and read_horizon + _FUDGE_OVERHANG >= self._file_stat.st_size
+        ):
+            pretended = min(size, self._file_stat.st_size - offset)
+            return bytes(max(pretended, 0))
+
+        result = self._buffer.read(size, offset)
+
+        # Prebuffer only when clearly past the header (:134-149).
+        well_beyond = self._buffer.header_size() + _WELL_BEYOND_HEADER
+        if (
+            read_horizon > well_beyond
+            and read_horizon + self._fs.pre_buffer_size > current_filesize
+            and not self._buffer.is_file_complete()
+        ):
+            self._fs.request_prebuffer(self._buffer)
+        return result
+
+    # ----------------------------------------------------------------- stat
+
+    def stat(self) -> FileStat:
+        """Dynamic size estimation: extrapolate from the compression
+        ratio so far, only ever growing (convolve-file-handler.cc:183-200)."""
+        current = self._buffer.file_size()
+        if current > self._start_estimating_size:
+            frames_done = self._in_info.frames - self.frames_left()
+            if frames_done > 0:
+                estimated_end = self._in_info.frames / frames_done
+                new_size = int(estimated_end * current) + 65535
+                if new_size > self._file_stat.st_size:
+                    self._file_stat.st_size = new_size
+        return self._file_stat
+
+    # --------------------------------------------------------------- status
+
+    def get_handler_status(self) -> HandlerStats:
+        file_size = self._buffer.file_size()
+        max_access = self._buffer.max_accessed()
+        if self._processor is not None:
+            self._base_stats.max_output_value = self._processor.max_output_value()
+        stats = dataclasses.replace(self._base_stats)
+        frames_done = self._in_info.frames - self.frames_left()
+        if frames_done == 0 or self._in_info.frames == 0 or file_size == 0:
+            stats.buffer_progress = 0.0
+            stats.access_progress = 0.0
+        else:
+            stats.buffer_progress = frames_done / self._in_info.frames
+            stats.access_progress = stats.buffer_progress * max_access / file_size
+        if self._base_stats.max_output_value > 1.0:
+            self._base_stats.message = (
+                f"Output clipping! (max={self._base_stats.max_output_value:.3f}; "
+                f"Multiply gain with <= {1.0 / self._base_stats.max_output_value:.5f}"
+                f" in {self._processor.config_file if self._processor else 'filter'})"
+            )
+        return stats
+
+    def frames_left(self) -> int:
+        with self._stats_lock:
+            return self._input_frames_left
+
+    # -------------------------------------------------------------- gapless
+
+    def is_gapless(self) -> bool:
+        return self._base_stats.in_gapless or self._base_stats.out_gapless
+
+    def has_started(self) -> bool:
+        return self._in_info.frames != self._input_frames_left
+
+    def passover_processor(self, donor: "SoundProcessor") -> bool:
+        """Adopt the previous track's processor so its partially-filled
+        block is finished with our beginning (convolve-file-handler.cc:328-351)."""
+        if self.has_started():
+            return False
+        assert self._processor is not None
+        if (
+            donor.config_file != self._processor.config_file
+            or donor.config_file_timestamp != self._processor.config_file_timestamp
+        ):
+            return False
+        self._fs.processor_pool.return_processor(self._processor)
+        self._processor = donor
+        if not donor.is_input_buffer_complete():
+            with self._stats_lock:
+                self._input_frames_left -= donor.fill_buffer(self._source)
+        self._base_stats.in_gapless = True
+        return True
+
+    def notify_passed_processor_unreferenced(self) -> None:
+        self._fs.request_prebuffer(self._buffer)
+
+    # ------------------------------------------------------------- the pump
+
+    def add_more_sound_data(self) -> bool:
+        """Produce the next chunk of encoded output
+        (AddMoreSoundData, convolve-file-handler.cc:370-424)."""
+        if not self._input_frames_left:
+            return False
+        proc = self._processor
+        if proc.pending_writes() > 0:
+            proc.write_processed(self._write_frames, proc.pending_writes())
+            return self._input_frames_left != 0
+        r = proc.fill_buffer(self._source)
+        if r == 0:
+            self._base_stats.message = "Premature EOF in input file."
+            with self._stats_lock:
+                self._input_frames_left = 0
+            self.close()
+            return False
+        with self._stats_lock:
+            self._input_frames_left -= r
+
+        if (
+            not self._input_frames_left
+            and not proc.is_input_buffer_complete()
+            and self._fs.gapless_processing
+        ):
+            passed, next_path, next_handler = self._try_gapless_handover(proc)
+            proc.write_processed(self._write_frames, r)
+            if passed:
+                self._base_stats.out_gapless = True
+                self._save_output_values()
+                self._processor = None  # ownership moved
+                self.close()
+                next_handler.notify_passed_processor_unreferenced()
+            if next_handler is not None:
+                self._fs.close_handler(next_path, next_handler)
+        else:
+            proc.write_processed(self._write_frames, r)
+        if self._input_frames_left == 0:
+            self.close()
+        return self._input_frames_left != 0
+
+    def _try_gapless_handover(self, proc):
+        """Find the alphabetic successor with the same suffix and offer it
+        our processor (convolve-file-handler.cc:390-416)."""
+        filename = self._base_stats.filename
+        slash = filename.rfind("/")
+        if slash < 0:
+            return False, None, None
+        fs_dir = filename[: slash + 1]
+        dot = filename.rfind(".")
+        suffix = filename[dot:] if dot > slash else ""
+        dirset = self._fs.list_directory(fs_dir, suffix)
+        next_path = None
+        for cand in sorted(dirset):
+            if cand > filename:
+                next_path = cand
+                break
+        if next_path is None:
+            return False, None, None
+        next_handler = self._fs.get_or_create_handler(next_path, want_gapless=True)
+        if next_handler is None:
+            return False, None, None
+        passed = next_handler.passover_processor(proc)
+        return passed, next_path, next_handler
+
+    # ---------------------------------------------------------------- close
+
+    def _write_frames(self, frames: np.ndarray) -> None:
+        self._buffer.append(self._encoder.write_float(frames))
+
+    def _save_output_values(self) -> None:
+        if self._processor is not None:
+            self._base_stats.max_output_value = self._processor.max_output_value()
+            self._processor.reset_max_values()
+
+    def close(self) -> None:
+        """Finish encode, return processor, log mispredictions
+        (convolve-file-handler.cc:504-535)."""
+        if self._encoder is None:
+            return
+        with self._stats_lock:
+            self._input_frames_left = 0
+        self._save_output_values()
+        self._fs.processor_pool.return_processor(self._processor)
+        self._processor = None
+        self._buffer.append(self._encoder.finish())
+        self._encoder.close()
+        self._encoder = None
+        if self._source is not None:
+            self._source.close()
+            self._source = None
+        factor = (
+            self._buffer.file_size() / self._original_file_size
+            if self._original_file_size
+            else 0.0
+        )
+        if factor > self._fs.file_oversize_factor:
+            self._fs.log(
+                f"File larger than prediction: {self._base_stats.filename} "
+                f"(x{factor:.2f}; adapt prediction with -O {factor:.2f})"
+            )
+
+    def release(self) -> None:
+        """Full teardown when evicted from the handler cache."""
+        self._buffer.notify_file_complete()
+        self._fs.quit_buffering(self._buffer)
+        self.close()
+        self._buffer.close()

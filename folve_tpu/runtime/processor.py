@@ -1,0 +1,160 @@
+"""SoundProcessor — the host-side block pump around the TPU engine.
+
+Behavioral twin of sound-processor.{h,cc}: owns one compiled filter and
+one stream's convolution state, fills a ``fragm``-frame input block from
+a decode source, runs the device step lazily on first write, supports
+partial output writes (``pending_writes``) for the gapless split, and
+tracks the max output value for clipping detection.
+
+The zita ``Convproc`` and its threads are replaced by a pure-JAX
+state-in/state-out step (folve_tpu.engine.stream); the expensive
+construction the reference's ProcessorPool amortizes
+(Convproc::configure + IR load, processor-pool.h:28-30) maps here to
+filter compilation + device upload, cached by the pool.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from folve_tpu.engine.stream import chunk_step, init_state
+from folve_tpu.filters.compiler import CompiledFilter, compile_config_file
+
+_jitted_chunk = jax.jit(chunk_step)
+
+
+def _mtime(path: str) -> float:
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return 0.0
+
+
+class SoundProcessor:
+    def __init__(self, compiled: CompiledFilter, config_file: str):
+        self._compiled = compiled
+        self.config_file = config_file
+        self.config_file_timestamp = _mtime(config_file)
+        self.bank = compiled.bank
+        self._state = init_state(self.bank)
+        b = self.bank.fragm
+        self._in_buf = np.zeros((b, self.bank.ninp), dtype=np.float32)
+        self._input_pos = 0
+        self._out_buf: Optional[np.ndarray] = None  # [fragm, cout] when processed
+        self._output_pos = -1  # <0: needs Process()
+        self._max_out = 0.0
+
+    # -- introspection ----------------------------------------------------
+
+    @property
+    def input_channels(self) -> int:
+        return self.bank.ninp
+
+    @property
+    def output_channels(self) -> int:
+        return self.bank.nout
+
+    @property
+    def fragm(self) -> int:
+        return self.bank.fragm
+
+    def pending_writes(self) -> int:
+        """Frames already processed but not yet written (gapless split,
+        sound-processor.h:42-50)."""
+        if self._output_pos < 0:
+            return 0
+        return self.fragm - self._output_pos
+
+    def is_input_buffer_complete(self) -> bool:
+        return self._input_pos == self.fragm
+
+    def max_output_value(self) -> float:
+        dev = float(jax.device_get(self._state.max_abs))
+        return max(self._max_out, dev)
+
+    def reset_max_values(self) -> None:
+        """Clear only the clipping monitor (SoundProcessor::ResetMaxValues);
+        convolution state is untouched."""
+        import jax.numpy as jnp
+
+        from folve_tpu.engine.stream import StreamState
+
+        self._max_out = 0.0
+        self._state = StreamState(
+            hist=self._state.hist,
+            tail=self._state.tail,
+            max_abs=jnp.zeros((), dtype=jnp.float32),
+        )
+
+    def config_still_up_to_date(self) -> bool:
+        """mtime staleness (sound-processor.cc:129-133)."""
+        return self.config_file_timestamp == _mtime(self.config_file)
+
+    # -- factory ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, config_file: str, samplerate: int, channels: int
+    ) -> Optional["SoundProcessor"]:
+        """Compile a config for this stream shape; None on failure
+        (SoundProcessor::Create, sound-processor.cc:34-50)."""
+        try:
+            compiled = compile_config_file(config_file, fsamp=samplerate)
+        except Exception:
+            return None
+        del channels  # the config's /convolver/new channel counts govern
+        return cls(compiled, config_file)
+
+    # -- block pump -------------------------------------------------------
+
+    def fill_buffer(self, source) -> int:
+        """Read up to the missing part of the current block from
+        ``source.read_float`` (sound-processor.cc:76-84).  Resets any
+        processed-but-unwritten output (caller must drain first)."""
+        needed = self.fragm - self._input_pos
+        assert needed > 0, "call write_processed() before refilling"
+        self._output_pos = -1
+        data = source.read_float(needed)
+        r = data.shape[0]
+        if r:
+            self._in_buf[self._input_pos : self._input_pos + r] = data
+        self._input_pos += r
+        return r
+
+    def _process(self) -> None:
+        """Zero-pad the tail, run the device step, fetch output
+        (sound-processor.cc:98-127)."""
+        if self._input_pos < self.fragm:
+            self._in_buf[self._input_pos :] = 0.0
+        x = self._in_buf.T[None]  # [1, Cin, fragm]
+        self._state, y = _jitted_chunk(
+            self.bank, self._state, x, np.int32(self._input_pos)
+        )
+        self._out_buf = np.asarray(y[0]).T  # [fragm, Cout]
+        self._output_pos = 0
+
+    def write_processed(self, sink, sample_count: int) -> None:
+        """Lazily process, then emit up to sample_count frames to
+        ``sink(frames)``; partial writes leave the rest pending
+        (sound-processor.cc:86-96)."""
+        if self._output_pos < 0:
+            self._process()
+        assert sample_count <= self.fragm - self._output_pos
+        if sample_count > 0:
+            sink(self._out_buf[self._output_pos : self._output_pos + sample_count])
+        self._output_pos += sample_count
+        if self._output_pos == self.fragm:
+            self._input_pos = 0
+
+    def reset(self) -> None:
+        """Re-arm for a fresh stream before pooling; clears convolution
+        state and the clipping monitor (sound-processor.cc:139-145)."""
+        self._state = init_state(self.bank)
+        self._max_out = 0.0
+        self._input_pos = 0
+        self._output_pos = -1
+        self._out_buf = None

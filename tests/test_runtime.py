@@ -1,0 +1,367 @@
+"""Runtime integration tests: the in-process fake-VFS harness.
+
+The reference has no tests; SURVEY.md §4 prescribes an in-process
+harness driving open/read/stat/release sequences that replay real player
+behaviors (header-only indexing, size polling, end-skip) plus gapless
+join bit-exactness.  These are those tests.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+from scipy import signal
+
+from folve_tpu.audio import read_audio
+from folve_tpu.audio.flac import write_flac
+from folve_tpu.audio.wav import write_wav
+from folve_tpu.audio.types import SampleCodec
+from folve_tpu.runtime import FolveFilesystem, PassThroughHandler, ConvolveFileHandler
+
+RATE = 44100
+
+
+def make_fs(tmp_path, conf_text=None, gapless=False, filter_name="echo"):
+    src = tmp_path / "src"
+    cfg = tmp_path / "filters" / filter_name
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(cfg, exist_ok=True)
+    if conf_text is None:
+        conf_text = (
+            "/convolver/new 2 2 64 512\n"
+            "/impulse/dirac 1 1 0.7 0\n"
+            "/impulse/dirac 2 2 0.7 0\n"
+            "/impulse/dirac 1 1 0.3 100\n"
+            "/impulse/dirac 2 2 0.3 100\n"
+        )
+    (cfg / f"filter-{RATE}.conf").write_text(conf_text)
+    fs = FolveFilesystem()
+    fs.underlying_dir = str(src)
+    fs.base_config_dir = str(tmp_path / "filters")
+    fs.current_config_subdir = filter_name
+    fs.gapless_processing = gapless
+    assert fs.check_initialized()
+    return fs, src
+
+
+def echo_ir(size=512):
+    ir = np.zeros(size)
+    ir[0] = 0.7
+    ir[100] = 0.3
+    return ir
+
+
+def write_song(src_dir, name, frames, seed=0, amp=0.4):
+    rng = np.random.default_rng(seed)
+    x = (rng.uniform(-amp, amp, (frames, 2))).astype(np.float32)
+    # Round to 16-bit grid so FLAC decode returns exactly this.
+    x = np.round(x * 32768) / 32768
+    write_flac(str(src_dir / name), x, RATE, bits=16)
+    return x
+
+
+def read_all(handler, chunk=65536, cap=400):
+    out = b""
+    for _ in range(cap):
+        data = handler.read(chunk, len(out))
+        if not data:
+            break
+        out += data
+    return out
+
+
+def expected_conv(x, ir):
+    y = np.zeros_like(x)
+    for c in range(x.shape[1]):
+        y[:, c] = signal.fftconvolve(x[:, c].astype(np.float64), ir)[: x.shape[0]]
+    return y
+
+
+class TestEndToEnd:
+    def test_flac_convolve_roundtrip(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        x = write_song(src, "song.flac", 3 * 512 + 123)
+        h = fs.get_or_create_handler("/song.flac")
+        assert isinstance(h, ConvolveFileHandler)
+        blob = read_all(h)
+        got, info = read_audio_bytes(blob)
+        assert info.rate == RATE and info.channels == 2
+        assert got.shape[0] == x.shape[0]
+        ref = expected_conv(x, echo_ir())
+        err = np.max(np.abs(got - ref))
+        assert err < 2.5 / 32768  # 16-bit quantization budget
+        fs.close_handler("/song.flac", h)
+
+    def test_wav_input_becomes_flac24(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        rng = np.random.default_rng(7)
+        x = rng.uniform(-0.4, 0.4, (1000, 2)).astype(np.float32)
+        write_wav(str(src / "a.wav"), x, RATE, SampleCodec.PCM_16)
+        h = fs.get_or_create_handler("/a.wav")
+        assert isinstance(h, ConvolveFileHandler)
+        blob = read_all(h)
+        assert blob[:4] == b"fLaC"
+        got, info = read_audio_bytes(blob)
+        assert info.bits_per_sample == 24
+        x16 = np.round(x * 32768) / 32768
+        ref = expected_conv(x16, echo_ir())
+        assert np.max(np.abs(got - ref)) < 4 / 8388608
+        fs.close_handler("/a.wav", h)
+
+    def test_non_audio_passthrough(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        (src / "notes.txt").write_bytes(b"hello world")
+        h = fs.get_or_create_handler("/notes.txt")
+        assert isinstance(h, PassThroughHandler)
+        assert h.read(100, 0) == b"hello world"
+        fs.close_handler("/notes.txt", h)
+
+    def test_empty_filter_passthrough(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        fs.current_config_subdir = ""
+        x = write_song(src, "song.flac", 1000)
+        h = fs.get_or_create_handler("/song.flac")
+        assert isinstance(h, PassThroughHandler)
+        raw = open(src / "song.flac", "rb").read()
+        assert h.read(len(raw) + 10, 0) == raw
+        fs.close_handler("/song.flac", h)
+
+    def test_verbatim_flac_header_copied_and_patched(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 5000)
+        h = fs.get_or_create_handler("/song.flac")
+        hdr = h.read(8 + 34, 0)
+        assert hdr[:4] == b"fLaC"
+        # Patched blocksize = encoder blocksize (4096) in min and max.
+        assert hdr[8:10] == (4096).to_bytes(2, "big")
+        assert hdr[10:12] == (4096).to_bytes(2, "big")
+        # Frame sizes zeroed.
+        assert hdr[12:18] == bytes(6)
+        # MD5 redacted.
+        assert hdr[8 + 18 : 8 + 34] == bytes(16)
+        # Total samples preserved (bytes 21-25 tail of streaminfo).
+        total = int.from_bytes(hdr[21:26], "big") & ((1 << 36) - 1)
+        assert total == 5000
+        fs.close_handler("/song.flac", h)
+
+
+def read_audio_bytes(blob):
+    from folve_tpu.audio.flac import read_flac
+
+    return read_flac(blob)
+
+
+class TestPlayerBehaviors:
+    def test_header_only_read_does_not_convolve(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 200000)
+        h = fs.get_or_create_handler("/song.flac")
+        header_size = h._buffer.header_size()
+        assert header_size > 0
+        h.read(header_size, 0)  # metadata indexing
+        assert h._buffer.file_size() == header_size  # no audio produced
+        fs.close_handler("/song.flac", h)
+
+    def test_end_skip_returns_zeros(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 500000)
+        h = fs.get_or_create_handler("/song.flac")
+        st = h.stat()
+        produced_before = h._buffer.file_size()
+        data = h.read(4096, st.st_size - 4096)  # skip to the end (indexing)
+        assert data == bytes(4096)
+        assert h._buffer.file_size() == produced_before  # nothing convolved
+        fs.close_handler("/song.flac", h)
+
+    def test_stat_size_estimation_monotonic(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        x = write_song(src, "song.flac", 300000)
+        h = fs.get_or_create_handler("/song.flac")
+        initial = h.stat().st_size
+        original = os.stat(src / "song.flac").st_size
+        assert initial == int(original * fs.file_oversize_factor)
+        sizes = [initial]
+        offset = 0
+        for _ in range(40):
+            data = h.read(65536, offset)
+            if not data:
+                break
+            offset += len(data)
+            sizes.append(h.stat().st_size)
+        assert all(b >= a for a, b in zip(sizes, sizes[1:]))
+        fs.close_handler("/song.flac", h)
+
+
+class TestCachesAndPool:
+    def test_reopen_uses_cache(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 2000)
+        h1 = fs.get_or_create_handler("/song.flac")
+        out1 = read_all(h1)
+        fs.close_handler("/song.flac", h1)
+        h2 = fs.get_or_create_handler("/song.flac")
+        assert h2 is h1  # cached, idle handler reused
+        assert fs.total_file_reopen == 1
+        # Re-read served from the spill file, bit-identical.
+        assert read_all(h2) == out1
+        fs.close_handler("/song.flac", h2)
+
+    def test_cache_evicts_oldest_idle(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        fs.open_file_cache.set_max_size(2)
+        for i in range(4):
+            write_song(src, f"s{i}.flac", 600, seed=i)
+        handlers = []
+        for i in range(4):
+            h = fs.get_or_create_handler(f"/s{i}.flac")
+            read_all(h)
+            fs.close_handler(f"/s{i}.flac", h)
+            handlers.append(h)
+        assert fs.open_file_cache.size() <= 2
+
+    def test_filter_switch_keeps_old_handler_key(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        other = tmp_path / "filters" / "other"
+        os.makedirs(other)
+        (other / f"filter-{RATE}.conf").write_text(
+            "/convolver/new 2 2 64 128\n/impulse/dirac 1 1 1.0 0\n/impulse/dirac 2 2 1.0 0\n"
+        )
+        write_song(src, "song.flac", 1500)
+        h1 = fs.get_or_create_handler("/song.flac")
+        assert fs.switch_current_config_dir("other")
+        h2 = fs.get_or_create_handler("/song.flac")
+        assert h2 is not h1  # cache key includes the filter
+        assert h1.filter_dir() == "echo" and h2.filter_dir() == "other"
+        fs.close_handler("/song.flac", h1)
+        fs.close_handler("/song.flac", h2)
+
+    def test_processor_pool_reuse_and_staleness(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        cfg_dir = os.path.join(fs.base_config_dir, "echo")
+        p1, msg = fs.processor_pool.get_or_create(cfg_dir, RATE, 2, 16)
+        assert p1 is not None, msg
+        fs.processor_pool.return_processor(p1)
+        p2, _ = fs.processor_pool.get_or_create(cfg_dir, RATE, 2, 16)
+        assert p2 is p1  # pooled
+        fs.processor_pool.return_processor(p2)
+        # Touch the config: pooled processor must be discarded.
+        conf = os.path.join(cfg_dir, f"filter-{RATE}.conf")
+        os.utime(conf, (time.time() + 5, time.time() + 5))
+        p3, _ = fs.processor_pool.get_or_create(cfg_dir, RATE, 2, 16)
+        assert p3 is not p1
+        fs.processor_pool.return_processor(p3)
+
+    def test_no_filter_for_rate_falls_back_passthrough(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-0.3, 0.3, (500, 2)).astype(np.float32)
+        write_wav(str(src / "hi.wav"), x, 96000, SampleCodec.PCM_16)
+        h = fs.get_or_create_handler("/hi.wav")
+        assert isinstance(h, PassThroughHandler)
+        stats = h.get_handler_status()
+        assert "No filter" in stats.message
+        fs.close_handler("/hi.wav", h)
+
+
+class TestGapless:
+    def test_two_file_join_is_continuous_convolution(self, tmp_path):
+        fs, src = make_fs(tmp_path, gapless=True)
+        n1, n2 = 2 * 512 + 300, 3 * 512 + 100  # partial blocks at the seam
+        x1 = write_song(src, "a_track1.flac", n1, seed=1)
+        x2 = write_song(src, "a_track2.flac", n2, seed=2)
+
+        h1 = fs.get_or_create_handler("/a_track1.flac")
+        out1 = read_all(h1)
+        s1 = h1.get_handler_status()
+        assert s1.out_gapless, "handover should have happened at EOF"
+        fs.close_handler("/a_track1.flac", h1)
+
+        h2 = fs.get_or_create_handler("/a_track2.flac")
+        assert h2.get_handler_status().in_gapless
+        out2 = read_all(h2)
+        fs.close_handler("/a_track2.flac", h2)
+
+        y1, _ = read_audio_bytes(out1)
+        y2, _ = read_audio_bytes(out2)
+        assert y1.shape[0] == n1 and y2.shape[0] == n2
+        ref = expected_conv(np.concatenate([x1, x2]), echo_ir())
+        got = np.concatenate([y1, y2])
+        assert np.max(np.abs(got - ref)) < 2.5 / 32768
+
+    def test_no_gapless_when_disabled(self, tmp_path):
+        fs, src = make_fs(tmp_path, gapless=False)
+        write_song(src, "t1.flac", 700, seed=1)
+        write_song(src, "t2.flac", 700, seed=2)
+        h1 = fs.get_or_create_handler("/t1.flac")
+        read_all(h1)
+        assert not h1.get_handler_status().out_gapless
+        fs.close_handler("/t1.flac", h1)
+
+
+class TestConversionBuffer:
+    def test_header_short_reads(self, tmp_path):
+        from folve_tpu.runtime.conversion_buffer import ConversionBuffer
+
+        calls = []
+
+        class Src:
+            def add_more_sound_data(self):
+                calls.append(1)
+                return False
+
+        buf = ConversionBuffer(Src())
+        buf.append(b"HEADERDATA")
+        buf.header_finished()
+        # Reads inside the header: short, no pump.
+        assert buf.read(100, 0) == b"HEADERDATA"
+        assert calls == []
+        # Read past the header pumps the source.
+        buf.read(10, 10)
+        assert calls == [1]
+
+    def test_max_accessed_vs_file_size(self, tmp_path):
+        from folve_tpu.runtime.conversion_buffer import ConversionBuffer
+
+        class Src:
+            def __init__(self):
+                self.n = 0
+
+            def add_more_sound_data(self):
+                self.n += 1
+                buf.append(b"x" * 100)
+                return self.n < 50
+
+        src = Src()
+        buf = ConversionBuffer(src)
+        buf.append(b"h" * 10)
+        buf.header_finished()
+        buf.read(20, 10)
+        assert buf.max_accessed() == 30
+        assert buf.file_size() >= 30  # may have produced more than accessed
+
+
+class TestPrebuffer:
+    def test_prebuffer_fills_ahead(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        fs.pre_buffer_size = 1 << 20
+        write_song(src, "song.flac", 400000)
+        h = fs.get_or_create_handler("/song.flac")
+        # Read beyond header+64k to trigger the prefetcher.
+        hdr = h._buffer.header_size()
+        offset = 0
+        while offset < hdr + (64 << 10) + 4096:
+            data = h.read(16384, offset)
+            if not data:
+                break
+            offset += len(data)
+        deadline = time.time() + 30
+        target = offset + (1 << 18)
+        while time.time() < deadline and h._buffer.file_size() < target:
+            if h._buffer.is_file_complete():
+                break
+            time.sleep(0.05)
+        assert h._buffer.file_size() >= min(target, h._buffer.file_size() + 0) or \
+            h._buffer.is_file_complete()
+        assert h._buffer.file_size() > offset  # produced beyond what was read
+        fs.close_handler("/song.flac", h)
