@@ -73,22 +73,45 @@ def _fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int) -> tuple[jax.Array, jax
     ``h_spec``: [P, Cin, Cout, 2, K]; ``xall``: [T+P-1, Cin, 2, K].
     Returns (Yr, Yi) each [T, Cout, K].
     """
-    p = h_spec.shape[0]
-    cout, k = h_spec.shape[2], h_spec.shape[4]
+    p, cin, cout, _, k = h_spec.shape
 
-    def mac(pi, acc):
-        yr, yi = acc
-        xs = lax.dynamic_slice_in_dim(xall, (p - 1) - pi, t, axis=0)
-        xr, xi = xs[:, :, 0], xs[:, :, 1]  # [T, Cin, K]
-        hr, hi = h_spec[pi, :, :, 0], h_spec[pi, :, :, 1]  # [Cin, Cout, K]
-        rr = jnp.einsum("tik,iok->tok", xr, hr, precision=_PRECISION)
-        ii = jnp.einsum("tik,iok->tok", xi, hi, precision=_PRECISION)
-        ri = jnp.einsum("tik,iok->tok", xr, hi, precision=_PRECISION)
-        ir = jnp.einsum("tik,iok->tok", xi, hr, precision=_PRECISION)
-        return yr + (rr - ii), yi + (ri + ir)
-
-    zeros = jnp.zeros((t, cout, k), dtype=jnp.float32)
-    return lax.fori_loop(0, p, mac, (zeros, zeros), unroll=True)
+    # P is static — unroll in Python with *static* slices of the
+    # concatenated spectra.  For the small channel counts of real filter
+    # configs the contraction over Cin is pure elementwise VPU work with
+    # the filter row broadcast over blocks — spelling it out that way
+    # avoids XLA lowering a 2-wide contraction as degenerate MXU matmuls
+    # (measured ~20x slower on v5e).  Large channel counts fall back to
+    # an einsum.
+    yr = jnp.zeros((t, cout, k), dtype=jnp.float32)
+    yi = jnp.zeros((t, cout, k), dtype=jnp.float32)
+    if cin * cout <= 16:
+        acc_r = [jnp.zeros((t, k), jnp.float32) for _ in range(cout)]
+        acc_i = [jnp.zeros((t, k), jnp.float32) for _ in range(cout)]
+        for pi in range(p):
+            off = (p - 1) - pi
+            xs = xall[off : off + t]  # [T, Cin, 2, K]
+            for o in range(cout):
+                for i in range(cin):
+                    xr, xi = xs[:, i, 0], xs[:, i, 1]  # [T, K]
+                    hr = h_spec[pi, i, o, 0]  # [K]
+                    hi = h_spec[pi, i, o, 1]
+                    acc_r[o] = acc_r[o] + (xr * hr - xi * hi)
+                    acc_i[o] = acc_i[o] + (xr * hi + xi * hr)
+        yr = jnp.stack(acc_r, axis=1)
+        yi = jnp.stack(acc_i, axis=1)
+    else:
+        for pi in range(p):
+            off = (p - 1) - pi
+            xs = xall[off : off + t]
+            xr, xi = xs[:, :, 0], xs[:, :, 1]  # [T, Cin, K]
+            hr, hi = h_spec[pi, :, :, 0], h_spec[pi, :, :, 1]  # [Cin, Cout, K]
+            rr = jnp.einsum("tik,iok->tok", xr, hr, precision=_PRECISION)
+            ii = jnp.einsum("tik,iok->tok", xi, hi, precision=_PRECISION)
+            ri = jnp.einsum("tik,iok->tok", xr, hi, precision=_PRECISION)
+            ir = jnp.einsum("tik,iok->tok", xi, hr, precision=_PRECISION)
+            yr = yr + (rr - ii)
+            yi = yi + (ri + ir)
+    return yr, yi
 
 
 def chunk_step(

@@ -1,0 +1,87 @@
+"""Multi-chip sharded serving tests (virtual 8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+from scipy import signal
+
+from folve_tpu.engine import chunk_step, compile_filter_bank, init_state
+from folve_tpu.parallel.serving import (
+    make_serving_mesh,
+    make_sharded_serving_step,
+    shard_states_and_bank,
+)
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def has8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def _build_inputs(rng, s, t, fragm, size):
+    banks, irs = [], []
+    for i in range(s):
+        ir = rng.standard_normal((2, 2, size)).astype(np.float32) / np.sqrt(size)
+        irs.append(ir)
+        banks.append(compile_filter_bank(ir, fragm=fragm, size=size))
+    h_spec = np.stack([np.asarray(b.h_spec) for b in banks])
+    st0 = init_state(banks[0])
+    hist = np.zeros((s,) + st0.hist.shape, np.float32)
+    tail = np.zeros((s,) + st0.tail.shape, np.float32)
+    max_abs = np.zeros((s,), np.float32)
+    x = rng.standard_normal((s, t, 2, fragm)).astype(np.float32)
+    n_valid = np.full((s,), t * fragm, np.int32)
+    return banks, irs, h_spec, hist, tail, max_abs, x, n_valid
+
+
+@pytest.mark.parametrize("freq_parallel", [1, 2, 4])
+def test_sharded_matches_single_device(rng, has8, freq_parallel):
+    fragm, size, s, t = 128, 512, 8, 3
+    mesh = make_serving_mesh(8, freq_parallel=freq_parallel)
+    banks, irs, h_spec, hist, tail, max_abs, x, n_valid = _build_inputs(
+        rng, s, t, fragm, size
+    )
+    step = make_sharded_serving_step(mesh, fragm)
+    args = shard_states_and_bank(mesh, h_spec, hist, tail, max_abs, x, n_valid)
+    new_hist, new_tail, new_max, y = step(*args)
+
+    # Reference: per-stream single-device chunk_step.
+    for i in range(s):
+        st = init_state(banks[i])
+        st2, y_ref = chunk_step(banks[i], st, x[i], int(n_valid[i]))
+        np.testing.assert_allclose(np.asarray(y)[i], np.asarray(y_ref), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_tail)[i], np.asarray(st2.tail), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(new_max)[i]), float(st2.max_abs), atol=2e-5
+        )
+
+
+def test_sharded_streaming_continuity(rng, has8):
+    """Two sharded steps equal one long convolution."""
+    fragm, size, s = 128, 384, 8
+    mesh = make_serving_mesh(8, freq_parallel=2)
+    banks, irs, h_spec, hist, tail, max_abs, x, n_valid = _build_inputs(
+        rng, s, 4, fragm, size
+    )
+    step = make_sharded_serving_step(mesh, fragm)
+    args = shard_states_and_bank(mesh, h_spec, hist, tail, max_abs, x[:, :2], n_valid)
+    h1, t1, m1, y1 = step(*args)
+    args2 = shard_states_and_bank(mesh, h_spec, np.asarray(h1), np.asarray(t1),
+                                  np.asarray(m1), x[:, 2:], n_valid)
+    h2, t2, m2, y2 = step(*args2)
+    y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+    for i in range(s):
+        flat = x[i].transpose(0, 2, 1).reshape(-1, 2)
+        ref = np.zeros((flat.shape[0], 2))
+        for o in range(2):
+            for ci in range(2):
+                ref[:, o] += signal.fftconvolve(
+                    flat[:, ci].astype(np.float64), irs[i][ci, o].astype(np.float64)
+                )[: flat.shape[0]]
+        got = y[i].transpose(0, 2, 1).reshape(-1, 2)
+        err = 10 * np.log10(np.sum((got - ref) ** 2) / np.sum(ref**2))
+        assert err < -90
