@@ -1,0 +1,210 @@
+"""Command-line interface.
+
+``folve-tpu mount`` mirrors the reference binary's flag set
+(folve-main.cc:330-361: -C -i -p -r -g -b -O -P -t -D -R -f) on top of
+the native FUSE transport; ``serve`` runs the same virtual filesystem
+over HTTP instead (no kernel module needed); ``convolve`` is the
+offline one-shot pipeline (SURVEY.md §7.4's minimum end-to-end slice).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+
+def _add_common_fs_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-C", "--config-dir", required=True, help="filter configuration directory")
+    p.add_argument("-i", "--initial-filter", default="", help="initial filter subdir")
+    p.add_argument("-p", "--port", type=int, default=0, help="status/control HTTP port")
+    p.add_argument("-r", "--refresh", type=int, default=10, help="status page meta refresh seconds (-1 off)")
+    p.add_argument("-g", "--gapless", action="store_true", help="gapless processing")
+    p.add_argument(
+        "-b", "--prebuffer", type=int, default=128,
+        help="prebuffer size KiB (64..16384, reference folve-main.cc:44-45)",
+    )
+    p.add_argument("-O", "--oversize-factor", type=float, default=1.25, help="file size oversize prediction factor")
+    p.add_argument("-P", "--pid-file", default="", help="write pid file")
+    p.add_argument("-t", "--toplevel-filter", action="store_true", help="toplevel directories are filter names")
+    p.add_argument("-D", "--debug", action="store_true", help="debug logging")
+    p.add_argument("-R", "--readdir-dump", default="", help="readdir/stat trace log file")
+    p.add_argument("--flac-block-size", type=int, default=4096, help="FLAC encoder block size")
+
+
+def _build_fs(args, underlying_dir: str):
+    from folve_tpu.runtime.filesystem import FolveFilesystem
+
+    if args.debug:
+        logging.basicConfig(level=logging.DEBUG)
+    prebuffer = args.prebuffer
+    if prebuffer and not (64 <= prebuffer <= 16384):
+        sys.exit("-b prebuffer must be within 64..16384 KiB")
+    fs = FolveFilesystem()
+    fs.underlying_dir = os.path.realpath(underlying_dir)
+    fs.base_config_dir = os.path.realpath(args.config_dir)
+    fs.initial_filter_config = args.initial_filter
+    fs.gapless_processing = args.gapless
+    fs.toplevel_dir_is_filter = args.toplevel_filter
+    fs.pre_buffer_size = prebuffer << 10
+    fs.file_oversize_factor = args.oversize_factor
+    fs.flac_block_size = args.flac_block_size
+    if not fs.check_initialized():
+        sys.exit("underlying dir or config dir missing / not a directory")
+    fs.setup_initial_config()
+    if args.pid_file:
+        with open(args.pid_file, "w") as f:
+            f.write(str(os.getpid()))
+    return fs
+
+
+def _build_vfs(args, fs):
+    from folve_tpu.server.status import StatusServer
+    from folve_tpu.server.vfs import FolveVfs, ReaddirLogger
+
+    status = StatusServer(fs)
+    status.meta_refresh = args.refresh
+    status.expensive_details = args.debug
+    if args.port:
+        if status.start(args.port):
+            print(f"status server on http://localhost:{status.port}/")
+        else:
+            print(f"cannot bind status server to port {args.port}", file=sys.stderr)
+    rlog = ReaddirLogger(args.readdir_dump) if args.readdir_dump else None
+    return FolveVfs(fs, status_server=status, readdir_logger=rlog)
+
+
+def cmd_mount(args) -> int:
+    fs = _build_fs(args, args.underlying_dir)
+    vfs = _build_vfs(args, fs)
+    from folve_tpu.fuse.mount import mount_and_serve
+
+    return mount_and_serve(vfs, args.mount_point, foreground=args.foreground)
+
+
+def cmd_serve(args) -> int:
+    """HTTP frontend: the virtual filesystem over plain HTTP."""
+    fs = _build_fs(args, args.underlying_dir)
+    vfs = _build_vfs(args, fs)
+    from folve_tpu.server.httpfs import serve_http_files
+
+    return serve_http_files(vfs, args.files_port)
+
+
+def cmd_convolve(args) -> int:
+    """Offline one-shot: decode -> TPU convolve -> encode."""
+    import numpy as np
+
+    from folve_tpu.audio import read_audio
+    from folve_tpu.audio.flac import write_flac
+    from folve_tpu.audio.wav import write_wav
+    from folve_tpu.audio.types import SampleCodec
+    from folve_tpu.engine import chunk_step, init_state
+    from folve_tpu.filters.compiler import compile_config_file
+    from folve_tpu.filters.resolve import resolve_filter_config
+
+    import jax
+
+    t0 = time.time()
+    data, info = read_audio(args.input)
+    config_dir = os.path.join(args.config_dir, args.initial_filter)
+    conf = resolve_filter_config(
+        config_dir, info.rate, info.channels, info.bits_per_sample
+    )
+    if conf is None:
+        sys.exit(f"no filter config in {config_dir} for {info.rate}/{info.channels}")
+    compiled = compile_config_file(conf, fsamp=info.rate)
+    for w in compiled.warnings:
+        print(f"warning: {w}", file=sys.stderr)
+    bank = compiled.bank
+    b = bank.fragm
+    n = data.shape[0]
+    t_total = -(-n // b)
+    padded = np.zeros((t_total * b, bank.ninp), dtype=np.float32)
+    padded[:n, : data.shape[1]] = data[:, : bank.ninp]
+    blocks = padded.reshape(t_total, b, bank.ninp).transpose(0, 2, 1)
+    state = init_state(bank)
+    step = jax.jit(chunk_step)
+    outs = []
+    chunk = args.chunk_blocks
+    for start in range(0, t_total, chunk):
+        xs = blocks[start : start + chunk]
+        if xs.shape[0] < chunk and t_total > chunk:
+            pad = np.zeros((chunk - xs.shape[0],) + xs.shape[1:], np.float32)
+            xs = np.concatenate([xs, pad])
+        n_valid = max(0, min(n - start * b, xs.shape[0] * b))
+        state, y = step(bank, state, xs, n_valid)
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs)[:t_total].transpose(0, 2, 1).reshape(-1, bank.nout)[:n]
+    max_out = float(np.max(np.abs(y))) if n else 0.0
+    if max_out > 1.0:
+        print(
+            f"warning: output clipping (max={max_out:.3f}; multiply gain "
+            f"with <= {1.0 / max_out:.5f} in {conf})",
+            file=sys.stderr,
+        )
+    out = args.output
+    if out.lower().endswith(".wav"):
+        write_wav(out, y, info.rate, SampleCodec.PCM_24)
+    else:
+        bits = min(info.bits_per_sample, 24)
+        if bits not in (8, 16, 24):
+            bits = 24
+        write_flac(out, y, info.rate, bits=bits)
+    dt = time.time() - t0
+    audio_sec = n / info.rate
+    print(
+        f"convolved {audio_sec:.1f}s of audio in {dt:.2f}s "
+        f"({audio_sec / dt:.0f}x realtime) -> {out}"
+    )
+    return 0
+
+
+def cmd_make_demo_filters(args) -> int:
+    from folve_tpu.tools.make_demo_filters import make_all
+
+    make_all(args.target)
+    print(f"demo filters written to {args.target}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="folve-tpu",
+        description="TPU-native on-the-fly FIR filter convolution framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("mount", help="mount the convolving filesystem (FUSE)")
+    _add_common_fs_flags(p)
+    p.add_argument("-f", "--foreground", action="store_true", help="stay in foreground")
+    p.add_argument("underlying_dir")
+    p.add_argument("mount_point")
+    p.set_defaults(func=cmd_mount)
+
+    p = sub.add_parser("serve", help="serve the virtual filesystem over HTTP")
+    _add_common_fs_flags(p)
+    p.add_argument("--files-port", type=int, default=8080)
+    p.add_argument("underlying_dir")
+    p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser("convolve", help="offline: convolve one file")
+    p.add_argument("-C", "--config-dir", required=True)
+    p.add_argument("-i", "--initial-filter", default="")
+    p.add_argument("--chunk-blocks", type=int, default=32)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_convolve)
+
+    p = sub.add_parser("make-demo-filters", help="generate demo filter set")
+    p.add_argument("target", nargs="?", default="demo-filters")
+    p.set_defaults(func=cmd_make_demo_filters)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

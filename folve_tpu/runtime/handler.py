@@ -371,6 +371,15 @@ class ConvolveFileHandler(FileHandler):
         max_access = self._buffer.max_accessed()
         if self._processor is not None:
             self._base_stats.max_output_value = self._processor.max_output_value()
+        if self._base_stats.max_output_value > 1.0:
+            # (The reference stamps this after taking the snapshot so it
+            # only shows on the *next* poll, convolve-file-handler.cc:169-180;
+            # we stamp before — the message is the point.)
+            self._base_stats.message = (
+                f"Output clipping! (max={self._base_stats.max_output_value:.3f}; "
+                f"Multiply gain with <= {1.0 / self._base_stats.max_output_value:.5f}"
+                f" in {self._processor.config_file if self._processor else 'filter'})"
+            )
         stats = dataclasses.replace(self._base_stats)
         frames_done = self._in_info.frames - self.frames_left()
         if frames_done == 0 or self._in_info.frames == 0 or file_size == 0:
@@ -379,12 +388,6 @@ class ConvolveFileHandler(FileHandler):
         else:
             stats.buffer_progress = frames_done / self._in_info.frames
             stats.access_progress = stats.buffer_progress * max_access / file_size
-        if self._base_stats.max_output_value > 1.0:
-            self._base_stats.message = (
-                f"Output clipping! (max={self._base_stats.max_output_value:.3f}; "
-                f"Multiply gain with <= {1.0 / self._base_stats.max_output_value:.5f}"
-                f" in {self._processor.config_file if self._processor else 'filter'})"
-            )
         return stats
 
     def frames_left(self) -> int:

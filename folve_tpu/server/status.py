@@ -1,0 +1,250 @@
+"""Status/control HTTP server.
+
+Behavioral twin of status-server.{h,cc}: one background HTTP thread
+(stdlib ThreadingHTTPServer standing in for libmicrohttpd); routes
+``/settings?f=<filter>`` -> switch filter + 302 redirect, everything
+else -> the status page; the page shows filter-selector tabs, per-stream
+rows with dual progress bars (played vs prebuffered), gapless arrows,
+clipping highlights, a retired-handlers history fed by the cache
+observer (deque of 20, status-server.cc:45,207-219), open/reopen
+counters, and its own render time.  The same page is also reachable
+in-filesystem as ``/folve-status.html`` via :class:`HtmlFileHandler`
+(status-server.cc:105-135; folve-main.cc:123-128).
+"""
+
+from __future__ import annotations
+
+import collections
+import html
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Deque, List, Optional
+
+from folve_tpu.runtime.filesystem import FolveFilesystem
+from folve_tpu.runtime.handler import FileHandler, FileStat, HandlerStats, Status
+from folve_tpu.version import __version__
+
+_RETIRED_MAX = 20
+
+
+def _progress_bar(access: float, buffered: float) -> str:
+    """Dual progress bar: played (dark) over prebuffered (light)."""
+    a = max(0.0, min(1.0, access))
+    b = max(0.0, min(1.0, buffered))
+    return (
+        '<div class="pbar">'
+        f'<div class="pbuf" style="width:{b * 100:.1f}%"></div>'
+        f'<div class="pacc" style="width:{a * 100:.1f}%"></div>'
+        "</div>"
+    )
+
+
+def _db(value: float) -> str:
+    import math
+
+    if value <= 0:
+        return "&nbsp;"
+    return f"{20 * math.log10(value):.1f}dB"
+
+
+class HtmlFileHandler(FileHandler):
+    """Read-only snapshot of the status page served as a file in the
+    mount (status-server.cc:105-135)."""
+
+    def __init__(self, content: bytes):
+        super().__init__("")
+        self._content = content
+        self._time = time.time()
+
+    def read(self, size: int, offset: int) -> bytes:
+        return self._content[offset : offset + size]
+
+    def stat(self) -> FileStat:
+        return FileStat(
+            st_size=len(self._content),
+            st_mode=0o100444,
+            st_mtime=self._time,
+            st_atime=self._time,
+            st_ctime=self._time,
+        )
+
+    def get_handler_status(self) -> HandlerStats:
+        return HandlerStats(filename="folve-status.html")
+
+
+class StatusServer:
+    """Also the handler-cache Observer (retire events feed history)."""
+
+    def __init__(self, fs: FolveFilesystem):
+        self.fs = fs
+        self._retired: Deque[HandlerStats] = collections.deque(maxlen=_RETIRED_MAX)
+        self._retired_lock = threading.Lock()
+        self.meta_refresh = -1  # seconds; -1 = off (-r flag)
+        self.expensive_details = False  # -D flag ties show_details
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._port = 0
+        fs.open_file_cache.set_observer(self)
+
+    # -- Observer ---------------------------------------------------------
+
+    def insert_handler_event(self, handler: FileHandler) -> None:
+        pass
+
+    def retire_handler_event(self, handler: FileHandler) -> None:
+        stats = handler.get_handler_status()
+        stats.status = Status.RETIRED
+        with self._retired_lock:
+            self._retired.appendleft(stats)
+
+    # -- HTTP -------------------------------------------------------------
+
+    def start(self, port: int) -> bool:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def do_GET(self):
+                code, headers, body = server.handle_http(self.path)
+                self.send_response(code)
+                for k, v in headers.items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        try:
+            self._httpd = ThreadingHTTPServer(("", port), Handler)
+        except OSError:
+            return False
+        self._port = self._httpd.server_address[1]
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True,
+                             name="folve-status-http")
+        t.start()
+        return True
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None
+
+    def handle_http(self, path: str) -> tuple[int, dict, bytes]:
+        """Route like HandleHttp (status-server.cc:139-172)."""
+        parsed = urllib.parse.urlparse(path)
+        if parsed.path == "/settings":
+            q = urllib.parse.parse_qs(parsed.query)
+            filt = q.get("f", [""])[0]
+            self.fs.switch_current_config_dir(filt)
+            return 302, {"Location": "/"}, b""
+        page = self.create_page(for_http=True)
+        return 200, {"Content-Type": "text/html; charset=utf-8"}, page
+
+    def create_status_file_handler(self) -> HtmlFileHandler:
+        return HtmlFileHandler(self.create_page(for_http=False))
+
+    # -- page -------------------------------------------------------------
+
+    def create_page(self, for_http: bool = True) -> bytes:
+        t0 = time.time()
+        fs = self.fs
+        parts: List[str] = []
+        parts.append("<!DOCTYPE html><html><head><title>Folve-TPU</title>")
+        if self.meta_refresh > 0 and for_http:
+            parts.append(f'<meta http-equiv="refresh" content="{self.meta_refresh}">')
+        parts.append(
+            "<style>"
+            "body{font-family:sans-serif;margin:1em}"
+            "table{border-collapse:collapse}td,th{padding:2px 8px;"
+            "border-bottom:1px solid #ddd;font-size:13px}"
+            ".pbar{position:relative;width:150px;height:12px;"
+            "background:#eee;border:1px solid #999}"
+            ".pbuf{position:absolute;height:100%;background:#c5e1c5}"
+            ".pacc{position:absolute;height:100%;background:#448844}"
+            ".clip{background:#ff4444;color:white}"
+            ".tabs a{padding:4px 10px;border:1px solid #888;margin-right:4px;"
+            "text-decoration:none;color:black}"
+            ".tabs a.sel{background:#448844;color:white}"
+            "</style></head><body>"
+        )
+        parts.append(
+            f"<h2>Folve-TPU</h2><p>version {__version__} &mdash; "
+            f"convolving <code>{html.escape(fs.underlying_dir)}</code></p>"
+        )
+
+        # Filter selector tabs (status-server.cc:325-366).
+        if for_http:
+            parts.append('<div class="tabs">Active filter: ')
+            current = fs.current_config_subdir
+            for name in sorted(fs.get_available_config_dirs()):
+                label = html.escape(name) if name else "[none : pass through]"
+                qname = urllib.parse.quote(name)
+                sel = ' class="sel"' if name == current else ""
+                parts.append(f'<a href="/settings?f={qname}"{sel}>{label}</a>')
+            parts.append("</div>")
+        else:
+            parts.append(
+                "<p>Read-only view; use the HTTP interface to switch filters.</p>"
+            )
+
+        stats = fs.open_file_cache.get_stats()
+        # Open streams before idle, newest first (status-server.cc:368-374).
+        order = {Status.OPEN: 0, Status.IDLE: 1, Status.RETIRED: 2}
+        stats.sort(key=lambda s: (order.get(s.status, 3), -s.last_access))
+        parts.append(
+            f"<p>{fs.total_file_openings} file openings, "
+            f"{fs.total_file_reopen} re-opens, "
+            f"{len(stats)} active handlers</p>"
+        )
+        parts.append(self._render_table(stats, "Active streams"))
+        with self._retired_lock:
+            retired = list(self._retired)
+        if retired:
+            parts.append(self._render_table(retired, "Recently retired"))
+        parts.append(
+            f"<p style='color:#888'>Page created in "
+            f"{(time.time() - t0) * 1000:.2f}ms</p></body></html>"
+        )
+        return "".join(parts).encode("utf-8")
+
+    def _render_table(self, stats: List[HandlerStats], title: str) -> str:
+        rows = [
+            f"<h3>{title}</h3><table><tr><th>Stat</th><th>Progress</th>"
+            "<th>Pos</th><th>Len</th><th>Max out</th><th>Format</th>"
+            "<th>Gapless</th><th>Filter</th><th>File</th></tr>"
+        ]
+        for s in stats:
+            pos = s.access_progress * s.duration_seconds
+            clip = ' class="clip"' if s.max_output_value > 1.0 else ""
+            gapless = ("&larr;" if s.in_gapless else "") + (
+                "&rarr;" if s.out_gapless else ""
+            )
+            name = html.escape(s.filename)
+            msg = f" <i>{html.escape(s.message)}</i>" if s.message else ""
+            rows.append(
+                f"<tr><td>{html.escape(s.status)}</td>"
+                f"<td>{_progress_bar(s.access_progress, s.buffer_progress)}</td>"
+                f"<td>{_fmt_time(pos)}</td>"
+                f"<td>{_fmt_time(s.duration_seconds)}</td>"
+                f"<td{clip}>{_db(s.max_output_value)}</td>"
+                f"<td>{html.escape(s.format)}</td>"
+                f"<td>{gapless}</td>"
+                f"<td>{html.escape(s.filter_dir)}</td>"
+                f"<td>{name}{msg}</td></tr>"
+            )
+        rows.append("</table>")
+        return "".join(rows)
+
+
+def _fmt_time(seconds: float) -> str:
+    if seconds <= 0:
+        return "-"
+    m, s = divmod(int(seconds), 60)
+    h, m = divmod(m, 60)
+    return f"{h}:{m:02d}:{s:02d}" if h else f"{m}:{s:02d}"

@@ -1,0 +1,223 @@
+"""VFS operations, status server, HTTP frontend, CLI tests."""
+
+import io
+import http.client
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+
+from folve_tpu.audio.flac import read_flac, write_flac
+from folve_tpu.runtime import FolveFilesystem
+from folve_tpu.server.status import StatusServer
+from folve_tpu.server.vfs import STATUS_FILE_NAME, FolveVfs, might_be_passthrough_file
+
+from tests.test_runtime import RATE, echo_ir, expected_conv, make_fs, write_song
+
+
+def make_vfs(tmp_path, **kw):
+    fs, src = make_fs(tmp_path, **kw)
+    status = StatusServer(fs)
+    return FolveVfs(fs, status_server=status), fs, src
+
+
+class TestVfs:
+    def test_readdir_injects_status_file(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        write_song(src, "a.flac", 500)
+        entries = vfs.readdir("/")
+        assert "folve-status.html" in entries
+        assert "a.flac" in entries
+
+    def test_getattr_inflates_audio_but_not_covers(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        write_song(src, "a.flac", 5000)
+        (src / "cover.jpg").write_bytes(b"x" * 1000)
+        audio_st = vfs.getattr("/a.flac")
+        real = os.stat(src / "a.flac").st_size
+        assert audio_st.st_size == int(real * fs.file_oversize_factor)
+        cover_st = vfs.getattr("/cover.jpg")
+        assert cover_st.st_size == 1000
+        # Write bits stripped (folve-main.cc:151).
+        assert not (audio_st.st_mode & 0o222)
+
+    def test_open_read_release_cycle(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        x = write_song(src, "a.flac", 1500)
+        h = vfs.open("/a.flac")
+        out = b""
+        while True:
+            d = vfs.read(h, 65536, len(out))
+            if not d:
+                break
+            out += d
+        vfs.release("/a.flac", h)
+        got, _ = read_flac(out)
+        ref = expected_conv(x, echo_ir())
+        assert np.max(np.abs(got - ref)) < 2.5 / 32768
+
+    def test_open_missing_raises_enoent(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        with pytest.raises(OSError):
+            vfs.open("/nope.flac")
+
+    def test_status_file_read(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        h = vfs.open(STATUS_FILE_NAME)
+        st = vfs.getattr(STATUS_FILE_NAME, h)
+        body = vfs.read(h, st.st_size, 0)
+        assert b"Folve-TPU" in body
+        vfs.release(STATUS_FILE_NAME, h)
+
+    def test_toplevel_filter_mode(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        fs.toplevel_dir_is_filter = True
+        write_song(src, "a.flac", 800)
+        entries = vfs.readdir("/")
+        assert "_" in entries and "echo" in entries
+        # Path translation strips the filter component.
+        st = vfs.getattr("/echo/a.flac")
+        assert st.st_size > 0
+        h = vfs.open("/echo/a.flac")
+        assert h.filter_dir() == "echo"
+        vfs.release("/echo/a.flac", h)
+        h2 = vfs.open("/_/a.flac")
+        from folve_tpu.runtime import PassThroughHandler
+
+        assert isinstance(h2, PassThroughHandler)
+        vfs.release("/_/a.flac", h2)
+
+    def test_passthrough_suffix_check(self):
+        assert might_be_passthrough_file("/x/cover.JPG")
+        assert might_be_passthrough_file("/a.txt")
+        assert not might_be_passthrough_file("/a.flac")
+        assert not might_be_passthrough_file("/noext")
+
+    def test_readdir_logger(self, tmp_path):
+        from folve_tpu.server.vfs import ReaddirLogger
+
+        log_file = tmp_path / "rlog.txt"
+        fs, src = make_fs(tmp_path)
+        vfs = FolveVfs(fs, readdir_logger=ReaddirLogger(str(log_file)))
+        write_song(src, "a.flac", 300)
+        vfs.getattr("/a.flac")
+        vfs.readdir("/")  # DONE flushes the log (folve-main.cc:97)
+        text = log_file.read_text()
+        assert "LIST /" in text
+        assert "ITEM /a.flac" in text
+        assert "DONE /" in text
+        assert "STAT /a.flac" in text
+
+
+class TestStatusServer:
+    def test_page_and_filter_switch(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        other = tmp_path / "filters" / "other"
+        os.makedirs(other)
+        (other / f"filter-{RATE}.conf").write_text(
+            "/convolver/new 2 2 64 128\n/impulse/dirac 1 1 1.0 0\n"
+        )
+        write_song(src, "a.flac", 900)
+        h = vfs.open("/a.flac")
+        code, headers, body = fs_status(vfs).handle_http("/")
+        assert code == 200
+        assert b"a.flac" in body
+        assert b"echo" in body and b"other" in body
+        # Switch filter via the control route.
+        code, headers, _ = fs_status(vfs).handle_http("/settings?f=other")
+        assert code == 302
+        assert fs.current_config_subdir == "other"
+        vfs.release("/a.flac", h)
+
+    def test_retired_history(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        fs.open_file_cache.set_max_size(1)
+        for i in range(3):
+            write_song(src, f"s{i}.flac", 400, seed=i)
+        for i in range(3):
+            h = vfs.open(f"/s{i}.flac")
+            vfs.read(h, 4096, 0)
+            vfs.release(f"/s{i}.flac", h)
+        _, _, body = fs_status(vfs).handle_http("/")
+        assert b"Recently retired" in body
+
+    def test_clipping_marker(self, tmp_path):
+        conf = (
+            "/convolver/new 2 2 64 128\n"
+            "/impulse/dirac 1 1 9.0 0\n/impulse/dirac 2 2 9.0 0\n"
+        )
+        vfs, fs, src = make_vfs(tmp_path, conf_text=conf)
+        write_song(src, "loud.flac", 2000, amp=0.9)
+        h = vfs.open("/loud.flac")
+        out = b""
+        while True:
+            d = vfs.read(h, 65536, len(out))
+            if not d:
+                break
+            out += d
+        stats = h.get_handler_status()
+        assert stats.max_output_value > 1.0
+        assert "clipping" in stats.message.lower()
+        _, _, body = fs_status(vfs).handle_http("/")
+        assert b"clip" in body
+        vfs.release("/loud.flac", h)
+
+
+def fs_status(vfs):
+    return vfs.status_server
+
+
+class TestHttpFrontend:
+    def test_serve_file_over_http(self, tmp_path):
+        from folve_tpu.server.httpfs import start_httpfs_thread
+
+        vfs, fs, src = make_vfs(tmp_path)
+        x = write_song(src, "a.flac", 1200)
+        httpd = start_httpfs_thread(vfs, 0)
+        port = httpd.server_address[1]
+        try:
+            with urllib.request.urlopen(f"http://localhost:{port}/files/a.flac") as r:
+                blob = r.read()
+            got, _ = read_flac(blob)
+            ref = expected_conv(x, echo_ir())
+            assert np.max(np.abs(got - ref)) < 2.5 / 32768
+            with urllib.request.urlopen(f"http://localhost:{port}/ls/") as r:
+                listing = r.read().decode()
+            assert "a.flac" in listing
+            with urllib.request.urlopen(f"http://localhost:{port}/") as r:
+                assert b"Folve-TPU" in r.read()
+        finally:
+            httpd.shutdown()
+
+
+class TestCli:
+    def test_offline_convolve(self, tmp_path, capsys):
+        from folve_tpu.cli import main
+
+        fs, src = make_fs(tmp_path)
+        x = write_song(src, "in.flac", 3000)
+        out = str(tmp_path / "out.flac")
+        rc = main(
+            [
+                "convolve",
+                "-C",
+                str(tmp_path / "filters"),
+                "-i",
+                "echo",
+                str(src / "in.flac"),
+                out,
+            ]
+        )
+        assert rc == 0
+        got, _ = read_flac(out)
+        ref = expected_conv(x, echo_ir())
+        assert np.max(np.abs(got - ref)) < 2.5 / 32768
+
+    def test_make_demo_filters(self, tmp_path):
+        from folve_tpu.cli import main
+
+        rc = main(["make-demo-filters", str(tmp_path / "df")])
+        assert rc == 0
+        assert (tmp_path / "df" / "lowpass" / "filter-44100.conf").exists()
+        assert (tmp_path / "df" / "echo" / "filter-96000.conf").exists()
