@@ -1,0 +1,215 @@
+"""FUSE mount — Python side of the native /dev/fuse transport.
+
+Bridges the kernel-protocol session (native/fuse_transport.cc) to the
+transport-independent VFS operations (folve_tpu.server.vfs.FolveVfs).
+Open handlers are stuffed into the kernel's 64-bit ``fh`` by id — the
+same trick the reference plays with pointers (folve-main.cc:227-229).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import errno
+import stat as statmod
+import threading
+from typing import Dict
+
+from folve_tpu.server.vfs import FolveVfs
+from folve_tpu.utils.native_build import load_native
+
+
+class _FolveAttr(ctypes.Structure):
+    _fields_ = [
+        ("size", ctypes.c_uint64),
+        ("mode", ctypes.c_uint32),
+        ("nlink", ctypes.c_uint32),
+        ("uid", ctypes.c_uint32),
+        ("gid", ctypes.c_uint32),
+        ("mtime", ctypes.c_uint64),
+        ("atime", ctypes.c_uint64),
+        ("ctime", ctypes.c_uint64),
+    ]
+
+
+_GETATTR_T = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(_FolveAttr))
+_READDIR_T = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p)
+_READLINK_T = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32
+)
+_OPEN_T = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64))
+_READ_T = ctypes.CFUNCTYPE(
+    ctypes.c_int64, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint64
+)
+_RELEASE_T = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64)
+
+
+class _FolveFuseOps(ctypes.Structure):
+    _fields_ = [
+        ("getattr", _GETATTR_T),
+        ("readdir", _READDIR_T),
+        ("readlink", _READLINK_T),
+        ("open_", _OPEN_T),
+        ("read_", _READ_T),
+        ("release_", _RELEASE_T),
+    ]
+
+
+class FuseSession:
+    """One mounted (or test-fd-driven) FUSE session."""
+
+    def __init__(self, vfs: FolveVfs):
+        self.vfs = vfs
+        self._lib = load_native()
+        lib = self._lib
+        lib.folve_fuse_session_new.restype = ctypes.c_void_p
+        lib.folve_fuse_session_new.argtypes = [ctypes.c_void_p]
+        lib.folve_fuse_session_mount.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.folve_fuse_session_set_fd.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.folve_fuse_session_loop.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.folve_fuse_session_unmount.argtypes = [ctypes.c_void_p]
+        lib.folve_fuse_session_destroy.argtypes = [ctypes.c_void_p]
+        lib.folve_fuse_add_dirent.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+        ]
+
+        self._handles: Dict[int, object] = {}
+        self._next_fh = 1
+        self._lock = threading.Lock()
+
+        # Keep callback objects alive for the session's lifetime.
+        self._cbs = _FolveFuseOps(
+            getattr=_GETATTR_T(self._cb_getattr),
+            readdir=_READDIR_T(self._cb_readdir),
+            readlink=_READLINK_T(self._cb_readlink),
+            open_=_OPEN_T(self._cb_open),
+            read_=_READ_T(self._cb_read),
+            release_=_RELEASE_T(self._cb_release),
+        )
+        self._session = lib.folve_fuse_session_new(ctypes.byref(self._cbs))
+
+    # -- callbacks (return 0 / -errno) ------------------------------------
+
+    def _cb_getattr(self, path: bytes, out) -> int:
+        try:
+            st = self.vfs.getattr(path.decode())
+        except OSError as e:
+            return -(e.errno or errno.EIO)
+        except Exception:
+            return -errno.EIO
+        a = out.contents
+        a.size = max(0, int(st.st_size))
+        a.mode = st.st_mode
+        a.nlink = st.st_nlink
+        a.uid = st.st_uid
+        a.gid = st.st_gid
+        a.mtime = int(st.st_mtime)
+        a.atime = int(st.st_atime)
+        a.ctime = int(st.st_ctime)
+        return 0
+
+    def _cb_readdir(self, path: bytes, ctx) -> int:
+        try:
+            entries = self.vfs.readdir(path.decode())
+        except OSError as e:
+            return -(e.errno or errno.EIO)
+        except Exception:
+            return -errno.EIO
+        for name in entries:
+            dtype = statmod.S_IFDIR >> 12 if name in (".", "..") else 0
+            self._lib.folve_fuse_add_dirent(ctx, name.encode(), 0, dtype)
+        return 0
+
+    def _cb_readlink(self, path: bytes, buf, bufsize: int) -> int:
+        try:
+            target = self.vfs.readlink(path.decode()).encode()
+        except OSError as e:
+            return -(e.errno or errno.EIO)
+        except Exception:
+            return -errno.EIO
+        n = min(len(target), bufsize - 1)
+        ctypes.memmove(buf, target, n)
+        ctypes.memset(buf + n, 0, 1)
+        return 0
+
+    def _cb_open(self, path: bytes, fh_out) -> int:
+        try:
+            handler = self.vfs.open(path.decode())
+        except OSError as e:
+            return -(e.errno or errno.EIO)
+        except Exception:
+            return -errno.EIO
+        with self._lock:
+            fh = self._next_fh
+            self._next_fh += 1
+            self._handles[fh] = handler
+        fh_out.contents.value = fh
+        return 0
+
+    def _cb_read(self, fh: int, buf, size: int, offset: int) -> int:
+        with self._lock:
+            handler = self._handles.get(fh)
+        if handler is None:
+            return -errno.EBADF
+        try:
+            data = self.vfs.read(handler, size, offset)
+        except OSError as e:
+            return -(e.errno or errno.EIO)
+        except Exception:
+            return -errno.EIO
+        ctypes.memmove(buf, data, len(data))
+        return len(data)
+
+    def _cb_release(self, path: bytes, fh: int) -> int:
+        with self._lock:
+            handler = self._handles.pop(fh, None)
+        if handler is not None:
+            try:
+                self.vfs.release(path.decode(), handler)
+            except Exception:
+                return -errno.EIO
+        return 0
+
+    # -- session control ---------------------------------------------------
+
+    def mount(self, mountpoint: str) -> None:
+        r = self._lib.folve_fuse_session_mount(self._session, mountpoint.encode())
+        if r != 0:
+            raise OSError(-r, f"cannot mount FUSE filesystem: {-r}")
+
+    def set_fd(self, fd: int) -> None:
+        self._lib.folve_fuse_session_set_fd(self._session, fd)
+
+    def loop(self, num_threads: int = 4) -> None:
+        self._lib.folve_fuse_session_loop(self._session, num_threads)
+
+    def unmount(self) -> None:
+        self._lib.folve_fuse_session_unmount(self._session)
+
+    def destroy(self) -> None:
+        if self._session:
+            self._lib.folve_fuse_session_destroy(self._session)
+            self._session = None
+
+
+def mount_and_serve(vfs: FolveVfs, mountpoint: str, foreground: bool = True) -> int:
+    """CLI entry: mount and run the request loop until unmounted.
+    (No daemonize: modern service managers handle that; the reference
+    daemonizes inside fuse_main.)"""
+    session = FuseSession(vfs)
+    try:
+        session.mount(mountpoint)
+    except OSError as e:
+        print(f"FUSE mount failed ({e}); is /dev/fuse available?")
+        return 1
+    print(f"mounted on {mountpoint}")
+    try:
+        session.loop()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        session.unmount()
+        session.destroy()
+    return 0

@@ -17,7 +17,14 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libfolve_native.so")
 _STAMP_PATH = os.path.join(_NATIVE_DIR, ".build_stamp")
-_SOURCES = ["flac_codec.cc", "md5.cc", "flac_bits.h", "md5.h", "Makefile"]
+_SOURCES = [
+    "flac_codec.cc",
+    "md5.cc",
+    "fuse_transport.cc",
+    "flac_bits.h",
+    "md5.h",
+    "Makefile",
+]
 
 _lock = threading.Lock()
 _lib = None
