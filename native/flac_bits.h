@@ -113,20 +113,20 @@ class BitReader {
   bool error_ = false;
 };
 
-// MSB-first bit writer appending to a byte vector.
+// MSB-first bit writer appending to a byte vector.  Uses a 64-bit
+// accumulator so the common case is shift/or plus a bytewise drain —
+// the encoder's hottest loop.
 class BitWriter {
  public:
   explicit BitWriter(std::vector<uint8_t>* out) : out_(out) {}
 
   void WriteBits(uint32_t v, int n) {
-    while (n > 0) {
-      if (bit_ == 0) out_->push_back(0);
-      int avail = 8 - bit_;
-      int take = n < avail ? n : avail;
-      uint8_t chunk = (uint8_t)((v >> (n - take)) & ((1u << take) - 1));
-      out_->back() |= chunk << (avail - take);
-      bit_ = (bit_ + take) & 7;
-      n -= take;
+    if (n == 0) return;
+    acc_ = (acc_ << n) | (uint64_t)(n >= 32 ? v : (v & ((1u << n) - 1)));
+    nbits_ += n;
+    while (nbits_ >= 8) {
+      nbits_ -= 8;
+      out_->push_back((uint8_t)(acc_ >> nbits_));
     }
   }
 
@@ -142,22 +142,23 @@ class BitWriter {
   void WriteSigned(int32_t v, int n) { WriteBits(((uint32_t)v) & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1)), n); }
 
   void WriteUnary(uint32_t q) {
-    while (q >= 32) {
-      WriteBits(0, 32);
-      q -= 32;
+    while (q >= 31) {
+      WriteBits(0, 31);
+      q -= 31;
     }
     WriteBits(1, (int)q + 1);
   }
 
   void AlignToByte() {
-    if (bit_) bit_ = 0;
+    if (nbits_) WriteBits(0, 8 - nbits_);
   }
 
-  bool aligned() const { return bit_ == 0; }
+  bool aligned() const { return nbits_ == 0; }
 
  private:
   std::vector<uint8_t>* out_;
-  int bit_ = 0;
+  uint64_t acc_ = 0;
+  int nbits_ = 0;
 };
 
 }  // namespace folve

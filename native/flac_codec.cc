@@ -455,16 +455,31 @@ class Encoder {
   }
 
   // Encode n interleaved frames; returns encoded bytes (possibly empty —
-  // data is buffered until a full block is available).
+  // data is buffered until a full block is available).  Full blocks are
+  // encoded straight out of the caller's buffer; only a sub-block
+  // remainder is ever copied.
   std::vector<uint8_t> Write(const int32_t* interleaved, uint64_t n) {
     std::vector<uint8_t> out;
     // MD5 runs over little-endian raw samples at bps width (per spec).
     UpdateMd5(interleaved, n);
-    carry_.insert(carry_.end(), interleaved, interleaved + n * channels_);
-    while (carry_.size() >= (size_t)blocksize_ * channels_) {
-      EncodeBlock(carry_.data(), blocksize_, &out);
-      carry_.erase(carry_.begin(), carry_.begin() + (size_t)blocksize_ * channels_);
+    const size_t stride = (size_t)blocksize_ * channels_;
+    size_t pos = 0;  // samples (not frames) consumed from the input
+    if (!carry_.empty()) {
+      size_t need = stride - carry_.size();
+      size_t take = std::min(need, (size_t)n * channels_);
+      carry_.insert(carry_.end(), interleaved, interleaved + take);
+      pos = take;
+      if (carry_.size() == stride) {
+        EncodeBlock(carry_.data(), blocksize_, &out);
+        carry_.clear();
+      }
     }
+    const size_t total = (size_t)n * channels_;
+    while (total - pos >= stride) {
+      EncodeBlock(interleaved + pos, blocksize_, &out);
+      pos += stride;
+    }
+    if (pos < total) carry_.insert(carry_.end(), interleaved + pos, interleaved + total);
     return out;
   }
 
@@ -585,22 +600,18 @@ class Encoder {
     for (uint32_t p = 0; p < parts; p++) {
       uint32_t count = (blocksize >> porder) - (p == 0 ? order : 0);
       uint64_t sum = 0;
+      uint64_t max_folded = 0;
       for (uint32_t i = 0; i < count; i++) {
         int64_t e = res[idx + i];
-        sum += (uint64_t)(e < 0 ? -e : e);
+        uint64_t a = (uint64_t)(e < 0 ? -e : e);
+        sum += a;
+        if (a > max_folded) max_folded = a;
       }
+      max_folded = max_folded << 1;  // |Fold(e)| bound
       uint32_t k = BestRiceParam(sum, count, 14);
       // Escape to raw if values don't fit rice reasonably (very rare).
-      bool escape = false;
-      uint32_t rawbits = 0;
-      for (uint32_t i = 0; i < count; i++) {
-        uint64_t folded = Fold(res[idx + i]);
-        if ((folded >> k) > 1u << 16) {
-          escape = true;
-        }
-        uint32_t need = Bits64(folded) + 1;
-        if (need > rawbits) rawbits = need;
-      }
+      bool escape = (max_folded >> k) > (1u << 16);
+      uint32_t rawbits = Bits64(max_folded) + 1;
       if (escape && rawbits <= 31) {
         bw.WriteBits(15, 4);  // escape code
         bw.WriteBits(rawbits, 5);
@@ -623,12 +634,7 @@ class Encoder {
   }
 
   static inline uint32_t Bits64(uint64_t v) {
-    uint32_t b = 0;
-    while (v) {
-      b++;
-      v >>= 1;
-    }
-    return b;
+    return v ? (uint32_t)(64 - __builtin_clzll(v)) : 0;
   }
 
   // Encode one channel's subframe (FIXED or CONSTANT or VERBATIM).
@@ -646,21 +652,23 @@ class Encoder {
       bw.WriteSigned(x[0], (int)bps);
       return;
     }
-    // Pick best fixed order by sum of |residual|.
+    // Pick best fixed order by sum of |residual|.  Successive orders are
+    // first differences of the previous order's residual, so selection
+    // is one progressive diff chain instead of five fresh passes.
     uint32_t max_order = std::min<uint32_t>(4, n > 4 ? 4 : n - 1);
     uint32_t best_order = 0;
     uint64_t best_sum = UINT64_MAX;
     std::vector<int64_t> res(n);
-    for (uint32_t o = 0; o <= max_order; o++) {
-      FixedResidual(x, n, o, res.data());
-      uint64_t s = SumAbs(res.data(), n - o);
+    for (uint32_t i = 0; i < n; i++) res[i] = x[i];
+    for (uint32_t o = 0;; o++) {
+      uint64_t s = SumAbs(res.data() + o, n - o);
       if (s < best_sum) {
         best_sum = s;
         best_order = o;
       }
+      if (o == max_order) break;
+      for (uint32_t i = n - 1; i > o; i--) res[i] = res[i] - res[i - 1];
     }
-    // Escape hatch: residuals of huge bps could overflow rice badly; use
-    // verbatim if the estimate is terrible.
     FixedResidual(x, n, best_order, res.data());
     bw.WriteBits(8 + best_order, 6);  // FIXED order
     bw.WriteBits(0, 1);               // no wasted bits
