@@ -45,7 +45,14 @@ class FolveFilesystem:
         self.initial_filter_config = ""
 
         self.open_file_cache = FileHandlerCache(max_size=4)
-        self.processor_pool = ProcessorPool(max_available_per_config=3)
+        # Fused batched device stepping across concurrent streams
+        # (BASELINE config 5); set to None for per-stream device calls.
+        from folve_tpu.runtime.scheduler import DeviceScheduler
+
+        self.device_scheduler = DeviceScheduler()
+        self.processor_pool = ProcessorPool(
+            max_available_per_config=3, scheduler=self.device_scheduler
+        )
         self._buffer_thread: Optional[BufferThread] = None
         self._buffer_thread_lock = threading.Lock()
         self._counter_lock = threading.Lock()

@@ -24,8 +24,9 @@ from folve_tpu.runtime.processor import SoundProcessor
 
 
 class ProcessorPool:
-    def __init__(self, max_available_per_config: int = 3):
+    def __init__(self, max_available_per_config: int = 3, scheduler=None):
         self._max_per_config = max_available_per_config
+        self.scheduler = scheduler  # handed to new SoundProcessors
         self._lock = threading.Lock()
         self._pool: Dict[str, List[SoundProcessor]] = {}
         # (path, mtime, fsamp) -> CompiledFilter; shared device spectra.
@@ -74,7 +75,7 @@ class ProcessorPool:
                 # Drop stale cached banks for the same path.
                 for k in [k for k in self._bank_cache if k[0] == config_path and k != key]:
                     del self._bank_cache[k]
-        return SoundProcessor(compiled, config_path)
+        return SoundProcessor(compiled, config_path, scheduler=self.scheduler)
 
     def return_processor(self, processor: Optional[SoundProcessor]) -> None:
         """Give a processor back (processor-pool.cc:93-117)."""

@@ -35,11 +35,14 @@ def _mtime(path: str) -> float:
 
 
 class SoundProcessor:
-    def __init__(self, compiled: CompiledFilter, config_file: str):
+    def __init__(self, compiled: CompiledFilter, config_file: str, scheduler=None):
         self._compiled = compiled
         self.config_file = config_file
         self.config_file_timestamp = _mtime(config_file)
         self.bank = compiled.bank
+        # Optional DeviceScheduler: routes block work into fused batched
+        # device steps shared with other concurrently-pumping streams.
+        self.scheduler = scheduler
         self._state = init_state(self.bank)
         b = self.bank.fragm
         self._in_buf = np.zeros((b, self.bank.ninp), dtype=np.float32)
@@ -131,9 +134,15 @@ class SoundProcessor:
         if self._input_pos < self.fragm:
             self._in_buf[self._input_pos :] = 0.0
         x = self._in_buf.T[None]  # [1, Cin, fragm]
-        self._state, y = _jitted_chunk(
-            self.bank, self._state, x, np.int32(self._input_pos)
-        )
+        if self.scheduler is not None:
+            fut = self.scheduler.submit(
+                self.bank, self._state, x, int(self._input_pos)
+            )
+            self._state, y = fut.result()
+        else:
+            self._state, y = _jitted_chunk(
+                self.bank, self._state, x, np.int32(self._input_pos)
+            )
         self._out_buf = np.asarray(y[0]).T  # [fragm, Cout]
         self._output_pos = 0
 

@@ -1,0 +1,151 @@
+"""DeviceScheduler — fuse many streams' block work into one device step.
+
+The reference's multi-stream story is "one FUSE thread per open file,
+each running its own Convproc" (README.md:362-364).  The TPU-native
+equivalent is a single device stepper that coalesces the block jobs of
+all concurrently-pumping streams (FUSE reader threads, the prefetch
+thread) into one batched ``vmap``-ed convolution step — BASELINE
+config 5: "N concurrently open files convolved in one fused device
+step".
+
+Jobs are bucketed by filter-bank *shape* (partitions, channels, bins,
+fragm) — streams with different filters batch together as long as the
+shapes agree, since the batched step carries per-stream spectra.  Batch
+sizes are padded to power-of-two buckets to bound XLA compilations.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from folve_tpu.engine.filter_bank import FilterBank
+from folve_tpu.engine.stream import StreamState, chunk_step
+
+_batched_step = jax.jit(jax.vmap(chunk_step, in_axes=(0, 0, 0, 0)))
+# Shared-filter fast path: one FilterBank broadcast across the batch —
+# avoids stacking S copies of the spectra when all jobs use one filter.
+_shared_step = jax.jit(jax.vmap(chunk_step, in_axes=(None, 0, 0, 0)))
+
+
+def _signature(bank: FilterBank) -> Tuple:
+    return tuple(bank.h_spec.shape) + (bank.fragm,)
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class _Job:
+    __slots__ = ("bank", "state", "x", "n_valid", "future")
+
+    def __init__(self, bank, state, x, n_valid):
+        self.bank = bank
+        self.state = state
+        self.x = x
+        self.n_valid = n_valid
+        self.future: Future = Future()
+
+
+class DeviceScheduler:
+    def __init__(self, max_batch: int = 16, window_s: float = 0.002):
+        self._max_batch = max_batch
+        self._window_s = window_s
+        self._mutex = threading.Lock()
+        self._cv = threading.Condition(self._mutex)
+        self._queues: Dict[Tuple, List[_Job]] = {}
+        self._thread: threading.Thread | None = None
+        self._stop = False
+        # Observability (status page / tests).
+        self.steps = 0
+        self.jobs = 0
+        self.batched_jobs = 0
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, name="folve-device-scheduler", daemon=True
+            )
+            self._thread.start()
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        if self._thread:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def submit(
+        self, bank: FilterBank, state: StreamState, x, n_valid
+    ) -> Future:
+        """Queue one stream's chunk; resolves to (new_state, y)."""
+        job = _Job(bank, state, x, n_valid)
+        sig = _signature(bank) + (np.asarray(x).shape[0],)
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("scheduler stopped")
+            self._queues.setdefault(sig, []).append(job)
+            self.jobs += 1
+            self._cv.notify()
+        self.start()
+        return job.future
+
+    # -- scheduler thread --------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._stop and not any(self._queues.values()):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                # Small coalescing window: let concurrent pumps catch up.
+                self._cv.wait(timeout=self._window_s)
+                sig, jobs = max(
+                    ((s, q) for s, q in self._queues.items() if q),
+                    key=lambda kv: len(kv[1]),
+                )
+                take = jobs[: self._max_batch]
+                self._queues[sig] = jobs[len(take) :]
+            try:
+                self._execute(take)
+            except Exception as e:  # resolve futures with the error
+                for job in take:
+                    if not job.future.done():
+                        job.future.set_exception(e)
+
+    def _execute(self, jobs: List[_Job]) -> None:
+        n = len(jobs)
+        padded = _bucket(n, self._max_batch)
+        # Pad with replicas of job 0 so only power-of-two batch shapes
+        # ever compile.
+        all_jobs = jobs + [jobs[0]] * (padded - n)
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[j.state for j in all_jobs]
+        )
+        x = jnp.stack([jnp.asarray(j.x) for j in all_jobs])
+        n_valid = jnp.asarray([int(j.n_valid) for j in all_jobs], dtype=jnp.int32)
+        shared = all(j.bank.h_spec is jobs[0].bank.h_spec for j in all_jobs)
+        if shared:
+            new_states, y = _shared_step(jobs[0].bank, states, x, n_valid)
+        else:
+            h_spec = jnp.stack([j.bank.h_spec for j in all_jobs])
+            bank = FilterBank(
+                h_spec=h_spec, fragm=jobs[0].bank.fragm, size=jobs[0].bank.size
+            )
+            new_states, y = _batched_step(bank, states, x, n_valid)
+        self.steps += 1
+        if n > 1:
+            self.batched_jobs += n
+        for idx, job in enumerate(jobs):
+            state_i = jax.tree_util.tree_map(lambda a: a[idx], new_states)
+            job.future.set_result((state_i, y[idx]))

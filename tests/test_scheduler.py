@@ -1,0 +1,89 @@
+"""DeviceScheduler tests: fused batched stepping across streams."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from folve_tpu.engine import chunk_step, compile_filter_bank, init_state
+from folve_tpu.runtime.scheduler import DeviceScheduler
+
+from tests.test_runtime import echo_ir, expected_conv, make_fs, read_all, write_song
+
+
+def test_batched_results_match_single(rng):
+    size, fragm, streams = 512, 128, 8
+    banks, xs = [], []
+    for i in range(streams):
+        ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+        banks.append(compile_filter_bank(ir, fragm=fragm, size=size))
+        xs.append(rng.standard_normal((1, 2, fragm)).astype(np.float32))
+
+    sched = DeviceScheduler(max_batch=8, window_s=0.05)
+    sched.start()
+    futures = []
+    barrier = threading.Barrier(streams)
+
+    def submit(i):
+        barrier.wait()
+        futures.append((i, sched.submit(banks[i], init_state(banks[i]), xs[i], fragm)))
+
+    threads = [threading.Thread(target=submit, args=(i,)) for i in range(streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, fut in futures:
+        state, y = fut.result(timeout=60)
+        ref_state, ref_y = chunk_step(banks[i], init_state(banks[i]), xs[i], fragm)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(state.tail), np.asarray(ref_state.tail), atol=1e-5
+        )
+    assert sched.jobs == streams
+    assert sched.batched_jobs > 0, "concurrent submits should have batched"
+    assert sched.steps < streams, "batched execution should use fewer steps"
+    sched.stop()
+
+
+def test_shared_filter_fast_path(rng):
+    size, fragm = 256, 64
+    ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+    bank = compile_filter_bank(ir, fragm=fragm, size=size)
+    sched = DeviceScheduler(max_batch=4, window_s=0.05)
+    sched.start()
+    barrier = threading.Barrier(4)
+    results = {}
+
+    def go(i):
+        x = np.full((1, 2, fragm), 0.01 * (i + 1), np.float32)
+        barrier.wait()
+        fut = sched.submit(bank, init_state(bank), x, fragm)
+        results[i] = (x, fut.result(timeout=60))
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (x, (state, y)) in results.items():
+        _, ref = chunk_step(bank, init_state(bank), x, fragm)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+    sched.stop()
+
+
+def test_runtime_uses_scheduler(tmp_path):
+    """End-to-end through the filesystem: outputs identical with the
+    scheduler active (it is on by default)."""
+    fs, src = make_fs(tmp_path)
+    assert fs.device_scheduler is not None
+    x = write_song(src, "song.flac", 3 * 512 + 77)
+    h = fs.get_or_create_handler("/song.flac")
+    blob = read_all(h)
+    from folve_tpu.audio.flac import read_flac
+
+    got, _ = read_flac(blob)
+    ref = expected_conv(x, echo_ir())
+    assert np.max(np.abs(got - ref)) < 2.5 / 32768
+    assert fs.device_scheduler.jobs > 0
+    fs.close_handler("/song.flac", h)
