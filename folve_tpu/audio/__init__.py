@@ -42,6 +42,10 @@ def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
         from folve_tpu.audio.flac import read_flac
 
         return read_flac(path)
+    if container == Container.AIFF:
+        from folve_tpu.audio.aiff import read_aiff
+
+        return read_aiff(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 
@@ -53,6 +57,10 @@ def read_audio_info(path: str) -> AudioInfo:
         from folve_tpu.audio.flac import read_flac_info
 
         return read_flac_info(path)
+    if container == Container.AIFF:
+        from folve_tpu.audio.aiff import read_aiff_info
+
+        return read_aiff_info(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 

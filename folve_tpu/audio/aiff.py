@@ -1,0 +1,243 @@
+"""AIFF / AIFF-C codec (numpy, no external libraries).
+
+Covers the reference's libsndfile AIFF read path (zita-audiofile.cc /
+convolve-file-handler probing): big-endian PCM 8/16/24/32, plus AIFC
+float32 ('fl32'/'FL32') and little-endian ('sowt') variants.  The
+80-bit extended-float sample rate of the COMM chunk is decoded exactly.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import BinaryIO, Union
+
+import numpy as np
+
+from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
+
+
+class AiffError(ValueError):
+    pass
+
+
+def _open(src: Union[str, bytes, BinaryIO]) -> BinaryIO:
+    if isinstance(src, str):
+        return open(src, "rb")
+    if isinstance(src, (bytes, bytearray)):
+        return io.BytesIO(src)
+    return src
+
+
+def _decode_extended(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the COMM sample rate field)."""
+    if len(b) != 10:
+        raise AiffError("bad extended float")
+    sign_exp = struct.unpack(">H", b[:2])[0]
+    mantissa = struct.unpack(">Q", b[2:])[0]
+    sign = -1.0 if sign_exp & 0x8000 else 1.0
+    exp = sign_exp & 0x7FFF
+    if exp == 0 and mantissa == 0:
+        return 0.0
+    return sign * mantissa * 2.0 ** (exp - 16383 - 63)
+
+
+def _parse(f: BinaryIO):
+    form = f.read(12)
+    if len(form) < 12 or form[:4] != b"FORM" or form[8:12] not in (b"AIFF", b"AIFC"):
+        raise AiffError("not an AIFF file")
+    is_aifc = form[8:12] == b"AIFC"
+    channels = rate = bits = frames = None
+    compression = b"NONE"
+    sound_offset = sound_size = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, size = hdr[:4], struct.unpack(">I", hdr[4:])[0]
+        if cid == b"COMM":
+            body = f.read(size)
+            channels, nframes, bits = struct.unpack(">HIH", body[:8])
+            rate = int(round(_decode_extended(body[8:18])))
+            frames = nframes
+            if is_aifc and len(body) >= 22:
+                compression = body[18:22]
+        elif cid == b"SSND":
+            off, _block = struct.unpack(">II", f.read(8))
+            sound_offset = f.tell() + off
+            sound_size = size - 8 - off
+            f.seek(size - 8 + (size & 1), io.SEEK_CUR)
+            continue
+        else:
+            f.seek(size + (size & 1), io.SEEK_CUR)
+            continue
+        if size & 1:
+            f.seek(1, io.SEEK_CUR)
+    if channels is None or sound_offset is None:
+        raise AiffError("missing COMM or SSND chunk")
+    comp = compression.lower()
+    if comp in (b"none", b"sowt"):
+        codec = {8: SampleCodec.PCM_S8, 16: SampleCodec.PCM_16,
+                 24: SampleCodec.PCM_24, 32: SampleCodec.PCM_32}.get(bits)
+    elif comp == b"fl32":
+        codec = SampleCodec.FLOAT
+    else:
+        raise AiffError(f"unsupported AIFC compression {compression!r}")
+    if codec is None:
+        raise AiffError(f"unsupported AIFF bit depth {bits}")
+    info = AudioInfo(
+        rate=rate,
+        channels=channels,
+        frames=frames,
+        container=Container.AIFF,
+        codec=codec,
+        bits_per_sample=bits,
+    )
+    return info, sound_offset, sound_size, comp
+
+
+def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
+    f = _open(src)
+    info, offset, size, comp = _parse(f)
+    f.seek(offset)
+    raw = f.read(size)
+    ch = info.channels
+    little = comp == b"sowt"
+    c = info.codec
+    if c == SampleCodec.PCM_16:
+        x = np.frombuffer(raw, dtype="<i2" if little else ">i2").astype(np.float32) / 32768.0
+    elif c == SampleCodec.PCM_S8:
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    elif c == SampleCodec.PCM_24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        if little:
+            val = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+        else:
+            val = (
+                (b[:, 0].astype(np.int32) << 16)
+                | (b[:, 1].astype(np.int32) << 8)
+                | b[:, 2].astype(np.int32)
+            )
+        val = (val << 8) >> 8
+        x = val.astype(np.float32) / 8388608.0
+    elif c == SampleCodec.PCM_32:
+        x = np.frombuffer(raw, dtype="<i4" if little else ">i4").astype(np.float32) / 2147483648.0
+    elif c == SampleCodec.FLOAT:
+        x = np.frombuffer(raw, dtype="<f4" if little else ">f4").astype(np.float32)
+    else:
+        raise AiffError(f"cannot decode {c}")
+    n = (len(x) // ch) * ch
+    return x[:n].reshape(-1, ch), info
+
+
+def read_aiff_info(src) -> AudioInfo:
+    info, _, _, _ = _parse(_open(src))
+    return info
+
+
+class AiffStreamEncoder:
+    """Streaming AIFF encoder with the FlacEncoder interface (header /
+    write_float / finish).  AIFF is uncompressed and the convolved
+    output has exactly the input's frame count (sound-processor.cc
+    writes what it reads), so the header can be emitted up front with
+    the final sizes — no patching needed."""
+
+    def __init__(self, rate: int, channels: int, bits: int, total_frames: int):
+        if bits not in (16, 24, 32):
+            raise AiffError(f"unsupported AIFF stream depth {bits}")
+        self.rate = rate
+        self.channels = channels
+        self.bits = bits
+        self.total_frames = total_frames
+        self.blocksize = 0  # no framing
+        self._scale = float(1 << (bits - 1))
+        self._limit = (1 << (bits - 1)) - 1
+
+    def header(self, metadata=None) -> bytes:
+        del metadata  # AIFF string chunks not emitted (yet)
+        mant, exp = self.rate, 16383 + 63
+        while mant < (1 << 63):
+            mant <<= 1
+            exp -= 1
+        ext = struct.pack(">HQ", exp, mant)
+        comm = struct.pack(">HIH", self.channels, self.total_frames, self.bits) + ext
+        payload_len = self.total_frames * self.channels * self.bits // 8
+        ssnd_len = 8 + payload_len
+        body_len = 4 + 8 + len(comm) + 8 + ssnd_len
+        out = b"FORM" + struct.pack(">I", body_len) + b"AIFF"
+        out += b"COMM" + struct.pack(">I", len(comm)) + comm
+        out += b"SSND" + struct.pack(">I", ssnd_len) + struct.pack(">II", 0, 0)
+        return out
+
+    def write_float(self, samples: np.ndarray) -> bytes:
+        v = np.clip(
+            np.round(np.asarray(samples, dtype=np.float64) * self._scale),
+            -self._scale,
+            self._limit,
+        ).astype(np.int64)
+        if self.bits == 16:
+            return v.astype(">i2").tobytes()
+        if self.bits == 32:
+            return v.astype(">i4").tobytes()
+        flat = v.reshape(-1)
+        out = np.empty((flat.size, 3), dtype=np.uint8)
+        out[:, 0] = (flat >> 16) & 0xFF
+        out[:, 1] = (flat >> 8) & 0xFF
+        out[:, 2] = flat & 0xFF
+        return out.tobytes()
+
+    def write_int(self, samples: np.ndarray) -> bytes:
+        return self.write_float(np.asarray(samples, np.float64) / self._scale)
+
+    def finish(self) -> bytes:
+        return b""
+
+    def streaminfo(self, with_md5: bool = True) -> bytes:
+        return b""
+
+    def close(self) -> None:
+        pass
+
+
+def write_aiff(dst, data: np.ndarray, rate: int, bits: int = 16) -> None:
+    """Encode float32 [frames, ch] as big-endian PCM AIFF."""
+    if data.ndim == 1:
+        data = data[:, None]
+    frames, ch = data.shape
+    if bits == 16:
+        payload = np.clip(np.round(data * 32768.0), -32768, 32767).astype(">i2").tobytes()
+    elif bits == 24:
+        v = np.clip(np.round(data * 8388608.0), -8388608, 8388607).astype(np.int32).reshape(-1)
+        out = np.empty((v.size, 3), dtype=np.uint8)
+        out[:, 0] = (v >> 16) & 0xFF
+        out[:, 1] = (v >> 8) & 0xFF
+        out[:, 2] = v & 0xFF
+        payload = out.tobytes()
+    elif bits == 32:
+        payload = np.clip(
+            np.round(data * 2147483648.0), -2147483648, 2147483647
+        ).astype(">i4").tobytes()
+    else:
+        raise AiffError(f"unsupported AIFF write depth {bits}")
+    # 80-bit extended sample rate.
+    mant = rate
+    exp = 16383 + 63
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    ext = struct.pack(">HQ", exp, mant)
+    comm = struct.pack(">HIH", ch, frames, bits) + ext
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = b"AIFF"
+    body += b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\0" if len(ssnd) & 1 else b"")
+    blob = b"FORM" + struct.pack(">I", len(body)) + body
+    if isinstance(dst, str):
+        with open(dst, "wb") as f:
+            f.write(blob)
+    else:
+        dst.write(blob)

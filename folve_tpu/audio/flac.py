@@ -157,9 +157,29 @@ class FlacEncoder:
         self._scale = float(1 << (bits - 1))
         self._limit = (1 << (bits - 1)) - 1
 
-    def header(self) -> bytes:
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        """fLaC magic + STREAMINFO (+ VORBIS_COMMENT tags + padding).
+
+        ``metadata``: optional {FIELD: value} carried over from the
+        source file (the reference's sf string copy,
+        convolve-file-handler.cc:484-495)."""
         n = self._lib.folve_flac_enc_header(self._handle)
-        return _fetch(self._lib, n)
+        raw = _fetch(self._lib, n)
+        if not metadata:
+            return raw
+        # raw = magic(4) + streaminfo block(4+34) + padding block(last).
+        streaminfo = bytearray(raw[4:42])
+        streaminfo[0] &= 0x7F  # clear last-block in case
+        padding = bytearray(raw[42:])
+        vendor = b"folve-tpu"
+        comments = bytearray()
+        comments += len(vendor).to_bytes(4, "little") + vendor
+        items = [f"{k}={v}".encode("utf-8") for k, v in metadata.items()]
+        comments += len(items).to_bytes(4, "little")
+        for item in items:
+            comments += len(item).to_bytes(4, "little") + item
+        vc_block = bytes([0x04]) + len(comments).to_bytes(3, "big") + bytes(comments)
+        return b"fLaC" + bytes(streaminfo) + vc_block + bytes(padding)
 
     def write_int(self, samples: np.ndarray) -> bytes:
         x = np.ascontiguousarray(samples, dtype=np.int32)
@@ -216,6 +236,45 @@ def read_flac(src) -> tuple[np.ndarray, AudioInfo]:
     info = dec.info
     info.frames = data.shape[0]
     return data, info
+
+
+def read_flac_metadata(src) -> dict:
+    """VORBIS_COMMENT fields of a FLAC stream (host-side block parse)."""
+    if isinstance(src, str):
+        with open(src, "rb") as f:
+            data = f.read()
+    else:
+        data = bytes(src)
+    out = {}
+    if data[:4] != b"fLaC":
+        return out
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos : pos + 4]
+        last = hdr[0] & 0x80
+        btype = hdr[0] & 0x7F
+        blen = int.from_bytes(hdr[1:4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if btype == 4 and len(body) >= 8:  # VORBIS_COMMENT
+            p = 0
+            vlen = int.from_bytes(body[p : p + 4], "little")
+            p += 4 + vlen
+            count = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            for _ in range(count):
+                if p + 4 > len(body):
+                    break
+                ln = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                item = body[p : p + ln].decode("utf-8", errors="replace")
+                p += ln
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    out[k.upper()] = v
+        pos += 4 + blen
+        if last:
+            break
+    return out
 
 
 def read_flac_info(src) -> AudioInfo:

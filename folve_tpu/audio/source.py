@@ -55,6 +55,24 @@ class WavSource:
             pass
 
 
+class ArraySource:
+    """Source over a fully-decoded array (AIFF and other small formats)."""
+
+    def __init__(self, path: str):
+        from folve_tpu.audio import read_audio
+
+        self._data, self.info = read_audio(path)
+        self._pos = 0
+
+    def read_float(self, nframes: int) -> np.ndarray:
+        take = self._data[self._pos : self._pos + nframes]
+        self._pos += take.shape[0]
+        return take
+
+    def close(self) -> None:
+        self._data = None
+
+
 class FlacSource:
     """Streaming FLAC decode source."""
 
@@ -81,6 +99,8 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.FLAC:
             with open(path, "rb") as f:
                 return FlacSource(f.read())
+        if container == Container.AIFF:
+            return ArraySource(path)
     except Exception:
         return None
     return None

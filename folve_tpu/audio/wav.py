@@ -126,6 +126,53 @@ def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
     return x[:n].reshape(-1, ch)
 
 
+# RIFF LIST/INFO tag ids -> vorbis-comment-ish field names (the
+# reference copies these via sf_get_string/sf_set_string,
+# convolve-file-handler.cc:484-495).
+_INFO_TAGS = {
+    b"INAM": "TITLE",
+    b"IART": "ARTIST",
+    b"IPRD": "ALBUM",
+    b"ICRD": "DATE",
+    b"ICMT": "COMMENT",
+    b"IGNR": "GENRE",
+    b"ITRK": "TRACKNUMBER",
+    b"ICOP": "COPYRIGHT",
+    b"ISFT": "SOFTWARE",
+}
+
+
+def read_wav_metadata(src) -> dict:
+    """String tags from the LIST/INFO chunk, keyed by vorbis-style names."""
+    f = _open(src)
+    out = {}
+    riff = f.read(12)
+    if len(riff) < 12 or riff[:4] != b"RIFF":
+        return out
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+        if cid == b"LIST":
+            body = f.read(size)
+            if body[:4] == b"INFO":
+                pos = 4
+                while pos + 8 <= len(body):
+                    tag = body[pos : pos + 4]
+                    tlen = struct.unpack("<I", body[pos + 4 : pos + 8])[0]
+                    val = body[pos + 8 : pos + 8 + tlen].split(b"\0")[0]
+                    name = _INFO_TAGS.get(tag)
+                    if name and val:
+                        out[name] = val.decode("utf-8", errors="replace")
+                    pos += 8 + tlen + (tlen & 1)
+        else:
+            f.seek(size, io.SEEK_CUR)
+        if size & 1:
+            f.seek(1, io.SEEK_CUR)
+    return out
+
+
 def read_wav(src) -> tuple[np.ndarray, AudioInfo]:
     """Decode a whole WAV file -> (float32 [frames, channels], AudioInfo)."""
     f = _open(src)
@@ -162,8 +209,10 @@ def write_wav(
     data: np.ndarray,
     rate: int,
     codec: SampleCodec = SampleCodec.FLOAT,
+    metadata: Union[dict, None] = None,
 ) -> None:
-    """Encode float32 [frames, channels] to a WAV file."""
+    """Encode float32 [frames, channels] to a WAV file; ``metadata`` maps
+    vorbis-style field names (TITLE, ARTIST, ...) to a LIST/INFO chunk."""
     if data.ndim == 1:
         data = data[:, None]
     channels = data.shape[1]
@@ -176,6 +225,18 @@ def write_wav(
         "<HHIIHH", tag, channels, rate, rate * block_align, block_align, bits
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if metadata:
+        rev = {v: k for k, v in _INFO_TAGS.items()}
+        info = b"INFO"
+        for name, value in metadata.items():
+            tag4 = rev.get(name.upper())
+            if tag4 is None:
+                continue
+            val = value.encode("utf-8") + b"\0"
+            if len(val) & 1:
+                val += b"\0"
+            info += tag4 + struct.pack("<I", len(val)) + val
+        body += b"LIST" + struct.pack("<I", len(info)) + info
     body += b"data" + struct.pack("<I", len(payload)) + payload
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     if isinstance(dst, str):

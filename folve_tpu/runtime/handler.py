@@ -229,12 +229,17 @@ class ConvolveFileHandler(FileHandler):
 
         # Output format policy (convolve-file-handler.cc:237-251):
         # wav -> FLAC/24, ogg -> FLAC/16, flac stays flac at source depth
-        # (capped at 24, our encoder's ceiling).
+        # (capped at 24, our encoder's ceiling), aiff stays aiff
+        # ("else: original format").
         in_container = self._in_info.container
         if in_container == Container.WAV:
             out_bits = 24
         elif in_container == Container.OGG:
             out_bits = 16
+        elif in_container == Container.AIFF:
+            out_bits = self._in_info.bits_per_sample
+            if out_bits not in (16, 24, 32):
+                out_bits = 24
         else:
             out_bits = min(self._in_info.bits_per_sample, 24)
             if out_bits not in (8, 16, 24):
@@ -245,13 +250,23 @@ class ConvolveFileHandler(FileHandler):
         )
 
         self._buffer = ConversionBuffer(self)
-        self._encoder = FlacEncoder(
-            rate=self._in_info.rate,
-            channels=processor.output_channels,
-            bits=out_bits,
-            blocksize=fs.flac_block_size,
-            total_frames_hint=self._in_info.frames,
-        )
+        if in_container == Container.AIFF:
+            from folve_tpu.audio.aiff import AiffStreamEncoder
+
+            self._encoder = AiffStreamEncoder(
+                rate=self._in_info.rate,
+                channels=processor.output_channels,
+                bits=out_bits,
+                total_frames=self._in_info.frames,
+            )
+        else:
+            self._encoder = FlacEncoder(
+                rate=self._in_info.rate,
+                channels=processor.output_channels,
+                bits=out_bits,
+                blocksize=fs.flac_block_size,
+                total_frames_hint=self._in_info.frames,
+            )
         self._setup_header()
 
     # ---------------------------------------------------------------- header
@@ -263,7 +278,17 @@ class ConvolveFileHandler(FileHandler):
             self._copy_flac_header()
             self._patch_streaminfo()
         else:
-            self._buffer.append(self._encoder.header())
+            metadata = None
+            if self._in_info.container == Container.WAV:
+                # Carry string tags over (GenerateHeaderFromInputFile,
+                # convolve-file-handler.cc:484-495).
+                from folve_tpu.audio.wav import read_wav_metadata
+
+                try:
+                    metadata = read_wav_metadata(self._underlying_file) or None
+                except Exception:
+                    metadata = None
+            self._buffer.append(self._encoder.header(metadata))
         self._buffer.header_finished()
 
     def _copy_flac_header(self) -> None:

@@ -1,0 +1,65 @@
+"""AIFF codec + runtime integration tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from folve_tpu.audio.aiff import (
+    AiffError,
+    AiffStreamEncoder,
+    read_aiff,
+    read_aiff_info,
+    write_aiff,
+)
+
+from tests.test_runtime import echo_ir, expected_conv, make_fs, read_all
+
+
+@pytest.mark.parametrize("bits,atol", [(16, 1 / 32768), (24, 1 / 8388608), (32, 1e-7)])
+def test_roundtrip(rng, bits, atol):
+    x = rng.uniform(-0.8, 0.8, (1000, 2)).astype(np.float32)
+    buf = io.BytesIO()
+    write_aiff(buf, x, 44100, bits)
+    data, info = read_aiff(buf.getvalue())
+    assert info.rate == 44100 and info.channels == 2 and info.frames == 1000
+    assert info.bits_per_sample == bits
+    np.testing.assert_allclose(data, x, atol=atol)
+
+
+def test_extended_float_rates(rng):
+    for rate in (8000, 22050, 44100, 48000, 96000, 192000):
+        buf = io.BytesIO()
+        write_aiff(buf, np.zeros((10, 1), np.float32), rate, 16)
+        assert read_aiff_info(buf.getvalue()).rate == rate
+
+
+def test_rejects_garbage():
+    with pytest.raises(AiffError):
+        read_aiff(b"FORMxxxxWAVE....")
+
+
+def test_stream_encoder_matches_offline(rng):
+    x = rng.uniform(-0.5, 0.5, (500, 2)).astype(np.float32)
+    x = np.round(x * 32768) / 32768
+    enc = AiffStreamEncoder(44100, 2, 16, 500)
+    blob = enc.header() + enc.write_float(x[:123]) + enc.write_float(x[123:]) + enc.finish()
+    data, info = read_aiff(blob)
+    assert info.frames == 500
+    np.testing.assert_allclose(data, x, atol=1e-7)
+
+
+def test_aiff_through_filesystem(tmp_path, rng):
+    """AIFF in -> convolved AIFF out (reference keeps original format)."""
+    fs, src = make_fs(tmp_path)
+    x = rng.uniform(-0.4, 0.4, (2000, 2)).astype(np.float32)
+    x = np.round(x * 32768) / 32768
+    write_aiff(str(src / "song.aiff"), x, 44100, 16)
+    h = fs.get_or_create_handler("/song.aiff")
+    blob = read_all(h)
+    assert blob[:4] == b"FORM"
+    got, info = read_aiff(blob)
+    assert got.shape[0] == 2000
+    ref = expected_conv(x, echo_ir())
+    assert np.max(np.abs(got - ref)) < 2.5 / 32768
+    fs.close_handler("/song.aiff", h)

@@ -221,3 +221,62 @@ class TestCli:
         assert rc == 0
         assert (tmp_path / "df" / "lowpass" / "filter-44100.conf").exists()
         assert (tmp_path / "df" / "echo" / "filter-96000.conf").exists()
+
+
+class TestMetadataCarryover:
+    def test_wav_tags_become_vorbis_comments(self, tmp_path):
+        """GenerateHeaderFromInputFile tag copy
+        (convolve-file-handler.cc:484-495)."""
+        import numpy as np
+
+        from folve_tpu.audio.flac import read_flac_metadata
+        from folve_tpu.audio.types import SampleCodec
+        from folve_tpu.audio.wav import read_wav_metadata, write_wav
+
+        fs, src = make_fs(tmp_path)
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-0.3, 0.3, (800, 2)).astype(np.float32)
+        meta = {"TITLE": "Test Song", "ARTIST": "Unit Test", "ALBUM": "Fixtures"}
+        write_wav(str(src / "t.wav"), x, RATE, SampleCodec.PCM_16, metadata=meta)
+        assert read_wav_metadata(str(src / "t.wav")) == meta
+        h = fs.get_or_create_handler("/t.wav")
+        blob = b""
+        while True:
+            d = h.read(65536, len(blob))
+            if not d:
+                break
+            blob += d
+        got = read_flac_metadata(blob)
+        assert got["TITLE"] == "Test Song"
+        assert got["ARTIST"] == "Unit Test"
+        # And the audio still decodes.
+        from folve_tpu.audio.flac import read_flac
+
+        data, info = read_flac(blob)
+        assert data.shape[0] == 800
+        fs.close_handler("/t.wav", h)
+
+    def test_verbatim_flac_keeps_vorbis_comments(self, tmp_path):
+        """Verbatim header copy preserves existing tags
+        (CopyFlacHeader, convolve-file-handler.cc:438-482)."""
+        from folve_tpu.audio.flac import FlacEncoder, read_flac_metadata
+
+        fs, src = make_fs(tmp_path)
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        x = np.round(rng.uniform(-0.4, 0.4, (900, 2)) * 32768).astype(np.int32)
+        enc = FlacEncoder(RATE, 2, 16, 4096, total_frames_hint=900)
+        blob = bytearray(enc.header({"TITLE": "Original"}))
+        blob += enc.write_int(x)
+        blob += enc.finish()
+        (src / "tagged.flac").write_bytes(bytes(blob))
+        h = fs.get_or_create_handler("/tagged.flac")
+        out = b""
+        while True:
+            d = h.read(65536, len(out))
+            if not d:
+                break
+            out += d
+        assert read_flac_metadata(out)["TITLE"] == "Original"
+        fs.close_handler("/tagged.flac", h)
