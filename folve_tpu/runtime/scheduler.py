@@ -16,7 +16,9 @@ sizes are padded to power-of-two buckets to bound XLA compilations.
 
 from __future__ import annotations
 
+import atexit
 import threading
+import weakref
 from concurrent.futures import Future
 from typing import Dict, List, Tuple
 
@@ -55,8 +57,23 @@ class _Job:
         self.future: Future = Future()
 
 
+_live_schedulers: "weakref.WeakSet[DeviceScheduler]" = weakref.WeakSet()
+
+
+@atexit.register
+def _stop_all_schedulers() -> None:
+    # A scheduler thread dying mid-device-call during interpreter
+    # teardown can abort the process; stop them in an orderly way.
+    for sched in list(_live_schedulers):
+        try:
+            sched.stop()
+        except Exception:
+            pass
+
+
 class DeviceScheduler:
     def __init__(self, max_batch: int = 16, window_s: float = 0.002):
+        _live_schedulers.add(self)
         self._max_batch = max_batch
         self._window_s = window_s
         self._mutex = threading.Lock()

@@ -365,3 +365,37 @@ class TestPrebuffer:
             h._buffer.is_file_complete()
         assert h._buffer.file_size() > offset  # produced beyond what was read
         fs.close_handler("/song.flac", h)
+
+
+class TestFailureModes:
+    def test_truncated_flac_premature_eof(self, tmp_path):
+        """Corrupt/short input closes the stream cleanly with a message
+        (convolve-file-handler.cc:378-386)."""
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 30000)
+        blob = (src / "song.flac").read_bytes()
+        # Cut the file in half: STREAMINFO still claims 30000 frames but
+        # only a few complete FLAC frames remain.
+        (src / "song.flac").write_bytes(blob[: len(blob) // 2])
+        h = fs.get_or_create_handler("/song.flac")
+        out = read_all(h)
+        stats = h.get_handler_status()
+        assert "premature eof" in stats.message.lower()
+        # Whatever was produced is still a valid FLAC prefix.
+        from folve_tpu.audio.flac import read_flac
+
+        got, _ = read_flac(out)
+        assert 0 < got.shape[0] < 30000
+        fs.close_handler("/song.flac", h)
+
+    def test_broken_filter_config_falls_back(self, tmp_path):
+        fs, src = make_fs(tmp_path, conf_text="/convolver/bogus nonsense\n")
+        write_song(src, "song.flac", 800)
+        h = fs.get_or_create_handler("/song.flac")
+        assert isinstance(h, PassThroughHandler)
+        assert "Problem parsing" in h.get_handler_status().message
+        fs.close_handler("/song.flac", h)
+
+    def test_unreadable_file_returns_none(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        assert fs.get_or_create_handler("/ghost.flac") is None
