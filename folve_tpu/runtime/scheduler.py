@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import atexit
 import threading
+import time
 import weakref
 from concurrent.futures import Future
 from typing import Dict, List, Tuple
@@ -81,10 +82,15 @@ class DeviceScheduler:
         self._queues: Dict[Tuple, List[_Job]] = {}
         self._thread: threading.Thread | None = None
         self._stop = False
-        # Observability (status page / tests).
+        # Observability (status page / tests) — the reference's analog is
+        # its CPU% prose and the status page's render timer; ours counts
+        # fused device steps and their latency (SURVEY.md §5 tracing).
         self.steps = 0
         self.jobs = 0
         self.batched_jobs = 0
+        self.total_step_s = 0.0
+        self.last_step_s = 0.0
+        self.last_batch = 0
 
     def start(self) -> None:
         if self._thread is None:
@@ -152,6 +158,7 @@ class DeviceScheduler:
         x = jnp.stack([jnp.asarray(j.x) for j in all_jobs])
         n_valid = jnp.asarray([int(j.n_valid) for j in all_jobs], dtype=jnp.int32)
         shared = all(j.bank.h_spec is jobs[0].bank.h_spec for j in all_jobs)
+        t0 = time.perf_counter()
         if shared:
             new_states, y = _shared_step(jobs[0].bank, states, x, n_valid)
         else:
@@ -160,7 +167,12 @@ class DeviceScheduler:
                 h_spec=h_spec, fragm=jobs[0].bank.fragm, size=jobs[0].bank.size
             )
             new_states, y = _batched_step(bank, states, x, n_valid)
+        jax.block_until_ready(y)
+        dt = time.perf_counter() - t0
         self.steps += 1
+        self.total_step_s += dt
+        self.last_step_s = dt
+        self.last_batch = n
         if n > 1:
             self.batched_jobs += n
         for idx, job in enumerate(jobs):

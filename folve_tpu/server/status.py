@@ -193,6 +193,17 @@ class StatusServer:
                 "<p>Read-only view; use the HTTP interface to switch filters.</p>"
             )
 
+        sched = getattr(fs, "device_scheduler", None)
+        if sched is not None and sched.steps:
+            mean_ms = 1000.0 * sched.total_step_s / sched.steps
+            batched_pct = 100.0 * sched.batched_jobs / max(sched.jobs, 1)
+            parts.append(
+                f"<p>Device: {sched.steps} fused steps for {sched.jobs} block "
+                f"jobs ({batched_pct:.0f}% batched), last batch "
+                f"{sched.last_batch}, step mean {mean_ms:.2f}ms / last "
+                f"{sched.last_step_s * 1000:.2f}ms</p>"
+            )
+
         stats = fs.open_file_cache.get_stats()
         # Open streams before idle, newest first (status-server.cc:368-374).
         order = {Status.OPEN: 0, Status.IDLE: 1, Status.RETIRED: 2}
