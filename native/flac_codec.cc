@@ -11,6 +11,7 @@
 // reference does with SFC_UPDATE_HEADER_NOW, convolve-file-handler.cc:281-317).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -637,7 +638,89 @@ class Encoder {
     return v ? (uint32_t)(64 - __builtin_clzll(v)) : 0;
   }
 
-  // Encode one channel's subframe (FIXED or CONSTANT or VERBATIM).
+  // --- LPC analysis -------------------------------------------------------
+
+  static constexpr uint32_t kMaxLpcOrder = 8;
+  static constexpr uint32_t kLpcPrecision = 15;
+
+  // Welch-windowed autocorrelation + Levinson-Durbin.  Returns the best
+  // order (0 = LPC not worthwhile) with quantized coefficients.
+  static uint32_t AnalyzeLpc(const int32_t* x, uint32_t n, int32_t* qcoef,
+                             int* shift_out, double* expected_err) {
+    if (n < 64) return 0;
+    uint32_t max_order = kMaxLpcOrder;
+    // Windowed copy.
+    std::vector<double> w(n);
+    double half = (n - 1) / 2.0;
+    for (uint32_t i = 0; i < n; i++) {
+      double t = (i - half) / half;
+      w[i] = x[i] * (1.0 - t * t);  // Welch window
+    }
+    double autoc[kMaxLpcOrder + 1] = {0};
+    for (uint32_t lag = 0; lag <= max_order; lag++) {
+      double acc = 0;
+      for (uint32_t i = lag; i < n; i++) acc += w[i] * w[i - lag];
+      autoc[lag] = acc;
+    }
+    if (autoc[0] <= 0) return 0;
+    // Levinson-Durbin, tracking error per order.
+    double lpc[kMaxLpcOrder][kMaxLpcOrder];
+    double err = autoc[0];
+    double order_err[kMaxLpcOrder + 1];
+    order_err[0] = err;
+    double cur[kMaxLpcOrder] = {0};
+    for (uint32_t i = 0; i < max_order; i++) {
+      double acc = autoc[i + 1];
+      for (uint32_t j = 0; j < i; j++) acc -= cur[j] * autoc[i - j];
+      double k = err > 0 ? acc / err : 0;
+      double next[kMaxLpcOrder];
+      for (uint32_t j = 0; j < i; j++) next[j] = cur[j] - k * cur[i - 1 - j];
+      next[i] = k;
+      for (uint32_t j = 0; j <= i; j++) cur[j] = next[j];
+      err *= (1.0 - k * k);
+      order_err[i + 1] = err;
+      for (uint32_t j = 0; j <= i; j++) lpc[i][j] = cur[j];
+    }
+    // Pick the order minimizing expected bits: ~ n/2*log2(err) + header.
+    uint32_t best_order = 1;
+    double best_bits = 1e300;
+    for (uint32_t o = 1; o <= max_order; o++) {
+      double e = order_err[o] / n;
+      double bits_per_sample = e > 1e-9 ? 0.5 * log2(e) : 0.0;
+      double bits = n * bits_per_sample + o * (kLpcPrecision + 18.0);
+      if (bits < best_bits) {
+        best_bits = bits;
+        best_order = o;
+      }
+    }
+    // Quantize best_order coefficients.
+    const double* coefs = lpc[best_order - 1];
+    double cmax = 0;
+    for (uint32_t j = 0; j < best_order; j++)
+      cmax = std::max(cmax, std::abs(coefs[j]));
+    if (cmax <= 0) return 0;
+    int log2cmax;
+    frexp(cmax, &log2cmax);
+    int shift = (int)kLpcPrecision - 1 - log2cmax;
+    if (shift > 15) shift = 15;
+    if (shift < 0) return 0;  // coefficients too large; skip LPC
+    double error_fb = 0;
+    int32_t qmax = (1 << (kLpcPrecision - 1)) - 1;
+    int32_t qmin = -(1 << (kLpcPrecision - 1));
+    for (uint32_t j = 0; j < best_order; j++) {
+      double v = coefs[j] * (double)(1 << shift) + error_fb;
+      int32_t q = (int32_t)lround(v);
+      if (q > qmax) q = qmax;
+      if (q < qmin) q = qmin;
+      error_fb = v - q;
+      qcoef[j] = q;
+    }
+    *shift_out = shift;
+    *expected_err = order_err[best_order];
+    return best_order;
+  }
+
+  // Encode one channel's subframe (LPC, FIXED, CONSTANT or VERBATIM).
   void EncodeSubframe(BitWriter& bw, const int32_t* x, uint32_t n, uint32_t bps) {
     bw.WriteBits(0, 1);  // pad
     bool constant = true;
@@ -669,6 +752,41 @@ class Encoder {
       if (o == max_order) break;
       for (uint32_t i = n - 1; i > o; i--) res[i] = res[i] - res[i - 1];
     }
+
+    // Try LPC and take it when its residual actually beats FIXED's.
+    int32_t qcoef[kMaxLpcOrder];
+    int shift = 0;
+    double exp_err = 0;
+    uint32_t lpc_order = AnalyzeLpc(x, n, qcoef, &shift, &exp_err);
+    if (lpc_order > 0) {
+      std::vector<int64_t> lres(n);
+      for (uint32_t i = lpc_order; i < n; i++) {
+        int64_t acc = 0;
+        for (uint32_t j = 0; j < lpc_order; j++)
+          acc += (int64_t)qcoef[j] * x[i - 1 - j];
+        lres[i - lpc_order] = (int64_t)x[i] - (acc >> shift);
+      }
+      uint64_t lpc_sum = SumAbs(lres.data(), n - lpc_order);
+      // Rough bit accounting: residual cost scales with log2 of the
+      // mean magnitude; include the coefficient header overhead.
+      double fixed_bits =
+          (n - best_order) * (log2((double)best_sum / (n - best_order) + 1) + 1.6);
+      double lpc_bits =
+          (n - lpc_order) * (log2((double)lpc_sum / (n - lpc_order) + 1) + 1.6) +
+          lpc_order * (kLpcPrecision + (double)bps) + 9;
+      if (lpc_bits < fixed_bits) {
+        bw.WriteBits(32 + (lpc_order - 1), 6);  // LPC subframe type
+        bw.WriteBits(0, 1);                     // no wasted bits
+        for (uint32_t i = 0; i < lpc_order; i++) bw.WriteSigned(x[i], (int)bps);
+        bw.WriteBits(kLpcPrecision - 1, 4);
+        bw.WriteSigned(shift, 5);
+        for (uint32_t i = 0; i < lpc_order; i++)
+          bw.WriteSigned(qcoef[i], (int)kLpcPrecision);
+        WriteResidual(bw, lres.data(), n - lpc_order, lpc_order, n);
+        return;
+      }
+    }
+
     FixedResidual(x, n, best_order, res.data());
     bw.WriteBits(8 + best_order, 6);  // FIXED order
     bw.WriteBits(0, 1);               // no wasted bits
