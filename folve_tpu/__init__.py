@@ -23,3 +23,22 @@ sources as ``<file>:<line>``.
 from folve_tpu.version import __version__
 
 __all__ = ["__version__"]
+
+
+def __getattr__(name):
+    """Lazy top-level convenience exports (keeps `import folve_tpu`
+    cheap — jax only loads when the engine is touched)."""
+    if name in ("FilterBank", "compile_filter_bank", "chunk_step", "block_step",
+                "init_state", "StreamState"):
+        import folve_tpu.engine as engine
+
+        return getattr(engine, name)
+    if name == "FolveFilesystem":
+        from folve_tpu.runtime import FolveFilesystem
+
+        return FolveFilesystem
+    if name == "compile_config_file":
+        from folve_tpu.filters import compile_config_file
+
+        return compile_config_file
+    raise AttributeError(name)

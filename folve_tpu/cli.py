@@ -79,6 +79,9 @@ def _build_vfs(args, fs):
 def cmd_mount(args) -> int:
     fs = _build_fs(args, args.underlying_dir)
     vfs = _build_vfs(args, fs)
+    if getattr(args, "fuse_debug", False):
+        logging.getLogger("folve_tpu.fuse").setLevel(logging.DEBUG)
+        logging.basicConfig(level=logging.DEBUG)
     from folve_tpu.fuse.mount import mount_and_serve
 
     return mount_and_serve(vfs, args.mount_point, foreground=args.foreground)
@@ -180,6 +183,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("mount", help="mount the convolving filesystem (FUSE)")
     _add_common_fs_flags(p)
     p.add_argument("-f", "--foreground", action="store_true", help="stay in foreground")
+    p.add_argument(
+        "-d", "--fuse-debug", action="store_true",
+        help="trace raw FUSE operations (reference -d)",
+    )
+    p.add_argument(
+        "-o", "--mount-options", default="",
+        help="mount options (accepted for compatibility; ro is implied)",
+    )
     p.add_argument("underlying_dir")
     p.add_argument("mount_point")
     p.set_defaults(func=cmd_mount)

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel for the frequency-delay-line MAC.
+
+The FDL MAC is the engine's hot loop: Y[t] = sum_p H[p] * X[t+P-1-p]
+over re/im planes, elementwise in frequency bins.  The XLA elementwise
+formulation re-materializes the accumulators in HBM for every partition
+(~16 round trips of the [T, Cout, K] buffers); this kernel keeps the
+whole accumulation in VMEM and streams each frequency tile exactly once:
+
+  grid over K tiles -> load H[P, Cin, Cout, 2, KT] and the windowed
+  spectra X[T+P-1, Cin, 2, KT] into VMEM, unroll partitions and channel
+  pairs as fused multiply-adds on the VPU, write Y tiles once.
+
+Batching over streams composes via jax.vmap of the pallas_call (adds a
+grid dimension; the shared filter broadcasts without copies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+
+try:  # TPU-specific memory spaces; absent on pure-CPU installs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+# Max frequency-tile width; keeps H + X + Y well under VMEM even with
+# double buffering (KT=2048: ~4 MB total for stereo P=16).
+_MAX_KT = 2048
+
+
+def _kernel(h_ref, x_ref, yr_ref, yi_ref, *, p, cin, cout, t):
+    for o in range(cout):
+        acc_r = jnp.zeros(yr_ref.shape[0:1] + yr_ref.shape[2:], jnp.float32)
+        acc_i = jnp.zeros_like(acc_r)
+        for pi in range(p):
+            off = (p - 1) - pi
+            for i in range(cin):
+                xr = x_ref[pl.ds(off, t), i, 0, :]
+                xi = x_ref[pl.ds(off, t), i, 1, :]
+                hr = h_ref[pi, i, o, 0, :]
+                hi = h_ref[pi, i, o, 1, :]
+                acc_r = acc_r + (xr * hr - xi * hi)
+                acc_i = acc_i + (xr * hi + xi * hr)
+        yr_ref[:, o, :] = acc_r
+        yi_ref[:, o, :] = acc_i
+
+
+@functools.partial(jax.jit, static_argnames=("t", "interpret"))
+def pallas_fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int, interpret: bool = False):
+    """Drop-in for engine.stream._fdl_mac.
+
+    ``h_spec``: [P, Cin, Cout, 2, K]; ``xall``: [T+P-1, Cin, 2, K].
+    Returns (yr, yi) each [T, Cout, K].
+    """
+    p, cin, cout, _, k = h_spec.shape
+    kt = min(k, _MAX_KT)
+    assert k % kt == 0
+    grid = (k // kt,)
+    kernel = functools.partial(_kernel, p=p, cin=cin, cout=cout, t=t)
+    kwargs = {}
+    in_specs = [
+        pl.BlockSpec(
+            (p, cin, cout, 2, kt),
+            lambda j: (0, 0, 0, 0, j),
+            **({"memory_space": _VMEM} if _VMEM else {}),
+        ),
+        pl.BlockSpec(
+            (t + p - 1, cin, 2, kt),
+            lambda j: (0, 0, 0, j),
+            **({"memory_space": _VMEM} if _VMEM else {}),
+        ),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (t, cout, kt),
+            lambda j: (0, 0, j),
+            **({"memory_space": _VMEM} if _VMEM else {}),
+        )
+        for _ in range(2)
+    ]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
+            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(h_spec, xall)
+    return yr, yi

@@ -38,6 +38,25 @@ from folve_tpu.engine.rfft import fft_real, ifft_to_real
 
 _PRECISION = lax.Precision.HIGHEST
 
+# FDL MAC implementation selector: "auto" uses the Pallas kernel on TPU
+# backends and XLA elsewhere; "pallas_interpret" runs the kernel in
+# interpreter mode (CPU tests).
+_MAC_IMPL = "auto"
+
+
+def set_mac_impl(impl: str) -> None:
+    global _MAC_IMPL
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret")
+    _MAC_IMPL = impl
+
+
+def _is_tpu_backend() -> bool:
+    try:
+        d = jax.devices()[0]
+        return "tpu" in (d.platform + " " + d.device_kind).lower()
+    except Exception:
+        return False
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +93,19 @@ def _fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int) -> tuple[jax.Array, jax
     Returns (Yr, Yi) each [T, Cout, K].
     """
     p, cin, cout, _, k = h_spec.shape
+
+    # Prefer the fused Pallas kernel: the XLA formulations re-materialize
+    # the accumulators in HBM once per partition; the kernel streams each
+    # frequency tile exactly once (engine/kernels/fdl_mac.py).
+    impl = _MAC_IMPL
+    if impl == "auto":
+        impl = "pallas" if _is_tpu_backend() else "xla"
+    if impl in ("pallas", "pallas_interpret") and cin * cout <= 16:
+        from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac
+
+        return pallas_fdl_mac(
+            h_spec, xall, t, interpret=(impl == "pallas_interpret")
+        )
 
     # P is static — unroll in Python with *static* slices of the
     # concatenated spectra.  For the small channel counts of real filter

@@ -10,12 +10,17 @@ from __future__ import annotations
 
 import ctypes
 import errno
+import logging
 import stat as statmod
 import threading
 from typing import Dict
 
 from folve_tpu.server.vfs import FolveVfs
 from folve_tpu.utils.native_build import load_native
+
+# Raw operation tracing — the reference's ``-d`` libfuse debug channel
+# (folve-main.cc:357); enable via logging level DEBUG.
+_log = logging.getLogger("folve_tpu.fuse")
 
 
 class _FolveAttr(ctypes.Structure):
@@ -93,6 +98,8 @@ class FuseSession:
     # -- callbacks (return 0 / -errno) ------------------------------------
 
     def _cb_getattr(self, path: bytes, out) -> int:
+        if _log.isEnabledFor(logging.DEBUG):
+            _log.debug("GETATTR %s", path.decode())
         try:
             st = self.vfs.getattr(path.decode())
         except OSError as e:
@@ -135,6 +142,8 @@ class FuseSession:
         return 0
 
     def _cb_open(self, path: bytes, fh_out) -> int:
+        if _log.isEnabledFor(logging.DEBUG):
+            _log.debug("OPEN %s", path.decode())
         try:
             handler = self.vfs.open(path.decode())
         except OSError as e:
@@ -149,6 +158,8 @@ class FuseSession:
         return 0
 
     def _cb_read(self, fh: int, buf, size: int, offset: int) -> int:
+        if _log.isEnabledFor(logging.DEBUG):
+            _log.debug("READ fh=%d size=%d offset=%d", fh, size, offset)
         with self._lock:
             handler = self._handles.get(fh)
         if handler is None:

@@ -1,0 +1,41 @@
+"""Pallas FDL-MAC kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from folve_tpu.engine import stream as st
+from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac
+
+
+@pytest.mark.parametrize(
+    "p,cin,cout,k,t",
+    [
+        (4, 1, 1, 256, 3),
+        (16, 2, 2, 2048, 4),
+        (2, 1, 2, 4096, 2),  # k > tile width: multi-tile grid
+        (1, 2, 2, 128, 5),  # single partition
+    ],
+)
+def test_matches_xla_path(rng, p, cin, cout, k, t):
+    h = rng.standard_normal((p, cin, cout, 2, k)).astype(np.float32)
+    xall = rng.standard_normal((t + p - 1, cin, 2, k)).astype(np.float32)
+    st.set_mac_impl("xla")
+    try:
+        ref = jax.jit(lambda h, x: st._fdl_mac(h, x, t))(h, xall)
+    finally:
+        st.set_mac_impl("auto")
+    got = pallas_fdl_mac(h, xall, t, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
+
+
+def test_vmapped_batching(rng):
+    p, cin, cout, k, t, s = 4, 2, 2, 512, 3, 5
+    h = rng.standard_normal((p, cin, cout, 2, k)).astype(np.float32)
+    xb = rng.standard_normal((s, t + p - 1, cin, 2, k)).astype(np.float32)
+    got = jax.vmap(lambda xa: pallas_fdl_mac(h, xa, t, interpret=True))(xb)
+    for i in range(s):
+        ref = pallas_fdl_mac(h, xb[i], t, interpret=True)
+        np.testing.assert_allclose(np.asarray(got[0][i]), np.asarray(ref[0]), atol=1e-5)
