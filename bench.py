@@ -75,7 +75,7 @@ def main():
     snr_db = float(accuracy(bank, x_acc))
 
     # --- throughput: batched serving, S streams x T blocks per step.
-    s_streams, t_blocks = 16, 16
+    s_streams, t_blocks = 32, 32
     states = jax.vmap(lambda _: init_state(bank))(np.arange(s_streams))
     x = jax.device_put(
         rng.standard_normal((s_streams, t_blocks, 2, fragm)).astype(np.float32)
@@ -84,13 +84,16 @@ def main():
     step = jax.jit(shared_filter_chunk_step)
 
     states, y = step(bank, states, x, n_valid)  # compile + warmup
-    jax.block_until_ready(y)
+    float(jnp.sum(y))  # force (block_until_ready is unreliable for
+    # pallas outputs through this backend's tunnel — DEVNOTES.md)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         states, y = step(bank, states, x, n_valid)
-    jax.block_until_ready(y)
+    # The state chain threads every iteration; summing the final output
+    # forces the full sequence before the clock stops.
+    float(jnp.sum(y))
     dt = time.perf_counter() - t0
 
     audio_sec = iters * s_streams * t_blocks * fragm / rate

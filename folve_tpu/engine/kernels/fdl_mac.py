@@ -31,9 +31,25 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-# Max frequency-tile width; keeps H + X + Y well under VMEM even with
-# double buffering (KT=2048: ~4 MB total for stereo P=16).
+# VMEM budget for one grid step's blocks (H + X + Y tiles); the actual
+# tile width adapts so MAXSIZE filters (P=128, zita-config.h:61) fit.
+_VMEM_BUDGET = 6 * 1024 * 1024
 _MAX_KT = 2048
+_MIN_KT = 128
+
+
+def _pick_tile(p: int, cin: int, cout: int, t: int, k: int) -> int:
+    kt = min(k, _MAX_KT)
+    while kt > _MIN_KT:
+        h_bytes = p * cin * cout * 2 * kt * 4
+        x_bytes = (t + p - 1) * cin * 2 * kt * 4
+        y_bytes = 2 * t * cout * kt * 4
+        if h_bytes + x_bytes + y_bytes <= _VMEM_BUDGET or kt == _MIN_KT:
+            break
+        if k % (kt // 2):
+            break
+        kt //= 2
+    return kt
 
 
 def _kernel(h_ref, x_ref, yr_ref, yi_ref, *, p, cin, cout, t):
@@ -61,7 +77,7 @@ def pallas_fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int, interpret: bool =
     Returns (yr, yi) each [T, Cout, K].
     """
     p, cin, cout, _, k = h_spec.shape
-    kt = min(k, _MAX_KT)
+    kt = _pick_tile(p, cin, cout, t, k)
     assert k % kt == 0
     grid = (k // kt,)
     kernel = functools.partial(_kernel, p=p, cin=cin, cout=cout, t=t)
