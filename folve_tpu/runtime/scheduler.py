@@ -115,10 +115,17 @@ class DeviceScheduler:
         sig = _signature(bank) + (np.asarray(x).shape[0],)
         with self._cv:
             if self._stop:
-                raise RuntimeError("scheduler stopped")
-            self._queues.setdefault(sig, []).append(job)
-            self.jobs += 1
-            self._cv.notify()
+                # Shutdown race (e.g. a prefetch thread still pumping
+                # while atexit stops schedulers): run inline.
+                stopped = True
+            else:
+                stopped = False
+                self._queues.setdefault(sig, []).append(job)
+                self.jobs += 1
+                self._cv.notify()
+        if stopped:
+            self._execute([job])
+            return job.future
         self.start()
         return job.future
 

@@ -399,3 +399,81 @@ class TestFailureModes:
     def test_unreadable_file_returns_none(self, tmp_path):
         fs, src = make_fs(tmp_path)
         assert fs.get_or_create_handler("/ghost.flac") is None
+
+
+class TestMultiRate:
+    """BASELINE config 4: filter resolution + pool across sample rates."""
+
+    def test_per_rate_filter_resolution(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        cfg = tmp_path / "filters" / "echo"
+        # Distinct delays per rate so outputs prove which config ran.
+        for rate, delay in ((48000, 120), (96000, 240)):
+            (cfg / f"filter-{rate}.conf").write_text(
+                "/convolver/new 2 2 64 512\n"
+                "/impulse/dirac 1 1 0.7 0\n/impulse/dirac 2 2 0.7 0\n"
+                f"/impulse/dirac 1 1 0.3 {delay}\n/impulse/dirac 2 2 0.3 {delay}\n"
+            )
+        for rate, delay in ((44100, 100), (48000, 120), (96000, 240)):
+            rng = np.random.default_rng(rate)
+            x = np.round(rng.uniform(-0.4, 0.4, (1500, 2)) * 32768) / 32768
+            write_flac(str(src / f"s{rate}.flac"), x.astype(np.float32), rate, bits=16)
+            h = fs.get_or_create_handler(f"/s{rate}.flac")
+            blob = read_all(h)
+            got, info = read_audio_bytes(blob)
+            assert info.rate == rate
+            ir = np.zeros(512)
+            ir[0], ir[delay] = 0.7, 0.3
+            ref = expected_conv(x, ir)
+            assert np.max(np.abs(got - ref)) < 2.5 / 32768, f"rate {rate}"
+            fs.close_handler(f"/s{rate}.flac", h)
+
+    def test_channel_specific_config_wins(self, tmp_path):
+        fs, src = make_fs(tmp_path)
+        cfg = tmp_path / "filters" / "echo"
+        # Mono-specific config with a pure 0.5 gain.
+        (cfg / f"filter-{RATE}-1.conf").write_text(
+            "/convolver/new 1 1 64 64\n/impulse/dirac 1 1 0.5 0\n"
+        )
+        rng = np.random.default_rng(5)
+        x = np.round(rng.uniform(-0.4, 0.4, (800, 1)) * 32768) / 32768
+        write_flac(str(src / "mono.flac"), x.astype(np.float32), RATE, bits=16)
+        h = fs.get_or_create_handler("/mono.flac")
+        blob = read_all(h)
+        got, info = read_audio_bytes(blob)
+        assert info.channels == 1
+        assert np.max(np.abs(got - 0.5 * x)) < 2.5 / 32768
+        fs.close_handler("/mono.flac", h)
+
+
+class TestGaplessEdgeCases:
+    def test_handover_rejected_after_config_change(self, tmp_path):
+        """PassoverProcessor rejects when the filter mtime changed
+        (convolve-file-handler.cc:334-341)."""
+        fs, src = make_fs(tmp_path, gapless=True)
+        write_song(src, "t1.flac", 700, seed=1)
+        write_song(src, "t2.flac", 700, seed=2)
+        h1 = fs.get_or_create_handler("/t1.flac")
+        # Read a bit, then touch the config mid-play.
+        h1.read(4096, 0)
+        conf = os.path.join(fs.base_config_dir, "echo", f"filter-{RATE}.conf")
+        os.utime(conf, (time.time() + 7, time.time() + 7))
+        read_all(h1)
+        # Donor processor is stale -> the new handler built a fresh
+        # processor and the handover must have been refused.
+        assert not h1.get_handler_status().out_gapless
+        fs.close_handler("/t1.flac", h1)
+
+    def test_handover_rejected_when_next_already_started(self, tmp_path):
+        """Cannot bridge into an already-playing file
+        (convolve-file-handler.cc:329-333)."""
+        fs, src = make_fs(tmp_path, gapless=True)
+        write_song(src, "t1.flac", 700, seed=1)
+        write_song(src, "t2.flac", 700, seed=2)
+        h2 = fs.get_or_create_handler("/t2.flac")
+        read_all(h2)  # t2 fully played already
+        h1 = fs.get_or_create_handler("/t1.flac")
+        read_all(h1)
+        assert not h1.get_handler_status().out_gapless
+        fs.close_handler("/t1.flac", h1)
+        fs.close_handler("/t2.flac", h2)
