@@ -46,6 +46,10 @@ def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
         from folve_tpu.audio.aiff import read_aiff
 
         return read_aiff(path)
+    if container == Container.OGG:
+        from folve_tpu.audio.ogg import read_ogg
+
+        return read_ogg(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 
@@ -61,6 +65,10 @@ def read_audio_info(path: str) -> AudioInfo:
         from folve_tpu.audio.aiff import read_aiff_info
 
         return read_aiff_info(path)
+    if container == Container.OGG:
+        from folve_tpu.audio.ogg import read_ogg_info
+
+        return read_ogg_info(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 

@@ -101,6 +101,10 @@ def open_source(path: str) -> Optional[AudioSource]:
                 return FlacSource(f.read())
         if container == Container.AIFF:
             return ArraySource(path)
+        if container == Container.OGG:
+            from folve_tpu.audio.ogg import OggSource
+
+            return OggSource(path)
     except Exception:
         return None
     return None
