@@ -451,6 +451,10 @@ class ConvolveFileHandler(FileHandler):
 
     # ------------------------------------------------------------- the pump
 
+    # Blocks per fused device call on the bulk path (away from stream
+    # edges); one block per call near EOF keeps gapless semantics exact.
+    CHUNK_BLOCKS = 4
+
     def add_more_sound_data(self) -> bool:
         """Produce the next chunk of encoded output
         (AddMoreSoundData, convolve-file-handler.cc:370-424)."""
@@ -460,6 +464,25 @@ class ConvolveFileHandler(FileHandler):
         if proc.pending_writes() > 0:
             proc.write_processed(self._write_frames, proc.pending_writes())
             return self._input_frames_left != 0
+
+        # Bulk fast path: when comfortably before EOF, convolve several
+        # blocks in one device step.  The gapless partial-block handover
+        # can only trigger on the final (partial) block, which this path
+        # never touches.
+        safety = (self.CHUNK_BLOCKS + 1) * proc.fragm
+        if (
+            proc.pending_writes() == 0
+            and not proc.is_input_buffer_complete()
+            and self._input_frames_left > safety
+        ):
+            r = proc.pump_chunk(
+                self._source, self._write_frames, self.CHUNK_BLOCKS
+            )
+            if r:
+                with self._stats_lock:
+                    self._input_frames_left -= r
+                return self._input_frames_left != 0
+
         r = proc.fill_buffer(self._source)
         if r == 0:
             self._base_stats.message = "Premature EOF in input file."

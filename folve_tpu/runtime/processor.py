@@ -146,6 +146,35 @@ class SoundProcessor:
         self._out_buf = np.asarray(y[0]).T  # [fragm, Cout]
         self._output_pos = 0
 
+    def pump_chunk(self, source, sink, max_blocks: int) -> int:
+        """Fast path: read, convolve and write up to ``max_blocks`` full
+        blocks in ONE device step (the TPU-native replacement for the
+        reference's one-block pump; used away from stream edges where
+        the gapless partial-block semantics cannot trigger).
+
+        Requires a clean block boundary (no partial input, no pending
+        output).  Returns frames consumed (0 = caller should use the
+        single-block path)."""
+        assert self._input_pos == 0 and self.pending_writes() == 0
+        self._output_pos = -1
+        b = self.fragm
+        data = source.read_float(max_blocks * b)
+        r = data.shape[0]
+        if r == 0:
+            return 0
+        t = -(-r // b)
+        padded = np.zeros((t * b, self.bank.ninp), dtype=np.float32)
+        padded[:r] = data
+        x = np.ascontiguousarray(padded.reshape(t, b, self.bank.ninp).transpose(0, 2, 1))
+        if self.scheduler is not None:
+            fut = self.scheduler.submit(self.bank, self._state, x, r)
+            self._state, y = fut.result()
+        else:
+            self._state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))
+        out = np.asarray(y).transpose(0, 2, 1).reshape(t * b, -1)
+        sink(out[:r])
+        return r
+
     def write_processed(self, sink, sample_count: int) -> None:
         """Lazily process, then emit up to sample_count frames to
         ``sink(frames)``; partial writes leave the rest pending

@@ -210,3 +210,46 @@ def test_write_flac_file(tmp_path, rng):
     got, info = read_flac(p)
     assert info.bits_per_sample == 24
     np.testing.assert_allclose(got, x, atol=1.5 / (1 << 23))
+
+
+class TestFuzz:
+    """The native decoder must never crash on corrupt input."""
+
+    def test_random_garbage_after_magic(self, rng):
+        for seed in range(20):
+            r = np.random.default_rng(seed)
+            blob = b"fLaC" + bytes(r.integers(0, 256, 4096, dtype=np.uint8))
+            try:
+                dec = FlacDecoder(blob)
+                dec.read_int(10000)
+                dec.close()
+            except FlacError:
+                pass  # rejecting is fine; crashing is not
+
+    def test_bitflipped_valid_stream(self, rng):
+        x = rng.integers(-20000, 20000, size=(20000, 2), dtype=np.int64).astype(np.int32)
+        blob = bytearray(encode_to_bytes(x, 44100))
+        r = np.random.default_rng(7)
+        for _ in range(30):
+            corrupt = bytearray(blob)
+            for _ in range(10):
+                pos = int(r.integers(42, len(corrupt)))
+                corrupt[pos] ^= 1 << int(r.integers(0, 8))
+            try:
+                dec = FlacDecoder(bytes(corrupt))
+                out = dec.read_int(30000)
+                assert out.shape[0] <= 20000
+                dec.close()
+            except FlacError:
+                pass
+
+    def test_truncations(self, rng):
+        x = rng.integers(-5000, 5000, size=(9000, 1), dtype=np.int64).astype(np.int32)
+        blob = encode_to_bytes(x, 44100)
+        for cut in range(4, len(blob), max(1, len(blob) // 50)):
+            try:
+                dec = FlacDecoder(blob[:cut])
+                dec.read_int(10000)
+                dec.close()
+            except FlacError:
+                pass

@@ -477,3 +477,25 @@ class TestGaplessEdgeCases:
         assert not h1.get_handler_status().out_gapless
         fs.close_handler("/t1.flac", h1)
         fs.close_handler("/t2.flac", h2)
+
+
+class TestChunkedPump:
+    def test_bulk_path_bit_identical_to_block_path(self, tmp_path):
+        from folve_tpu.runtime.handler import ConvolveFileHandler as CFH
+
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 20 * 512 + 123)
+        h1 = fs.get_or_create_handler("/song.flac")
+        out_bulk = read_all(h1)
+        fs.close_handler("/song.flac", h1)
+        old = CFH.CHUNK_BLOCKS
+        CFH.CHUNK_BLOCKS = 1
+        try:
+            fs2, src2 = make_fs(tmp_path / "b")
+            write_song(src2, "song.flac", 20 * 512 + 123)
+            h2 = fs2.get_or_create_handler("/song.flac")
+            out_block = read_all(h2)
+            fs2.close_handler("/song.flac", h2)
+        finally:
+            CFH.CHUNK_BLOCKS = old
+        assert out_bulk == out_block
