@@ -99,6 +99,23 @@ def main():
     audio_sec = iters * s_streams * t_blocks * fragm / rate
     value = audio_sec / dt
 
+    # --- secondary: long-IR reverb config (BASELINE config 2 —
+    # SantaLucia-class impulse, 204,800 taps -> 25 partitions/block).
+    size2 = 204800
+    ir2 = rng.standard_normal((2, 2, size2)).astype(np.float32) / np.sqrt(size2)
+    bank2 = compile_filter_bank(ir2)
+    s2, t2 = 8, 16
+    states2 = jax.vmap(lambda _: init_state(bank2))(np.arange(s2))
+    x2 = jax.device_put(rng.standard_normal((s2, t2, 2, fragm)).astype(np.float32))
+    nv2 = jax.device_put(np.full((s2,), t2 * fragm, np.int32))
+    states2, y2 = step(bank2, states2, x2, nv2)
+    float(jnp.sum(y2))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        states2, y2 = step(bank2, states2, x2, nv2)
+    float(jnp.sum(y2))
+    long_ir_value = 10 * s2 * t2 * fragm / rate / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -107,6 +124,7 @@ def main():
                 "unit": "x realtime",
                 "vs_baseline": round(value / 30.0, 1),
                 "snr_vs_oracle_db": round(snr_db, 1),
+                "long_ir_204800_x": round(long_ir_value, 1),
                 "batch_streams": s_streams,
                 "blocks_per_step": t_blocks,
                 "fragm": fragm,

@@ -205,6 +205,19 @@ class ConvolveFileHandler(FileHandler):
             fs.record_handler_message(fs_path, partial.message)
             source.close()
             return None
+        if processor.input_channels != info.channels:
+            # The resolved config declares a different channel count than
+            # the file (e.g. only a stereo filter-<rate>.conf exists for a
+            # mono file).  The reference would pump a mismatched
+            # interleave into the convolver; we fall back cleanly.
+            partial.message = (
+                f"Filter expects {processor.input_channels} channels, "
+                f"file has {info.channels}; pass through."
+            )
+            fs.record_handler_message(fs_path, partial.message)
+            fs.processor_pool.return_processor(processor)
+            source.close()
+            return None
         return cls(fs, fs_path, filter_subdir, underlying_file, source, partial, processor)
 
     def __init__(self, fs, fs_path, filter_subdir, underlying_file, source, stats, processor):

@@ -166,3 +166,14 @@ def test_long_ir_131k(rng):
     _, _, y = run_engine(ir, x)
     ref = oracle(ir, x)
     assert snr_db(ref, y) < -90
+
+
+def test_many_channels_einsum_path(rng):
+    """cin*cout > 16 exercises the einsum MAC fallback."""
+    cin, cout, size, fragm = 5, 4, 300, 64
+    ir = rng.standard_normal((cin, cout, size)).astype(np.float32) / 17
+    n = 4 * fragm + 31
+    x = rng.standard_normal((n, cin)).astype(np.float32)
+    _, _, y = run_engine(ir, x, fragm=fragm, size=size)
+    ref = oracle(ir, x)
+    assert snr_db(ref, y) < -90

@@ -499,3 +499,15 @@ class TestChunkedPump:
         finally:
             CFH.CHUNK_BLOCKS = old
         assert out_bulk == out_block
+
+
+def test_channel_mismatch_falls_back(tmp_path):
+    """Stereo-only filter + mono file -> clean pass-through with message."""
+    fs, src = make_fs(tmp_path)  # echo filter is 2x2
+    rng = np.random.default_rng(11)
+    x = np.round(rng.uniform(-0.4, 0.4, (600, 1)) * 32768) / 32768
+    write_flac(str(src / "mono.flac"), x.astype(np.float32), RATE, bits=16)
+    h = fs.get_or_create_handler("/mono.flac")
+    assert isinstance(h, PassThroughHandler)
+    assert "channels" in h.get_handler_status().message
+    fs.close_handler("/mono.flac", h)
