@@ -52,15 +52,15 @@ def _pick_tile(p: int, cin: int, cout: int, t: int, k: int) -> int:
     return kt
 
 
-def _kernel(h_ref, x_ref, yr_ref, yi_ref, *, p, cin, cout, t):
+def _kernel(h_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, p, cin, cout, t):
     for o in range(cout):
         acc_r = jnp.zeros(yr_ref.shape[0:1] + yr_ref.shape[2:], jnp.float32)
         acc_i = jnp.zeros_like(acc_r)
         for pi in range(p):
             off = (p - 1) - pi
             for i in range(cin):
-                xr = x_ref[pl.ds(off, t), i, 0, :]
-                xi = x_ref[pl.ds(off, t), i, 1, :]
+                xr = xr_ref[pl.ds(off, t), i, :]
+                xi = xi_ref[pl.ds(off, t), i, :]
                 hr = h_ref[pi, i, o, 0, :]
                 hi = h_ref[pi, i, o, 1, :]
                 acc_r = acc_r + (xr * hr - xi * hi)
@@ -70,37 +70,32 @@ def _kernel(h_ref, x_ref, yr_ref, yi_ref, *, p, cin, cout, t):
 
 
 @functools.partial(jax.jit, static_argnames=("t", "interpret"))
-def pallas_fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int, interpret: bool = False):
+def pallas_fdl_mac(
+    h_spec: jax.Array,
+    xall_re: jax.Array,
+    xall_im: jax.Array,
+    t: int,
+    interpret: bool = False,
+):
     """Drop-in for engine.stream._fdl_mac.
 
-    ``h_spec``: [P, Cin, Cout, 2, K]; ``xall``: [T+P-1, Cin, 2, K].
-    Returns (yr, yi) each [T, Cout, K].
+    ``h_spec``: [P, Cin, Cout, 2, K]; ``xall_re``/``xall_im``:
+    [T+P-1, Cin, K].  Returns (yr, yi) each [T, Cout, K].
     """
     p, cin, cout, _, k = h_spec.shape
     kt = _pick_tile(p, cin, cout, t, k)
     assert k % kt == 0
     grid = (k // kt,)
     kernel = functools.partial(_kernel, p=p, cin=cin, cout=cout, t=t)
-    kwargs = {}
+    mem = {"memory_space": _VMEM} if _VMEM else {}
+    x_spec = pl.BlockSpec((t + p - 1, cin, kt), lambda j: (0, 0, j), **mem)
     in_specs = [
-        pl.BlockSpec(
-            (p, cin, cout, 2, kt),
-            lambda j: (0, 0, 0, 0, j),
-            **({"memory_space": _VMEM} if _VMEM else {}),
-        ),
-        pl.BlockSpec(
-            (t + p - 1, cin, 2, kt),
-            lambda j: (0, 0, 0, j),
-            **({"memory_space": _VMEM} if _VMEM else {}),
-        ),
+        pl.BlockSpec((p, cin, cout, 2, kt), lambda j: (0, 0, 0, 0, j), **mem),
+        x_spec,
+        x_spec,
     ]
     out_specs = [
-        pl.BlockSpec(
-            (t, cout, kt),
-            lambda j: (0, 0, j),
-            **({"memory_space": _VMEM} if _VMEM else {}),
-        )
-        for _ in range(2)
+        pl.BlockSpec((t, cout, kt), lambda j: (0, 0, j), **mem) for _ in range(2)
     ]
     yr, yi = pl.pallas_call(
         kernel,
@@ -112,6 +107,5 @@ def pallas_fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int, interpret: bool =
             jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
         ],
         interpret=interpret,
-        **kwargs,
-    )(h_spec, xall)
+    )(h_spec, xall_re, xall_im)
     return yr, yi

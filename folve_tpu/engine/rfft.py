@@ -91,13 +91,18 @@ def fft_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """
     plan = get_plan(n)
     m1, m2 = plan.m1, plan.m2
-    if x.shape[-1] < n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+    length = x.shape[-1]
+    # Zero-padding awareness: a signal of L < n samples fills only the
+    # first ceil(L/m2) rows of A, so stage 1 contracts over those rows
+    # alone — for the engine's 2x zero-pad this halves the matmul.
+    rows = min(m1, -(-length // m2))
+    if length < rows * m2:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, rows * m2 - length)]
         x = jnp.pad(x, pad)
-    a = x.reshape(*x.shape[:-1], m1, m2)  # A[n1, n2]
-    # Stage 1 (real input): S1 = F1 @ A.
-    s1r = jnp.einsum("kn,...nm->...km", plan.f1_re, a, precision=_PRECISION)
-    s1i = jnp.einsum("kn,...nm->...km", plan.f1_im, a, precision=_PRECISION)
+    a = x.reshape(*x.shape[:-1], rows, m2)  # A[n1, n2], non-zero rows
+    # Stage 1 (real input): S1 = F1[:, :rows] @ A.
+    s1r = jnp.einsum("kn,...nm->...km", plan.f1_re[:, :rows], a, precision=_PRECISION)
+    s1i = jnp.einsum("kn,...nm->...km", plan.f1_im[:, :rows], a, precision=_PRECISION)
     # Twiddle.
     tr, ti = plan.tw_re, plan.tw_im
     t_r = s1r * tr - s1i * ti

@@ -63,8 +63,10 @@ def _is_tpu_backend() -> bool:
 class StreamState:
     """Per-stream carried convolution state.
 
-    ``hist``: float32 ``[P-1, Cin, 2, K]`` — re/im spectra of the most
-    recent ``P-1`` input blocks, oldest first (the frequency-delay line).
+    ``hist_re``/``hist_im``: float32 ``[P-1, Cin, K]`` — re/im spectra of
+    the most recent ``P-1`` input blocks, oldest first (the
+    frequency-delay line), kept as separate planes so the step never
+    materializes an interleaved copy.
     ``tail``: float32 ``[Cout, fragm]`` — overlap-add carry from the last
     processed block.
     ``max_abs``: float32 scalar — running max |output| over frames the
@@ -72,7 +74,8 @@ class StreamState:
     sound-processor.cc:119-124).
     """
 
-    hist: jax.Array
+    hist_re: jax.Array
+    hist_im: jax.Array
     tail: jax.Array
     max_abs: jax.Array
 
@@ -80,17 +83,20 @@ class StreamState:
 def init_state(bank: FilterBank) -> StreamState:
     p, cin, cout, _, k = bank.h_spec.shape
     return StreamState(
-        hist=jnp.zeros((p - 1, cin, 2, k), dtype=jnp.float32),
+        hist_re=jnp.zeros((p - 1, cin, k), dtype=jnp.float32),
+        hist_im=jnp.zeros((p - 1, cin, k), dtype=jnp.float32),
         tail=jnp.zeros((cout, bank.fragm), dtype=jnp.float32),
         max_abs=jnp.zeros((), dtype=jnp.float32),
     )
 
 
-def _fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int) -> tuple[jax.Array, jax.Array]:
+def _fdl_mac(
+    h_spec: jax.Array, xall_re: jax.Array, xall_im: jax.Array, t: int
+) -> tuple[jax.Array, jax.Array]:
     """Frequency-delay-line MAC: Y[t] = sum_p H[p] * Xall[t + (P-1) - p].
 
-    ``h_spec``: [P, Cin, Cout, 2, K]; ``xall``: [T+P-1, Cin, 2, K].
-    Returns (Yr, Yi) each [T, Cout, K].
+    ``h_spec``: [P, Cin, Cout, 2, K]; ``xall_re``/``xall_im``:
+    [T+P-1, Cin, K].  Returns (Yr, Yi) each [T, Cout, K].
     """
     p, cin, cout, _, k = h_spec.shape
 
@@ -104,7 +110,7 @@ def _fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int) -> tuple[jax.Array, jax
         from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac
 
         return pallas_fdl_mac(
-            h_spec, xall, t, interpret=(impl == "pallas_interpret")
+            h_spec, xall_re, xall_im, t, interpret=(impl == "pallas_interpret")
         )
 
     # P is static — unroll in Python with *static* slices of the
@@ -114,17 +120,15 @@ def _fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int) -> tuple[jax.Array, jax
     # avoids XLA lowering a 2-wide contraction as degenerate MXU matmuls
     # (measured ~20x slower on v5e).  Large channel counts fall back to
     # an einsum.
-    yr = jnp.zeros((t, cout, k), dtype=jnp.float32)
-    yi = jnp.zeros((t, cout, k), dtype=jnp.float32)
     if cin * cout <= 16:
         acc_r = [jnp.zeros((t, k), jnp.float32) for _ in range(cout)]
         acc_i = [jnp.zeros((t, k), jnp.float32) for _ in range(cout)]
         for pi in range(p):
             off = (p - 1) - pi
-            xs = xall[off : off + t]  # [T, Cin, 2, K]
             for o in range(cout):
                 for i in range(cin):
-                    xr, xi = xs[:, i, 0], xs[:, i, 1]  # [T, K]
+                    xr = xall_re[off : off + t, i]  # [T, K]
+                    xi = xall_im[off : off + t, i]
                     hr = h_spec[pi, i, o, 0]  # [K]
                     hi = h_spec[pi, i, o, 1]
                     acc_r[o] = acc_r[o] + (xr * hr - xi * hi)
@@ -132,10 +136,12 @@ def _fdl_mac(h_spec: jax.Array, xall: jax.Array, t: int) -> tuple[jax.Array, jax
         yr = jnp.stack(acc_r, axis=1)
         yi = jnp.stack(acc_i, axis=1)
     else:
+        yr = jnp.zeros((t, cout, k), dtype=jnp.float32)
+        yi = jnp.zeros((t, cout, k), dtype=jnp.float32)
         for pi in range(p):
             off = (p - 1) - pi
-            xs = xall[off : off + t]
-            xr, xi = xs[:, :, 0], xs[:, :, 1]  # [T, Cin, K]
+            xr = xall_re[off : off + t]  # [T, Cin, K]
+            xi = xall_im[off : off + t]
             hr, hi = h_spec[pi, :, :, 0], h_spec[pi, :, :, 1]  # [Cin, Cout, K]
             rr = jnp.einsum("tik,iok->tok", xr, hr, precision=_PRECISION)
             ii = jnp.einsum("tik,iok->tok", xi, hi, precision=_PRECISION)
@@ -172,11 +178,11 @@ def chunk_step(
 
     # 1. Block spectra: DFT of each block zero-padded to 2*fragm.
     xr, xi = fft_real(x.astype(jnp.float32), 2 * b)  # each [T, Cin, K]
-    xf = jnp.stack([xr, xi], axis=2)  # [T, Cin, 2, K]
 
     # 2. FDL MAC against all partitions, fully parallel across T.
-    xall = jnp.concatenate([state.hist, xf], axis=0)  # [T+P-1, Cin, 2, K]
-    y_re, y_im = _fdl_mac(bank.h_spec, xall, t)
+    xall_re = jnp.concatenate([state.hist_re, xr], axis=0)  # [T+P-1, Cin, K]
+    xall_im = jnp.concatenate([state.hist_im, xi], axis=0)
+    y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t)
 
     # 3. Inverse FFT + overlap-add between consecutive blocks.
     y2 = ifft_to_real(y_re, y_im, 2 * b)  # [T, Cout, 2B]
@@ -192,8 +198,13 @@ def chunk_step(
     valid = frame_idx < jnp.asarray(n_valid, dtype=jnp.int32)
     max_abs = jnp.maximum(state.max_abs, jnp.max(jnp.where(valid, jnp.abs(y), 0.0)))
 
-    new_hist = xall[t:] if p > 1 else state.hist
-    new_state = StreamState(hist=new_hist, tail=tails[-1], max_abs=max_abs)
+    if p > 1:
+        new_re, new_im = xall_re[t:], xall_im[t:]
+    else:
+        new_re, new_im = state.hist_re, state.hist_im
+    new_state = StreamState(
+        hist_re=new_re, hist_im=new_im, tail=tails[-1], max_abs=max_abs
+    )
     return new_state, y
 
 
@@ -210,7 +221,8 @@ def reset_state(state: StreamState, reset_max: bool = True) -> StreamState:
     """Re-arm a state for a fresh stream (reference: Convproc reset via
     SoundProcessor::Reset, sound-processor.cc:139-145)."""
     return StreamState(
-        hist=jnp.zeros_like(state.hist),
+        hist_re=jnp.zeros_like(state.hist_re),
+        hist_im=jnp.zeros_like(state.hist_im),
         tail=jnp.zeros_like(state.tail),
         max_abs=jnp.zeros_like(state.max_abs) if reset_max else state.max_abs,
     )

@@ -129,8 +129,8 @@ def _local_chunk_step(bank_spec, state, x, n_valid, *, fragm, k1_n, axis_name):
     n = 2 * b
 
     xr, xi = _local_fft_rows(x, n, k1_n, freq_idx)  # [T, Cin, Klocal]
-    xf = jnp.stack([xr, xi], axis=2)
-    xall = jnp.concatenate([state.hist, xf], axis=0)
+    xall_re = jnp.concatenate([state.hist_re, xr], axis=0)
+    xall_im = jnp.concatenate([state.hist_im, xi], axis=0)
 
     cout = bank_spec.shape[2]
     klocal = bank_spec.shape[4]
@@ -140,8 +140,8 @@ def _local_chunk_step(bank_spec, state, x, n_valid, *, fragm, k1_n, axis_name):
     y_im = jnp.zeros((t, cout, klocal), dtype=jnp.float32)
     for pi in range(p):
         off = (p - 1) - pi
-        xs = xall[off : off + t]
-        xr_, xi_ = xs[:, :, 0], xs[:, :, 1]
+        xr_ = xall_re[off : off + t]
+        xi_ = xall_im[off : off + t]
         hr, hi = bank_spec[pi, :, :, 0], bank_spec[pi, :, :, 1]
         rr = jnp.einsum("tik,iok->tok", xr_, hr, precision=_PRECISION)
         ii = jnp.einsum("tik,iok->tok", xi_, hi, precision=_PRECISION)
@@ -161,8 +161,14 @@ def _local_chunk_step(bank_spec, state, x, n_valid, *, fragm, k1_n, axis_name):
     valid = frame_idx < n_valid
     max_abs = jnp.maximum(state.max_abs, jnp.max(jnp.where(valid, jnp.abs(y), 0.0)))
 
-    new_hist = xall[t:] if p > 1 else state.hist
-    return StreamState(hist=new_hist, tail=tails[-1], max_abs=max_abs), y
+    if p > 1:
+        new_re, new_im = xall_re[t:], xall_im[t:]
+    else:
+        new_re, new_im = state.hist_re, state.hist_im
+    return (
+        StreamState(hist_re=new_re, hist_im=new_im, tail=tails[-1], max_abs=max_abs),
+        y,
+    )
 
 
 def make_sharded_serving_step(mesh: Mesh, fragm: int):
@@ -186,44 +192,48 @@ def make_sharded_serving_step(mesh: Mesh, fragm: int):
     k1_n = plan.m1 // freq_size
 
     spec_h = P("stream", None, None, None, None, "freq")
-    spec_hist = P("stream", None, None, None, "freq")
+    spec_hist = P("stream", None, None, "freq")
     spec_tail = P("stream", None, None)
     spec_scalar = P("stream")
     spec_x = P("stream", None, None, None)
     spec_y = P("stream", None, None, None)
 
-    def step(h_spec, hist, tail, max_abs, x, n_valid):
-        def local(h_spec, hist, tail, max_abs, x, n_valid):
-            def one(hs, hi, ta, ma, xx, nv):
-                st = StreamState(hist=hi, tail=ta, max_abs=ma)
+    def step(h_spec, hist_re, hist_im, tail, max_abs, x, n_valid):
+        def local(h_spec, hist_re, hist_im, tail, max_abs, x, n_valid):
+            def one(hs, hre, him, ta, ma, xx, nv):
+                st = StreamState(hist_re=hre, hist_im=him, tail=ta, max_abs=ma)
                 st2, y = _local_chunk_step(
                     hs, st, xx, nv, fragm=fragm, k1_n=k1_n, axis_name="freq"
                 )
-                return st2.hist, st2.tail, st2.max_abs, y
+                return st2.hist_re, st2.hist_im, st2.tail, st2.max_abs, y
 
-            return jax.vmap(one)(h_spec, hist, tail, max_abs, x, n_valid)
+            return jax.vmap(one)(h_spec, hist_re, hist_im, tail, max_abs, x, n_valid)
 
         return _shard_map(
             local,
             mesh=mesh,
-            in_specs=(spec_h, spec_hist, spec_tail, spec_scalar, spec_x, spec_scalar),
-            out_specs=(spec_hist, spec_tail, spec_scalar, spec_y),
-            # The fori_loop carry starts from constant zeros (unvarying)
-            # and becomes shard-varying after the first MAC; skip the
+            in_specs=(
+                spec_h, spec_hist, spec_hist, spec_tail, spec_scalar,
+                spec_x, spec_scalar,
+            ),
+            out_specs=(spec_hist, spec_hist, spec_tail, spec_scalar, spec_y),
+            # The loop carry starts from constant zeros (unvarying) and
+            # becomes shard-varying after the first MAC; skip the
             # varying-manual-axes check rather than pcast-ing the seed.
             check_vma=False,
-        )(h_spec, hist, tail, max_abs, x, n_valid)
+        )(h_spec, hist_re, hist_im, tail, max_abs, x, n_valid)
 
     return jax.jit(step)
 
 
-def shard_states_and_bank(mesh: Mesh, h_spec, hist, tail, max_abs, x, n_valid):
+def shard_states_and_bank(mesh: Mesh, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid):
     """Place global arrays with the serving shardings (helper for callers
     that build inputs on host)."""
     put = lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec))
     return (
         put(h_spec, P("stream", None, None, None, None, "freq")),
-        put(hist, P("stream", None, None, None, "freq")),
+        put(hist_re, P("stream", None, None, "freq")),
+        put(hist_im, P("stream", None, None, "freq")),
         put(tail, P("stream", None, None)),
         put(max_abs, P("stream")),
         put(x, P("stream", None, None, None)),

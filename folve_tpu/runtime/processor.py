@@ -88,7 +88,8 @@ class SoundProcessor:
 
         self._max_out = 0.0
         self._state = StreamState(
-            hist=self._state.hist,
+            hist_re=self._state.hist_re,
+            hist_im=self._state.hist_im,
             tail=self._state.tail,
             max_abs=jnp.zeros((), dtype=jnp.float32),
         )

@@ -20,13 +20,14 @@ from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac
 )
 def test_matches_xla_path(rng, p, cin, cout, k, t):
     h = rng.standard_normal((p, cin, cout, 2, k)).astype(np.float32)
-    xall = rng.standard_normal((t + p - 1, cin, 2, k)).astype(np.float32)
+    xall_re = rng.standard_normal((t + p - 1, cin, k)).astype(np.float32)
+    xall_im = rng.standard_normal((t + p - 1, cin, k)).astype(np.float32)
     st.set_mac_impl("xla")
     try:
-        ref = jax.jit(lambda h, x: st._fdl_mac(h, x, t))(h, xall)
+        ref = jax.jit(lambda h, xr, xi: st._fdl_mac(h, xr, xi, t))(h, xall_re, xall_im)
     finally:
         st.set_mac_impl("auto")
-    got = pallas_fdl_mac(h, xall, t, interpret=True)
+    got = pallas_fdl_mac(h, xall_re, xall_im, t, interpret=True)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
 
@@ -34,8 +35,9 @@ def test_matches_xla_path(rng, p, cin, cout, k, t):
 def test_vmapped_batching(rng):
     p, cin, cout, k, t, s = 4, 2, 2, 512, 3, 5
     h = rng.standard_normal((p, cin, cout, 2, k)).astype(np.float32)
-    xb = rng.standard_normal((s, t + p - 1, cin, 2, k)).astype(np.float32)
-    got = jax.vmap(lambda xa: pallas_fdl_mac(h, xa, t, interpret=True))(xb)
+    xbr = rng.standard_normal((s, t + p - 1, cin, k)).astype(np.float32)
+    xbi = rng.standard_normal((s, t + p - 1, cin, k)).astype(np.float32)
+    got = jax.vmap(lambda xr, xi: pallas_fdl_mac(h, xr, xi, t, interpret=True))(xbr, xbi)
     for i in range(s):
-        ref = pallas_fdl_mac(h, xb[i], t, interpret=True)
+        ref = pallas_fdl_mac(h, xbr[i], xbi[i], t, interpret=True)
         np.testing.assert_allclose(np.asarray(got[0][i]), np.asarray(ref[0]), atol=1e-5)

@@ -28,24 +28,25 @@ def _build_inputs(rng, s, t, fragm, size):
         banks.append(compile_filter_bank(ir, fragm=fragm, size=size))
     h_spec = np.stack([np.asarray(b.h_spec) for b in banks])
     st0 = init_state(banks[0])
-    hist = np.zeros((s,) + st0.hist.shape, np.float32)
+    hist_re = np.zeros((s,) + st0.hist_re.shape, np.float32)
+    hist_im = np.zeros((s,) + st0.hist_im.shape, np.float32)
     tail = np.zeros((s,) + st0.tail.shape, np.float32)
     max_abs = np.zeros((s,), np.float32)
     x = rng.standard_normal((s, t, 2, fragm)).astype(np.float32)
     n_valid = np.full((s,), t * fragm, np.int32)
-    return banks, irs, h_spec, hist, tail, max_abs, x, n_valid
+    return banks, irs, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid
 
 
 @pytest.mark.parametrize("freq_parallel", [1, 2, 4])
 def test_sharded_matches_single_device(rng, has8, freq_parallel):
     fragm, size, s, t = 128, 512, 8, 3
     mesh = make_serving_mesh(8, freq_parallel=freq_parallel)
-    banks, irs, h_spec, hist, tail, max_abs, x, n_valid = _build_inputs(
+    banks, irs, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid = _build_inputs(
         rng, s, t, fragm, size
     )
     step = make_sharded_serving_step(mesh, fragm)
-    args = shard_states_and_bank(mesh, h_spec, hist, tail, max_abs, x, n_valid)
-    new_hist, new_tail, new_max, y = step(*args)
+    args = shard_states_and_bank(mesh, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid)
+    new_re, new_im, new_tail, new_max, y = step(*args)
 
     # Reference: per-stream single-device chunk_step.
     for i in range(s):
@@ -64,15 +65,15 @@ def test_sharded_streaming_continuity(rng, has8):
     """Two sharded steps equal one long convolution."""
     fragm, size, s = 128, 384, 8
     mesh = make_serving_mesh(8, freq_parallel=2)
-    banks, irs, h_spec, hist, tail, max_abs, x, n_valid = _build_inputs(
+    banks, irs, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid = _build_inputs(
         rng, s, 4, fragm, size
     )
     step = make_sharded_serving_step(mesh, fragm)
-    args = shard_states_and_bank(mesh, h_spec, hist, tail, max_abs, x[:, :2], n_valid)
-    h1, t1, m1, y1 = step(*args)
-    args2 = shard_states_and_bank(mesh, h_spec, np.asarray(h1), np.asarray(t1),
-                                  np.asarray(m1), x[:, 2:], n_valid)
-    h2, t2, m2, y2 = step(*args2)
+    args = shard_states_and_bank(mesh, h_spec, hist_re, hist_im, tail, max_abs, x[:, :2], n_valid)
+    r1, i1, t1, m1, y1 = step(*args)
+    args2 = shard_states_and_bank(mesh, h_spec, np.asarray(r1), np.asarray(i1),
+                                  np.asarray(t1), np.asarray(m1), x[:, 2:], n_valid)
+    r2, i2, t2, m2, y2 = step(*args2)
     y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
     for i in range(s):
         flat = x[i].transpose(0, 2, 1).reshape(-1, 2)
