@@ -70,6 +70,7 @@ def compile_filter_bank(
     ir: np.ndarray,
     fragm: Optional[int] = None,
     size: Optional[int] = None,
+    layout: str = "half",
 ) -> FilterBank:
     """Compile a dense impulse-response tensor into a :class:`FilterBank`.
 
@@ -80,6 +81,9 @@ def compile_filter_bank(
     ``size``: declared filter length (the ``maxsize`` field of
     ``/convolver/new``); defaults to ``L``.  ``fragm`` defaults to the
     reference's derivation from ``size`` (zita-fconfig.cc:74-77).
+    ``layout``: "half" (default) stores only the conjugate-symmetric
+    half-spectrum rectangle (halves MAC traffic; see engine.rfft);
+    "full" keeps all bins (required by the freq-sharded serving path).
     """
     ir = np.asarray(ir, dtype=np.float32)
     if ir.ndim != 3:
@@ -105,7 +109,7 @@ def compile_filter_bank(
     # Full DFT of each partition zero-padded to 2*fragm, then reorder into
     # the engine's permuted Cooley-Tukey bin layout.
     spec = np.fft.fft(parts, n=2 * fragm, axis=-1)
-    spec = permute_spectrum(spec, 2 * fragm)
+    spec = permute_spectrum(spec, 2 * fragm, half=(layout == "half"))
     # [Cin, Cout, P, K] -> [P, Cin, Cout, 2, K] real/imag planes.
     spec = np.transpose(spec, (2, 0, 1, 3))
     planes = np.stack([spec.real, spec.imag], axis=3).astype(np.float32)

@@ -38,18 +38,24 @@ _MAX_KT = 2048
 _MIN_KT = 128
 
 
+def _fits(p, cin, cout, t, kt):
+    h_bytes = p * cin * cout * 2 * kt * 4
+    x_bytes = (t + p - 1) * cin * 2 * kt * 4
+    y_bytes = 2 * t * cout * kt * 4
+    return h_bytes + x_bytes + y_bytes <= _VMEM_BUDGET
+
+
 def _pick_tile(p: int, cin: int, cout: int, t: int, k: int) -> int:
-    kt = min(k, _MAX_KT)
-    while kt > _MIN_KT:
-        h_bytes = p * cin * cout * 2 * kt * 4
-        x_bytes = (t + p - 1) * cin * 2 * kt * 4
-        y_bytes = 2 * t * cout * kt * 4
-        if h_bytes + x_bytes + y_bytes <= _VMEM_BUDGET or kt == _MIN_KT:
-            break
-        if k % (kt // 2):
-            break
-        kt //= 2
-    return kt
+    """Largest divisor of k within [_MIN_KT, _MAX_KT] that fits the VMEM
+    budget (k is a power of two for full-spectrum banks, m1*(m2/2+1)
+    for half-spectrum ones — any divisor tiles correctly)."""
+    divisors = sorted(
+        (d for d in range(1, k + 1) if k % d == 0 and d <= _MAX_KT), reverse=True
+    )
+    for d in divisors:
+        if d <= _MIN_KT or _fits(p, cin, cout, t, d):
+            return d
+    return divisors[-1] if divisors else k
 
 
 def _kernel(h_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, p, cin, cout, t):

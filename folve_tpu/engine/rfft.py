@@ -83,11 +83,24 @@ def get_plan(n: int) -> FFTPlan:
     )
 
 
-def fft_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def half_bins(n: int) -> int:
+    """Bin count of the half-spectrum rectangle: k2 <= M2/2 of the
+    permuted [k1, k2] grid — a superset of the rfft half spectrum
+    (real input implies X[N-k] = conj(X[k]); storing only these bins
+    halves the frequency-domain MAC's memory traffic)."""
+    plan = get_plan(n)
+    return plan.m1 * (plan.m2 // 2 + 1)
+
+
+def fft_real(
+    x: jnp.ndarray, n: int, half: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward DFT of a real signal, permuted-layout output.
 
     ``x``: float ``[..., L]`` with L <= n (zero-padded to n).
-    Returns ``(re, im)`` each ``[..., n]`` in permuted bin order.
+    Returns ``(re, im)`` each ``[..., n]`` in permuted bin order, or
+    ``[..., half_bins(n)]`` when ``half`` (stage 2 computes only the
+    k2 <= M2/2 columns).
     """
     plan = get_plan(n)
     m1, m2 = plan.m1, plan.m2
@@ -107,17 +120,21 @@ def fft_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     tr, ti = plan.tw_re, plan.tw_im
     t_r = s1r * tr - s1i * ti
     t_i = s1r * ti + s1i * tr
-    # Stage 2: X = T @ F2 (contract n2).
+    # Stage 2: X = T @ F2 (contract n2); in half mode only the first
+    # M2/2+1 output columns are produced.
+    cols = m2 // 2 + 1 if half else m2
+    f2_re, f2_im = plan.f2_re[:, :cols], plan.f2_im[:, :cols]
     xr = (
-        jnp.einsum("...km,ml->...kl", t_r, plan.f2_re, precision=_PRECISION)
-        - jnp.einsum("...km,ml->...kl", t_i, plan.f2_im, precision=_PRECISION)
+        jnp.einsum("...km,ml->...kl", t_r, f2_re, precision=_PRECISION)
+        - jnp.einsum("...km,ml->...kl", t_i, f2_im, precision=_PRECISION)
     )
     xi = (
-        jnp.einsum("...km,ml->...kl", t_r, plan.f2_im, precision=_PRECISION)
-        + jnp.einsum("...km,ml->...kl", t_i, plan.f2_re, precision=_PRECISION)
+        jnp.einsum("...km,ml->...kl", t_r, f2_im, precision=_PRECISION)
+        + jnp.einsum("...km,ml->...kl", t_i, f2_re, precision=_PRECISION)
     )
     batch = x.shape[:-1]
-    return xr.reshape(*batch, n), xi.reshape(*batch, n)
+    out = m1 * cols
+    return xr.reshape(*batch, out), xi.reshape(*batch, out)
 
 
 def ifft_to_real(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -151,11 +168,50 @@ def ifft_to_real(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
     return (out / n).reshape(*xr.shape[:-1], n)
 
 
-def permute_spectrum(spec: np.ndarray, n: int) -> np.ndarray:
+def reconstruct_full(
+    xr: jnp.ndarray, xi: jnp.ndarray, n: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rebuild the full permuted spectrum of a *real* signal from its
+    half-spectrum rectangle via conjugate symmetry.
+
+    With bin k = k1 + M1*k2 and X[N-k] = conj(X[k]), the missing
+    columns k2 in [M2/2+1, M2) satisfy
+      X[k1, k2] = conj(X[M1-k1, M2-1-k2])   for k1 > 0,
+      X[0,  k2] = conj(X[0,     M2-k2]),
+    both of which live inside the stored k2 <= M2/2 rectangle.
+    """
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    cols = m2 // 2 + 1
+    take = m2 - cols  # number of missing columns
+    batch = xr.shape[:-1]
+    ar = xr.reshape(*batch, m1, cols)
+    ai = xi.reshape(*batch, m1, cols)
+    # Rows k1 -> (m1-k1) % m1 == roll(flip(rows), 1).
+    mr = jnp.roll(jnp.flip(ar, axis=-2), 1, axis=-2)
+    mi = jnp.roll(jnp.flip(ai, axis=-2), 1, axis=-2)
+    # Columns for k1>0 rows: k2' = m2-1-k2 in [0, take-1] -> slice+flip.
+    rec_r = jnp.flip(mr[..., :take], axis=-1)
+    rec_i = -jnp.flip(mi[..., :take], axis=-1)
+    # Row k1 = 0 mirrors within itself with k2' = m2-k2 in [1, take].
+    row0_r = jnp.flip(ar[..., 0:1, 1 : take + 1], axis=-1)
+    row0_i = -jnp.flip(ai[..., 0:1, 1 : take + 1], axis=-1)
+    rec_r = jnp.concatenate([row0_r, rec_r[..., 1:, :]], axis=-2)
+    rec_i = jnp.concatenate([row0_i, rec_i[..., 1:, :]], axis=-2)
+    fr = jnp.concatenate([ar, rec_r], axis=-1)
+    fi = jnp.concatenate([ai, rec_i], axis=-1)
+    return fr.reshape(*batch, n), fi.reshape(*batch, n)
+
+
+def permute_spectrum(spec: np.ndarray, n: int, half: bool = False) -> np.ndarray:
     """Reorder a natural-order complex spectrum [..., n] (host numpy) into
-    the permuted [k1, k2] layout produced by :func:`fft_real`."""
+    the permuted [k1, k2] layout produced by :func:`fft_real`; with
+    ``half``, keep only the k2 <= M2/2 rectangle."""
     plan = get_plan(n)
     m1, m2 = plan.m1, plan.m2
     # P[k1, k2] = spec[k1 + M1*k2]; spec.reshape(M2, M1) indexes [k2, k1].
-    mat = spec.reshape(*spec.shape[:-1], m2, m1)
-    return np.swapaxes(mat, -1, -2).reshape(*spec.shape[:-1], n)
+    mat = np.swapaxes(spec.reshape(*spec.shape[:-1], m2, m1), -1, -2)
+    if half:
+        cols = m2 // 2 + 1
+        return mat[..., :cols].reshape(*spec.shape[:-1], m1 * cols)
+    return mat.reshape(*spec.shape[:-1], n)

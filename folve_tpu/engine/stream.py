@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from folve_tpu.engine.filter_bank import FilterBank
-from folve_tpu.engine.rfft import fft_real, ifft_to_real
+from folve_tpu.engine.rfft import fft_real, half_bins, ifft_to_real, reconstruct_full
 
 _PRECISION = lax.Precision.HIGHEST
 
@@ -176,8 +176,10 @@ def chunk_step(
     if n_valid is None:
         n_valid = t * b
 
-    # 1. Block spectra: DFT of each block zero-padded to 2*fragm.
-    xr, xi = fft_real(x.astype(jnp.float32), 2 * b)  # each [T, Cin, K]
+    # 1. Block spectra: DFT of each block zero-padded to 2*fragm.  The
+    # bank's bin count says whether it was compiled half- or full-layout.
+    half = k == half_bins(2 * b) and k != 2 * b
+    xr, xi = fft_real(x.astype(jnp.float32), 2 * b, half=half)  # [T, Cin, K]
 
     # 2. FDL MAC against all partitions, fully parallel across T.
     xall_re = jnp.concatenate([state.hist_re, xr], axis=0)  # [T+P-1, Cin, K]
@@ -185,6 +187,8 @@ def chunk_step(
     y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t)
 
     # 3. Inverse FFT + overlap-add between consecutive blocks.
+    if half:
+        y_re, y_im = reconstruct_full(y_re, y_im, 2 * b)
     y2 = ifft_to_real(y_re, y_im, 2 * b)  # [T, Cout, 2B]
     heads = y2[:, :, :b]
     tails = y2[:, :, b:]

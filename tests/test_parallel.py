@@ -25,7 +25,7 @@ def _build_inputs(rng, s, t, fragm, size):
     for i in range(s):
         ir = rng.standard_normal((2, 2, size)).astype(np.float32) / np.sqrt(size)
         irs.append(ir)
-        banks.append(compile_filter_bank(ir, fragm=fragm, size=size))
+        banks.append(compile_filter_bank(ir, fragm=fragm, size=size, layout="full"))
     h_spec = np.stack([np.asarray(b.h_spec) for b in banks])
     st0 = init_state(banks[0])
     hist_re = np.zeros((s,) + st0.hist_re.shape, np.float32)
