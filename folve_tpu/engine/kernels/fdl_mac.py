@@ -48,9 +48,15 @@ def _fits(p, cin, cout, t, kt):
 def _pick_tile(p: int, cin: int, cout: int, t: int, k: int) -> int:
     """Largest divisor of k within [_MIN_KT, _MAX_KT] that fits the VMEM
     budget (k is a power of two for full-spectrum banks, m1*(m2/2+1)
-    for half-spectrum ones — any divisor tiles correctly)."""
+    for half-spectrum ones).  Mosaic requires the lane (last) block dim
+    to be a multiple of 128 unless it equals the full array dim."""
     divisors = sorted(
-        (d for d in range(1, k + 1) if k % d == 0 and d <= _MAX_KT), reverse=True
+        (
+            d
+            for d in range(1, k + 1)
+            if k % d == 0 and d <= _MAX_KT and (d % 128 == 0 or d == k)
+        ),
+        reverse=True,
     )
     for d in divisors:
         if d <= _MIN_KT or _fits(p, cin, cout, t, d):
@@ -58,19 +64,45 @@ def _pick_tile(p: int, cin: int, cout: int, t: int, k: int) -> int:
     return divisors[-1] if divisors else k
 
 
+# Above this partition count the kernel loops with lax.fori_loop instead
+# of a Python unroll — a P=128 (MAXSIZE) unroll took minutes to compile.
+_UNROLL_LIMIT = 32
+
+
 def _kernel(h_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, p, cin, cout, t):
+    acc_shape = yr_ref.shape[0:1] + yr_ref.shape[2:]
     for o in range(cout):
-        acc_r = jnp.zeros(yr_ref.shape[0:1] + yr_ref.shape[2:], jnp.float32)
-        acc_i = jnp.zeros_like(acc_r)
-        for pi in range(p):
-            off = (p - 1) - pi
-            for i in range(cin):
-                xr = xr_ref[pl.ds(off, t), i, :]
-                xi = xi_ref[pl.ds(off, t), i, :]
-                hr = h_ref[pi, i, o, 0, :]
-                hi = h_ref[pi, i, o, 1, :]
-                acc_r = acc_r + (xr * hr - xi * hi)
-                acc_i = acc_i + (xr * hi + xi * hr)
+        if p <= _UNROLL_LIMIT:
+            acc_r = jnp.zeros(acc_shape, jnp.float32)
+            acc_i = jnp.zeros_like(acc_r)
+            for pi in range(p):
+                off = (p - 1) - pi
+                for i in range(cin):
+                    xr = xr_ref[pl.ds(off, t), i, :]
+                    xi = xi_ref[pl.ds(off, t), i, :]
+                    hr = h_ref[pi, i, o, 0, :]
+                    hi = h_ref[pi, i, o, 1, :]
+                    acc_r = acc_r + (xr * hr - xi * hi)
+                    acc_i = acc_i + (xr * hi + xi * hr)
+        else:
+            def body(pi, acc):
+                acc_r, acc_i = acc
+                off = (p - 1) - pi
+                for i in range(cin):
+                    xr = xr_ref[pl.ds(off, t), i, :]
+                    xi = xi_ref[pl.ds(off, t), i, :]
+                    hr = h_ref[pi, i, o, 0, :]
+                    hi = h_ref[pi, i, o, 1, :]
+                    acc_r = acc_r + (xr * hr - xi * hi)
+                    acc_i = acc_i + (xr * hi + xi * hr)
+                return acc_r, acc_i
+
+            acc_r, acc_i = jax.lax.fori_loop(
+                0,
+                p,
+                body,
+                (jnp.zeros(acc_shape, jnp.float32), jnp.zeros(acc_shape, jnp.float32)),
+            )
         yr_ref[:, o, :] = acc_r
         yi_ref[:, o, :] = acc_i
 

@@ -41,3 +41,19 @@ def test_vmapped_batching(rng):
     for i in range(s):
         ref = pallas_fdl_mac(h, xbr[i], xbi[i], t, interpret=True)
         np.testing.assert_allclose(np.asarray(got[0][i]), np.asarray(ref[0]), atol=1e-5)
+
+
+def test_large_p_fori_path(rng):
+    """P > unroll limit exercises the in-kernel fori_loop."""
+    p, cin, cout, k, t = 40, 1, 1, 256, 2
+    h = rng.standard_normal((p, cin, cout, 2, k)).astype(np.float32)
+    xr = rng.standard_normal((t + p - 1, cin, k)).astype(np.float32)
+    xi = rng.standard_normal((t + p - 1, cin, k)).astype(np.float32)
+    st.set_mac_impl("xla")
+    try:
+        ref = jax.jit(lambda h, a, b: st._fdl_mac(h, a, b, t))(h, xr, xi)
+    finally:
+        st.set_mac_impl("auto")
+    got = pallas_fdl_mac(h, xr, xi, t, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
