@@ -165,6 +165,54 @@ def cmd_convolve(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Inspect an audio file or a filter config."""
+    if args.path.endswith(".conf"):
+        from folve_tpu.filters import parse_config
+
+        spec = parse_config(args.path)
+        conv = spec.convolver
+        if conv is None:
+            print("no /convolver/new declaration (pass-through candidate)")
+        else:
+            from folve_tpu.engine.constants import derive_fragm, num_partitions
+
+            fragm = derive_fragm(conv.size)
+            print(
+                f"convolver: {conv.ninp}x{conv.nout}, size {conv.size} taps, "
+                f"fragm {fragm}, {num_partitions(conv.size, fragm)} partitions"
+            )
+            print(f"{len(spec.ops)} impulse op(s)")
+        for w in spec.warnings:
+            print(f"warning: {w}")
+        return 0
+    from folve_tpu.audio import read_audio_info
+
+    info = read_audio_info(args.path)
+    print(
+        f"{info.container.value}: {info.rate} Hz, {info.channels} ch, "
+        f"{info.bits_per_sample} bit, {info.frames} frames "
+        f"({info.duration_seconds:.2f}s)"
+    )
+    return 0
+
+
+def cmd_filters(args) -> int:
+    """List selectable filters and their per-rate configs."""
+    from folve_tpu.filters import list_config_dirs
+
+    base = os.path.realpath(args.config_dir)
+    for name in sorted(list_config_dirs(base)):
+        label = name if name else "(pass-through)"
+        print(label)
+        if name:
+            d = os.path.join(base, name)
+            for conf in sorted(os.listdir(d)):
+                if conf.startswith("filter-") and conf.endswith(".conf"):
+                    print(f"  {conf}")
+    return 0
+
+
 def cmd_make_demo_filters(args) -> int:
     from folve_tpu.tools.make_demo_filters import make_all
 
@@ -212,6 +260,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("make-demo-filters", help="generate demo filter set")
     p.add_argument("target", nargs="?", default="demo-filters")
     p.set_defaults(func=cmd_make_demo_filters)
+
+    p = sub.add_parser("info", help="inspect an audio file or .conf filter")
+    p.add_argument("path")
+    p.set_defaults(func=cmd_info)
+
+    p = sub.add_parser("filters", help="list selectable filters in a config dir")
+    p.add_argument("-C", "--config-dir", required=True)
+    p.set_defaults(func=cmd_filters)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -135,20 +135,42 @@ def _local_chunk_step(bank_spec, state, x, n_valid, *, fragm, k1_n, axis_name):
     cout = bank_spec.shape[2]
     klocal = bank_spec.shape[4]
 
-    # Static Python unroll over partitions (see engine.stream._fdl_mac).
-    y_re = jnp.zeros((t, cout, klocal), dtype=jnp.float32)
-    y_im = jnp.zeros((t, cout, klocal), dtype=jnp.float32)
-    for pi in range(p):
-        off = (p - 1) - pi
-        xr_ = xall_re[off : off + t]
-        xi_ = xall_im[off : off + t]
-        hr, hi = bank_spec[pi, :, :, 0], bank_spec[pi, :, :, 1]
-        rr = jnp.einsum("tik,iok->tok", xr_, hr, precision=_PRECISION)
-        ii = jnp.einsum("tik,iok->tok", xi_, hi, precision=_PRECISION)
-        ri = jnp.einsum("tik,iok->tok", xr_, hi, precision=_PRECISION)
-        ir = jnp.einsum("tik,iok->tok", xi_, hr, precision=_PRECISION)
-        y_re = y_re + (rr - ii)
-        y_im = y_im + (ri + ir)
+    # Static Python unroll over partitions; elementwise channel chains
+    # for small channel counts (see engine.stream._fdl_mac — XLA lowers
+    # the tiny contraction poorly on TPU), einsum for many channels or
+    # on CPU (virtual-mesh tests) where einsum traces/compiles faster.
+    from folve_tpu.engine.stream import _is_tpu_backend
+
+    cin = bank_spec.shape[1]
+    if cin * cout <= 16 and _is_tpu_backend():
+        acc_r = [jnp.zeros((t, klocal), jnp.float32) for _ in range(cout)]
+        acc_i = [jnp.zeros((t, klocal), jnp.float32) for _ in range(cout)]
+        for pi in range(p):
+            off = (p - 1) - pi
+            for o in range(cout):
+                for i in range(cin):
+                    xr_ = xall_re[off : off + t, i]
+                    xi_ = xall_im[off : off + t, i]
+                    hr = bank_spec[pi, i, o, 0]
+                    hi = bank_spec[pi, i, o, 1]
+                    acc_r[o] = acc_r[o] + (xr_ * hr - xi_ * hi)
+                    acc_i[o] = acc_i[o] + (xr_ * hi + xi_ * hr)
+        y_re = jnp.stack(acc_r, axis=1)
+        y_im = jnp.stack(acc_i, axis=1)
+    else:
+        y_re = jnp.zeros((t, cout, klocal), dtype=jnp.float32)
+        y_im = jnp.zeros((t, cout, klocal), dtype=jnp.float32)
+        for pi in range(p):
+            off = (p - 1) - pi
+            xr_ = xall_re[off : off + t]
+            xi_ = xall_im[off : off + t]
+            hr, hi = bank_spec[pi, :, :, 0], bank_spec[pi, :, :, 1]
+            rr = jnp.einsum("tik,iok->tok", xr_, hr, precision=_PRECISION)
+            ii = jnp.einsum("tik,iok->tok", xi_, hi, precision=_PRECISION)
+            ri = jnp.einsum("tik,iok->tok", xr_, hi, precision=_PRECISION)
+            ir = jnp.einsum("tik,iok->tok", xi_, hr, precision=_PRECISION)
+            y_re = y_re + (rr - ii)
+            y_im = y_im + (ri + ir)
 
     y2 = _local_ifft_psum(y_re, y_im, n, k1_n, freq_idx, axis_name)  # [T, Cout, 2B]
     heads, tails = y2[:, :, :b], y2[:, :, b:]

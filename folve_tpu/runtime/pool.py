@@ -75,6 +75,10 @@ class ProcessorPool:
                 # Drop stale cached banks for the same path.
                 for k in [k for k in self._bank_cache if k[0] == config_path and k != key]:
                     del self._bank_cache[k]
+                # Bound HBM held by compiled spectra (simple FIFO evict;
+                # a long-IR bank is ~P*Cin*Cout*2*K*4 bytes).
+                while len(self._bank_cache) > 16:
+                    self._bank_cache.pop(next(iter(self._bank_cache)))
         return SoundProcessor(compiled, config_path, scheduler=self.scheduler)
 
     def return_processor(self, processor: Optional[SoundProcessor]) -> None:

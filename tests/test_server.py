@@ -280,3 +280,27 @@ class TestMetadataCarryover:
             out += d
         assert read_flac_metadata(out)["TITLE"] == "Original"
         fs.close_handler("/tagged.flac", h)
+
+
+class TestCliUtilities:
+    def test_info_audio_and_conf(self, tmp_path, capsys):
+        from folve_tpu.cli import main
+
+        fs, src = make_fs(tmp_path)
+        write_song(src, "a.flac", 4410)
+        assert main(["info", str(src / "a.flac")]) == 0
+        out = capsys.readouterr().out
+        assert "44100 Hz" in out and "4410 frames" in out
+        conf = str(tmp_path / "filters" / "echo" / f"filter-{RATE}.conf")
+        assert main(["info", conf]) == 0
+        out = capsys.readouterr().out
+        assert "2x2" in out and "4 impulse op(s)" in out
+
+    def test_filters_listing(self, tmp_path, capsys):
+        from folve_tpu.cli import main
+
+        fs, src = make_fs(tmp_path)
+        assert main(["filters", "-C", str(tmp_path / "filters")]) == 0
+        out = capsys.readouterr().out
+        assert "echo" in out and "(pass-through)" in out
+        assert f"filter-{RATE}.conf" in out
