@@ -28,6 +28,13 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
+    try:  # reuse compilations across driver rounds (first compile through
+        # the remote-compile tunnel can take minutes)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/folve_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from folve_tpu.engine import (
         chunk_step,
         compile_filter_bank,
