@@ -37,6 +37,14 @@ def _add_common_fs_flags(p: argparse.ArgumentParser) -> None:
 def _build_fs(args, underlying_dir: str):
     from folve_tpu.runtime.filesystem import FolveFilesystem
 
+    try:  # reuse XLA compilations across restarts (new filter shapes
+        # otherwise stall the first stream for the compile)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/folve_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     if args.debug:
         logging.basicConfig(level=logging.DEBUG)
     prebuffer = args.prebuffer

@@ -60,9 +60,12 @@ class BufferThread:
             self._queue = [it for it in self._queue if it.buffer is not buffer]
 
     def _run(self) -> None:
-        # The reference runs this niced + SCHED_IDLE (util.cc:88-116);
-        # CPython daemon threads have no priority API, so rely on the GIL
-        # release during IO/device work plus os.sched_yield.
+        # The reference runs this niced + SCHED_IDLE (util.cc:88-116).
+        # On Linux, setpriority(who=0) applies to the calling *thread*.
+        try:
+            os.setpriority(os.PRIO_PROCESS, 0, 10)
+        except (OSError, AttributeError):
+            pass
         while True:
             with self._mutex:
                 while not self._queue:

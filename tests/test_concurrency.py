@@ -1,0 +1,149 @@
+"""Concurrency stress: parallel readers, prefetch, gapless under load.
+
+The reference's concurrency discipline is hand-rolled mutexes with
+documented deadlock avoidance (SURVEY.md §5 'race detection'); these
+tests hammer the equivalent paths.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from folve_tpu.audio.flac import read_flac
+
+from tests.test_runtime import echo_ir, expected_conv, make_fs, write_song
+
+
+def _read_all_threaded(handler, results, idx, chunk=32768):
+    out = b""
+    for _ in range(1000):
+        data = handler.read(chunk, len(out))
+        if not data:
+            break
+        out += data
+    results[idx] = out
+
+
+def test_parallel_streams_correct(tmp_path):
+    """8 files read concurrently (the FUSE-multithread model,
+    folve-main.cc:539 / README.md:362)."""
+    fs, src = make_fs(tmp_path)
+    n = 6 * 512 + 77
+    xs = [write_song(src, f"s{i}.flac", n, seed=i) for i in range(8)]
+    fs.open_file_cache.set_max_size(8)
+    handlers = [fs.get_or_create_handler(f"/s{i}.flac") for i in range(8)]
+    results = {}
+    threads = [
+        threading.Thread(target=_read_all_threaded, args=(h, results, i))
+        for i, h in enumerate(handlers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "reader thread deadlocked"
+    for i in range(8):
+        got, _ = read_flac(results[i])
+        ref = expected_conv(xs[i], echo_ir())
+        assert np.max(np.abs(got - ref)) < 2.5 / 32768, f"stream {i}"
+        fs.close_handler(f"/s{i}.flac", handlers[i])
+    # Under concurrent load the scheduler should have fused some jobs.
+    assert fs.device_scheduler.jobs > 0
+
+
+def test_concurrent_same_file_readers(tmp_path):
+    """Multiple threads reading ONE handler (kernel readahead does this);
+    fill_until serializes per stream (conversion-buffer.cc:151-163)."""
+    fs, src = make_fs(tmp_path)
+    x = write_song(src, "a.flac", 4000, seed=3)
+    h = fs.get_or_create_handler("/a.flac")
+    results = {}
+    threads = [
+        threading.Thread(target=_read_all_threaded, args=(h, results, i))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    blobs = set(results.values())
+    assert len(blobs) == 1  # all readers saw identical bytes
+    got, _ = read_flac(results[0])
+    ref = expected_conv(x, echo_ir())
+    assert np.max(np.abs(got - ref)) < 2.5 / 32768
+    fs.close_handler("/a.flac", h)
+
+
+def test_gapless_album_under_concurrent_readers(tmp_path):
+    """Gapless chain with a second thread polling stats/stat the whole
+    time (the status server + media player pattern)."""
+    fs, src = make_fs(tmp_path, gapless=True)
+    n1, n2, n3 = 512 + 100, 2 * 512 + 50, 512 + 200
+    x1 = write_song(src, "t1.flac", n1, seed=1)
+    x2 = write_song(src, "t2.flac", n2, seed=2)
+    x3 = write_song(src, "t3.flac", n3, seed=3)
+    stop = threading.Event()
+
+    def poller():
+        while not stop.is_set():
+            fs.open_file_cache.get_stats()
+            fs.stat_by_filename("/t2.flac")
+
+    t = threading.Thread(target=poller)
+    t.start()
+    try:
+        outs = []
+        for name in ("t1", "t2", "t3"):
+            h = fs.get_or_create_handler(f"/{name}.flac")
+            results = {}
+            _read_all_threaded(h, results, 0)
+            outs.append(results[0])
+            fs.close_handler(f"/{name}.flac", h)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    ys = [read_flac(o)[0] for o in outs]
+    ref = expected_conv(np.concatenate([x1, x2, x3]), echo_ir())
+    got = np.concatenate(ys)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 2.5 / 32768
+
+
+def test_demo_reverb_filter_end_to_end(tmp_path):
+    """Generated demo reverb (real IR file, /impulse/read + dirac mix)
+    through the full pipeline."""
+    from folve_tpu.filters import compile_config_file, resolve_filter_config
+    from folve_tpu.tools.make_demo_filters import make_reverb
+
+    rate = 8000
+    make_reverb(str(tmp_path / "filters"), rate=rate, seconds=2.0)
+    conf = resolve_filter_config(str(tmp_path / "filters" / "reverb"), rate, 2, 16)
+    assert conf
+    cf = compile_config_file(conf, fsamp=rate)
+    # dry dirac mixed in: ir[0,0,0] has the 0.4 dry tap
+    assert cf.ir[0, 0, 0] != 0.0
+
+    fs, src = make_fs(tmp_path, filter_name="reverb")
+    rng = np.random.default_rng(9)
+    x = np.round(rng.uniform(-0.3, 0.3, (rate, 2)) * 32768) / 32768
+    from folve_tpu.audio.flac import write_flac
+
+    write_flac(str(src / "song.flac"), x.astype(np.float32), rate, bits=16)
+    fs.current_config_subdir = "reverb"
+    h = fs.get_or_create_handler("/song.flac")
+    results = {}
+    _read_all_threaded(h, results, 0)
+    got, info = read_flac(results[0])
+    assert info.rate == rate
+    y = np.zeros_like(x)
+    for o in range(2):
+        for i in range(2):
+            from scipy import signal
+
+            y[:, o] += signal.fftconvolve(
+                x[:, i].astype(np.float64), cf.ir[i, o].astype(np.float64)
+            )[: x.shape[0]]
+    assert np.max(np.abs(got - y)) < 3 / 32768
+    fs.close_handler("/song.flac", h)
