@@ -32,6 +32,11 @@ def _add_common_fs_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-D", "--debug", action="store_true", help="debug logging")
     p.add_argument("-R", "--readdir-dump", default="", help="readdir/stat trace log file")
     p.add_argument("--flac-block-size", type=int, default=4096, help="FLAC encoder block size")
+    p.add_argument(
+        "--workaround-flac-header", action="store_true",
+        help="never copy FLAC headers verbatim; always regenerate "
+        "(the reference's libsndfile-version workaround, folve-main.cc:295-300)",
+    )
 
 
 def _build_fs(args, underlying_dir: str):
@@ -59,6 +64,7 @@ def _build_fs(args, underlying_dir: str):
     fs.pre_buffer_size = prebuffer << 10
     fs.file_oversize_factor = args.oversize_factor
     fs.flac_block_size = args.flac_block_size
+    fs.workaround_flac_header_issue = getattr(args, "workaround_flac_header", False)
     if not fs.check_initialized():
         sys.exit("underlying dir or config dir missing / not a directory")
     fs.setup_initial_config()

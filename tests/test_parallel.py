@@ -86,3 +86,29 @@ def test_sharded_streaming_continuity(rng, has8):
         got = y[i].transpose(0, 2, 1).reshape(-1, 2)
         err = 10 * np.log10(np.sum((got - ref) ** 2) / np.sum(ref**2))
         assert err < -90
+
+
+def test_sharded_many_channels_einsum(rng, has8):
+    """Serving einsum path (cin*cout > 16) on the virtual mesh."""
+    fragm, size, s, t = 128, 256, 8, 2
+    mesh = make_serving_mesh(8, freq_parallel=2)
+    banks, irs = [], []
+    for i in range(s):
+        ir = rng.standard_normal((5, 4, size)).astype(np.float32) / 20
+        irs.append(ir)
+        banks.append(compile_filter_bank(ir, fragm=fragm, size=size, layout="full"))
+    h_spec = np.stack([np.asarray(b.h_spec) for b in banks])
+    st0 = init_state(banks[0])
+    hist_re = np.zeros((s,) + st0.hist_re.shape, np.float32)
+    hist_im = np.zeros((s,) + st0.hist_im.shape, np.float32)
+    tail = np.zeros((s,) + st0.tail.shape, np.float32)
+    max_abs = np.zeros((s,), np.float32)
+    x = rng.standard_normal((s, t, 5, fragm)).astype(np.float32)
+    n_valid = np.full((s,), t * fragm, np.int32)
+    step = make_sharded_serving_step(mesh, fragm)
+    args = shard_states_and_bank(mesh, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid)
+    _, _, _, _, y = step(*args)
+    for i in range(s):
+        st = init_state(banks[i])
+        _, ref = chunk_step(banks[i], st, x[i], int(n_valid[i]))
+        np.testing.assert_allclose(np.asarray(y)[i], np.asarray(ref), atol=3e-5)

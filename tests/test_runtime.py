@@ -511,3 +511,42 @@ def test_channel_mismatch_falls_back(tmp_path):
     assert isinstance(h, PassThroughHandler)
     assert "channels" in h.get_handler_status().message
     fs.close_handler("/mono.flac", h)
+
+
+class TestMultichannel:
+    def test_four_channel_pipeline(self, tmp_path):
+        """4x4 filter on a 4-channel WAV -> 4-channel FLAC/24
+        (channel counts beyond stereo; FLAC has no >2ch decorrelation)."""
+        conf = "/convolver/new 4 4 64 128\n" + "".join(
+            f"/impulse/dirac {c} {c} 0.5 {10 * c}\n" for c in range(1, 5)
+        )
+        fs, src = make_fs(tmp_path, conf_text=conf)
+        rng = np.random.default_rng(21)
+        x = np.round(rng.uniform(-0.4, 0.4, (1200, 4)) * 32768) / 32768
+        write_wav(str(src / "quad.wav"), x.astype(np.float32), RATE, SampleCodec.PCM_16)
+        h = fs.get_or_create_handler("/quad.wav")
+        blob = read_all(h)
+        got, info = read_audio_bytes(blob)
+        assert info.channels == 4
+        for c in range(4):
+            ref = np.zeros(1200)
+            d = 10 * (c + 1)
+            ref[d:] = 0.5 * x[: 1200 - d, c]
+            assert np.max(np.abs(got[:, c] - ref)) < 2.5 / 32768, f"ch {c}"
+        fs.close_handler("/quad.wav", h)
+
+    def test_workaround_header_mode(self, tmp_path):
+        """workaround_flac_header_issue forces regenerated headers
+        (folve-main.cc:295-300)."""
+        fs, src = make_fs(tmp_path)
+        fs.workaround_flac_header_issue = True
+        x = write_song(src, "song.flac", 900)
+        h = fs.get_or_create_handler("/song.flac")
+        blob = read_all(h)
+        got, info = read_audio_bytes(blob)
+        assert got.shape[0] == 900
+        # Regenerated header carries a real MD5 of... no - streaming mode
+        # keeps hint-based totals; just verify decode + frame count.
+        ref = expected_conv(x, echo_ir())
+        assert np.max(np.abs(got - ref)) < 2.5 / 32768
+        fs.close_handler("/song.flac", h)
