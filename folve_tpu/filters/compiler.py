@@ -16,7 +16,6 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-from folve_tpu.engine.constants import derive_fragm
 from folve_tpu.engine.filter_bank import FilterBank, compile_filter_bank
 from folve_tpu.filters.zita_parser import (
     CopyOp,

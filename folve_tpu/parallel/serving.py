@@ -21,7 +21,6 @@ Built with ``shard_map`` so the collective placement is explicit.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -35,7 +34,6 @@ try:  # JAX >= 0.6 exposes shard_map at the top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-from folve_tpu.engine.filter_bank import FilterBank
 from folve_tpu.engine.rfft import get_plan
 from folve_tpu.engine.stream import StreamState
 
@@ -204,8 +202,6 @@ def make_sharded_serving_step(mesh: Mesh, fragm: int):
     Streams shard over the ``stream`` axis; the K bin axis shards over
     ``freq`` (k1-row blocks of the permuted FFT layout).
     """
-    from jax.sharding import PartitionSpec
-
     n = 2 * fragm
     plan = get_plan(n)
     freq_size = mesh.shape["freq"]

@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import tempfile
 import threading
-from typing import Callable, Protocol
+from typing import Protocol
 
 
 class SoundSource(Protocol):

@@ -14,7 +14,7 @@ import os
 import stat as statmod
 import threading
 import time
-from typing import List, Optional, Union
+from typing import List, Optional
 
 from folve_tpu.runtime.filesystem import FolveFilesystem
 from folve_tpu.runtime.handler import FileHandler, FileStat
