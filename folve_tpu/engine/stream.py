@@ -189,7 +189,17 @@ def chunk_step(
     # 3. Inverse FFT + overlap-add between consecutive blocks.
     if half:
         y_re, y_im = reconstruct_full(y_re, y_im, 2 * b)
-    y2 = ifft_to_real(y_re, y_im, 2 * b)  # [T, Cout, 2B]
+    impl = _MAC_IMPL
+    if impl == "auto":
+        impl = "pallas" if _is_tpu_backend() else "xla"
+    if impl in ("pallas", "pallas_interpret"):
+        from folve_tpu.engine.kernels.ifft2 import pallas_ifft_to_real
+
+        y2 = pallas_ifft_to_real(
+            y_re, y_im, 2 * b, interpret=(impl == "pallas_interpret")
+        )
+    else:
+        y2 = ifft_to_real(y_re, y_im, 2 * b)  # [T, Cout, 2B]
     heads = y2[:, :, :b]
     tails = y2[:, :, b:]
     carry_in = jnp.concatenate([state.tail[None], tails[:-1]], axis=0)
