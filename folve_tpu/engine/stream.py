@@ -27,6 +27,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -186,18 +187,18 @@ def chunk_step(
     xall_im = jnp.concatenate([state.hist_im, xi], axis=0)
     y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t)
 
-    # 3. Inverse FFT + overlap-add between consecutive blocks.
+    # 3. Inverse FFT + overlap-add between consecutive blocks.  The
+    # Pallas iFFT kernel (engine/kernels/ifft2.py) wins standalone but
+    # its call boundary blocks XLA from fusing the symmetry
+    # reconstruction and overlap-add into the transform, so XLA is the
+    # default; set FOLVE_IFFT_IMPL=pallas to flip (re-evaluate on real
+    # hardware — the dev tunnel is HBM-bound either way, DEVNOTES.md).
     if half:
         y_re, y_im = reconstruct_full(y_re, y_im, 2 * b)
-    impl = _MAC_IMPL
-    if impl == "auto":
-        impl = "pallas" if _is_tpu_backend() else "xla"
-    if impl in ("pallas", "pallas_interpret"):
+    if os.environ.get("FOLVE_IFFT_IMPL") == "pallas" and _is_tpu_backend():
         from folve_tpu.engine.kernels.ifft2 import pallas_ifft_to_real
 
-        y2 = pallas_ifft_to_real(
-            y_re, y_im, 2 * b, interpret=(impl == "pallas_interpret")
-        )
+        y2 = pallas_ifft_to_real(y_re, y_im, 2 * b)
     else:
         y2 = ifft_to_real(y_re, y_im, 2 * b)  # [T, Cout, 2B]
     heads = y2[:, :, :b]
