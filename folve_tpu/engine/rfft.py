@@ -203,6 +203,58 @@ def reconstruct_full(
     return fr.reshape(*batch, n), fi.reshape(*batch, n)
 
 
+@lru_cache(maxsize=None)
+def _half_weights(n: int) -> np.ndarray:
+    """Per-stored-bin conjugate multiplicity c_k for the half-spectrum
+    rectangle: the full inverse equals Re(two-stage-inverse(c ⊙ X_half))
+    because every missing bin m satisfies X_m e_m = conj(X_σ(m) e_σ(m))
+    for a stored σ(m) — so each stored bin contributes (1 + #images)
+    times its real part."""
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    cols = m2 // 2 + 1
+    c = np.ones((m1, cols), dtype=np.float32)
+    for k2 in range(cols, m2):
+        for k1 in range(m1):
+            k = k1 + m1 * k2
+            m = (n - k) % n  # conjugate bin
+            mk1, mk2 = m % m1, m // m1
+            assert mk2 < cols, (k1, k2)
+            c[mk1, mk2] += 1.0
+    return c
+
+
+def ifft_from_half(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse DFT of a *real* signal directly from the half-spectrum
+    rectangle — no reconstruction pass; stage 1 contracts only the
+    stored k2 columns."""
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    cols = m2 // 2 + 1
+    w = jnp.asarray(_half_weights(n))
+    batch = xr.shape[:-1]
+    ar = xr.reshape(*batch, m1, cols) * w
+    ai = xi.reshape(*batch, m1, cols) * w
+    # Stage 1: contract k2 over the stored columns with conj(F2).
+    f2r, f2i = plan.f2_re[:, :cols], plan.f2_im[:, :cols]
+    ur = (
+        jnp.einsum("...kl,ml->...km", ar, f2r, precision=_PRECISION)
+        + jnp.einsum("...kl,ml->...km", ai, f2i, precision=_PRECISION)
+    )
+    ui = (
+        -jnp.einsum("...kl,ml->...km", ar, f2i, precision=_PRECISION)
+        + jnp.einsum("...kl,ml->...km", ai, f2r, precision=_PRECISION)
+    )
+    tr, ti = plan.tw_re, plan.tw_im
+    vr = ur * tr + ui * ti
+    vi = -ur * ti + ui * tr
+    out = (
+        jnp.einsum("nk,...km->...nm", plan.f1_re, vr, precision=_PRECISION)
+        + jnp.einsum("nk,...km->...nm", plan.f1_im, vi, precision=_PRECISION)
+    )
+    return (out / n).reshape(*batch, n)
+
+
 def permute_spectrum(spec: np.ndarray, n: int, half: bool = False) -> np.ndarray:
     """Reorder a natural-order complex spectrum [..., n] (host numpy) into
     the permuted [k1, k2] layout produced by :func:`fft_real`; with

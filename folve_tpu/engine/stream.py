@@ -35,7 +35,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from folve_tpu.engine.filter_bank import FilterBank
-from folve_tpu.engine.rfft import fft_real, half_bins, ifft_to_real, reconstruct_full
+from folve_tpu.engine.rfft import (
+    fft_real,
+    half_bins,
+    ifft_from_half,
+    ifft_to_real,
+)
 
 _PRECISION = lax.Precision.HIGHEST
 
@@ -187,15 +192,15 @@ def chunk_step(
     xall_im = jnp.concatenate([state.hist_im, xi], axis=0)
     y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t)
 
-    # 3. Inverse FFT + overlap-add between consecutive blocks.  The
-    # Pallas iFFT kernel (engine/kernels/ifft2.py) wins standalone but
-    # its call boundary blocks XLA from fusing the symmetry
-    # reconstruction and overlap-add into the transform, so XLA is the
-    # default; set FOLVE_IFFT_IMPL=pallas to flip (re-evaluate on real
-    # hardware — the dev tunnel is HBM-bound either way, DEVNOTES.md).
+    # 3. Inverse FFT + overlap-add between consecutive blocks.  Half
+    # banks invert straight from the stored rectangle (conjugate
+    # multiplicity weights — no reconstruction pass, 65/128 stage-1
+    # work).  The standalone Pallas iFFT kernel stays available behind
+    # FOLVE_IFFT_IMPL for real-hardware evaluation (the dev tunnel is
+    # HBM-bound either way, DEVNOTES.md).
     if half:
-        y_re, y_im = reconstruct_full(y_re, y_im, 2 * b)
-    if os.environ.get("FOLVE_IFFT_IMPL") == "pallas" and _is_tpu_backend():
+        y2 = ifft_from_half(y_re, y_im, 2 * b)  # [T, Cout, 2B]
+    elif os.environ.get("FOLVE_IFFT_IMPL") == "pallas" and _is_tpu_backend():
         from folve_tpu.engine.kernels.ifft2 import pallas_ifft_to_real
 
         y2 = pallas_ifft_to_real(y_re, y_im, 2 * b)
