@@ -48,6 +48,11 @@ def _build_fs(args, underlying_dir: str):
 
         jax.config.update("jax_compilation_cache_dir", "/tmp/folve_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # FOLVE_PLATFORM overrides the jax platform even where a
+        # sitecustomize imported jax before env vars could take effect.
+        platform = os.environ.get("FOLVE_PLATFORM")
+        if platform:
+            jax.config.update("jax_platforms", platform)
     except Exception:
         pass
     if args.debug:

@@ -304,3 +304,64 @@ class TestCliUtilities:
         out = capsys.readouterr().out
         assert "echo" in out and "(pass-through)" in out
         assert f"filter-{RATE}.conf" in out
+
+
+class TestServeCommand:
+    def test_serve_cli_subprocess(self, tmp_path):
+        """`folve-tpu serve` end to end in a child process."""
+        import subprocess
+        import sys
+        import time
+        import urllib.request
+
+        fs, src = make_fs(tmp_path)
+        write_song(src, "a.flac", 800)
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "folve_tpu", "serve",
+                "-C", str(tmp_path / "filters"), "-i", "echo",
+                "--files-port", "18744", str(src),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env={**__import__("os").environ, "FOLVE_PLATFORM": "cpu"},
+        )
+        try:
+            deadline = time.time() + 120
+            blob = None
+            while time.time() < deadline:
+                try:
+                    with urllib.request.urlopen(
+                        "http://localhost:18744/files/a.flac", timeout=5
+                    ) as r:
+                        blob = r.read()
+                    break
+                except Exception:
+                    time.sleep(0.5)
+            assert blob is not None, "serve never came up"
+            assert blob[:4] == b"fLaC"
+            got, _ = read_flac(blob)
+            assert got.shape[0] == 800
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+    def test_mount_cli_bad_mountpoint(self, tmp_path):
+        """Graceful failure when the mountpoint is unusable."""
+        import subprocess
+        import sys
+
+        fs, src = make_fs(tmp_path)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "folve_tpu", "mount",
+                "-C", str(tmp_path / "filters"), "-f",
+                str(src), str(tmp_path / "does-not-exist"),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            env={**__import__("os").environ, "FOLVE_PLATFORM": "cpu"},
+        )
+        assert r.returncode == 1
+        assert "mount failed" in r.stdout + r.stderr
