@@ -37,6 +37,12 @@ def _add_common_fs_flags(p: argparse.ArgumentParser) -> None:
         help="never copy FLAC headers verbatim; always regenerate "
         "(the reference's libsndfile-version workaround, folve-main.cc:295-300)",
     )
+    p.add_argument(
+        "--freq-parallel", type=int, default=1, metavar="N",
+        help="multi-chip: shard each stream's frequency bins over N "
+        "devices (remaining devices data-parallel over streams); "
+        "requires >1 JAX device",
+    )
 
 
 def _build_fs(args, underlying_dir: str):
@@ -60,7 +66,28 @@ def _build_fs(args, underlying_dir: str):
     prebuffer = args.prebuffer
     if prebuffer and not (64 <= prebuffer <= 16384):
         sys.exit("-b prebuffer must be within 64..16384 KiB")
-    fs = FolveFilesystem()
+    mesh = None
+    freq_parallel = getattr(args, "freq_parallel", 1)
+    try:
+        import jax
+
+        n_dev = jax.device_count()
+    except Exception:
+        n_dev = 1
+    if n_dev > 1:
+        from folve_tpu.parallel.serving import make_serving_mesh
+
+        try:
+            mesh = make_serving_mesh(n_dev, freq_parallel=freq_parallel)
+        except ValueError as e:
+            sys.exit(f"--freq-parallel: {e}")
+        print(
+            f"serving mesh: {mesh.shape['stream']} stream x "
+            f"{mesh.shape['freq']} freq devices"
+        )
+    elif freq_parallel > 1:
+        sys.exit(f"--freq-parallel {freq_parallel} needs >1 device, have {n_dev}")
+    fs = FolveFilesystem(serving_mesh=mesh)
     fs.underlying_dir = os.path.realpath(underlying_dir)
     fs.base_config_dir = os.path.realpath(args.config_dir)
     fs.initial_filter_config = args.initial_filter

@@ -83,6 +83,11 @@ def get_plan(n: int) -> FFTPlan:
     )
 
 
+def _rows(mat, start, nrows: int, axis: int = 0):
+    """Slice ``nrows`` rows starting at (possibly traced) ``start``."""
+    return lax.dynamic_slice_in_dim(jnp.asarray(mat), start, nrows, axis=axis)
+
+
 def half_bins(n: int) -> int:
     """Bin count of the half-spectrum rectangle: k2 <= M2/2 of the
     permuted [k1, k2] grid — a superset of the rfft half spectrum
@@ -93,7 +98,12 @@ def half_bins(n: int) -> int:
 
 
 def fft_real(
-    x: jnp.ndarray, n: int, half: bool = False
+    x: jnp.ndarray,
+    n: int,
+    half: bool = False,
+    *,
+    k1_start=None,
+    k1_n: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward DFT of a real signal, permuted-layout output.
 
@@ -101,6 +111,12 @@ def fft_real(
     Returns ``(re, im)`` each ``[..., n]`` in permuted bin order, or
     ``[..., half_bins(n)]`` when ``half`` (stage 2 computes only the
     k2 <= M2/2 columns).
+
+    ``k1_start``/``k1_n`` restrict the output to a window of k1 rows of
+    the permuted [k1, k2] grid — the frequency-sharded serving path
+    computes only its local rows (``k1_start`` may be a traced scalar,
+    e.g. ``lax.axis_index(...) * k1_n``); no communication is needed in
+    the forward direction.  Output is then ``[..., k1_n * cols]``.
     """
     plan = get_plan(n)
     m1, m2 = plan.m1, plan.m2
@@ -113,11 +129,18 @@ def fft_real(
         pad = [(0, 0)] * (x.ndim - 1) + [(0, rows * m2 - length)]
         x = jnp.pad(x, pad)
     a = x.reshape(*x.shape[:-1], rows, m2)  # A[n1, n2], non-zero rows
-    # Stage 1 (real input): S1 = F1[:, :rows] @ A.
-    s1r = jnp.einsum("kn,...nm->...km", plan.f1_re[:, :rows], a, precision=_PRECISION)
-    s1i = jnp.einsum("kn,...nm->...km", plan.f1_im[:, :rows], a, precision=_PRECISION)
+    if k1_start is None:
+        f1_re, f1_im = plan.f1_re[:, :rows], plan.f1_im[:, :rows]
+        tr, ti = plan.tw_re, plan.tw_im
+    else:
+        f1_re = _rows(plan.f1_re[:, :rows], k1_start, k1_n)
+        f1_im = _rows(plan.f1_im[:, :rows], k1_start, k1_n)
+        tr = _rows(plan.tw_re, k1_start, k1_n)
+        ti = _rows(plan.tw_im, k1_start, k1_n)
+    # Stage 1 (real input): S1 = F1[local k1 rows, :rows] @ A.
+    s1r = jnp.einsum("kn,...nm->...km", f1_re, a, precision=_PRECISION)
+    s1i = jnp.einsum("kn,...nm->...km", f1_im, a, precision=_PRECISION)
     # Twiddle.
-    tr, ti = plan.tw_re, plan.tw_im
     t_r = s1r * tr - s1i * ti
     t_i = s1r * ti + s1i * tr
     # Stage 2: X = T @ F2 (contract n2); in half mode only the first
@@ -133,19 +156,34 @@ def fft_real(
         + jnp.einsum("...km,ml->...kl", t_i, f2_re, precision=_PRECISION)
     )
     batch = x.shape[:-1]
-    out = m1 * cols
+    out = (m1 if k1_start is None else k1_n) * cols
     return xr.reshape(*batch, out), xi.reshape(*batch, out)
 
 
-def ifft_to_real(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
+def ifft_to_real(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    n: int,
+    *,
+    k1_start=None,
+    k1_n: int | None = None,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
     """Inverse DFT consuming permuted-layout spectra; returns the real part.
 
     ``xr``/``xi``: ``[..., n]`` permuted bins.  Returns float32 ``[..., n]``.
+
+    With ``k1_start``/``k1_n`` the inputs hold only a window of k1 rows
+    (``[..., k1_n * M2]``, the frequency-sharded layout): stage 1 and the
+    twiddle are local, and stage 2's contraction over k1 is completed by
+    one ``lax.psum`` over ``axis_name`` — the single collective of the
+    whole sharded serving step.
     """
     plan = get_plan(n)
     m1, m2 = plan.m1, plan.m2
-    ar = xr.reshape(*xr.shape[:-1], m1, m2)
-    ai = xi.reshape(*xi.shape[:-1], m1, m2)
+    rows = m1 if k1_start is None else k1_n
+    ar = xr.reshape(*xr.shape[:-1], rows, m2)
+    ai = xi.reshape(*xi.shape[:-1], rows, m2)
     # Stage 1: U[k1, n2] = sum_{k2} X[k1, k2] conj(F2)[k2, n2].
     ur = (
         jnp.einsum("...kl,ml->...km", ar, plan.f2_re, precision=_PRECISION)
@@ -155,16 +193,25 @@ def ifft_to_real(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
         -jnp.einsum("...kl,ml->...km", ar, plan.f2_im, precision=_PRECISION)
         + jnp.einsum("...kl,ml->...km", ai, plan.f2_re, precision=_PRECISION)
     )
-    # Conjugate twiddle.
-    tr, ti = plan.tw_re, plan.tw_im
+    # Conjugate twiddle (local k1 rows).
+    if k1_start is None:
+        tr, ti = plan.tw_re, plan.tw_im
+        f1_re, f1_im = plan.f1_re, plan.f1_im
+    else:
+        tr = _rows(plan.tw_re, k1_start, k1_n)
+        ti = _rows(plan.tw_im, k1_start, k1_n)
+        f1_re = _rows(plan.f1_re, k1_start, k1_n, axis=1)
+        f1_im = _rows(plan.f1_im, k1_start, k1_n, axis=1)
     vr = ur * tr + ui * ti
     vi = -ur * ti + ui * tr
     # Stage 2: x[n1, n2] = (1/N) sum_{k1} conj(F1)[n1, k1] V[k1, n2]; real
     # part only (spectra of real signals).
     out = (
-        jnp.einsum("nk,...km->...nm", plan.f1_re, vr, precision=_PRECISION)
-        + jnp.einsum("nk,...km->...nm", plan.f1_im, vi, precision=_PRECISION)
+        jnp.einsum("nk,...km->...nm", f1_re, vr, precision=_PRECISION)
+        + jnp.einsum("nk,...km->...nm", f1_im, vi, precision=_PRECISION)
     )
+    if axis_name is not None:
+        out = lax.psum(out, axis_name)
     return (out / n).reshape(*xr.shape[:-1], n)
 
 
@@ -224,17 +271,41 @@ def _half_weights(n: int) -> np.ndarray:
     return c
 
 
-def ifft_from_half(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
+def ifft_from_half(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    n: int,
+    *,
+    k1_start=None,
+    k1_n: int | None = None,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
     """Inverse DFT of a *real* signal directly from the half-spectrum
     rectangle — no reconstruction pass; stage 1 contracts only the
-    stored k2 columns."""
+    stored k2 columns.
+
+    The conjugate-multiplicity weights are per-(k1, k2), so the
+    frequency-sharded variant (``k1_start``/``k1_n`` + ``axis_name``,
+    see :func:`ifft_to_real`) shards them cleanly by k1 rows — the
+    sharded path keeps the full half-spectrum 2x MAC-traffic win.
+    """
     plan = get_plan(n)
     m1, m2 = plan.m1, plan.m2
     cols = m2 // 2 + 1
-    w = jnp.asarray(_half_weights(n))
+    rows = m1 if k1_start is None else k1_n
+    if k1_start is None:
+        w = jnp.asarray(_half_weights(n))
+        tr, ti = plan.tw_re, plan.tw_im
+        f1_re, f1_im = plan.f1_re, plan.f1_im
+    else:
+        w = _rows(_half_weights(n), k1_start, k1_n)
+        tr = _rows(plan.tw_re, k1_start, k1_n)
+        ti = _rows(plan.tw_im, k1_start, k1_n)
+        f1_re = _rows(plan.f1_re, k1_start, k1_n, axis=1)
+        f1_im = _rows(plan.f1_im, k1_start, k1_n, axis=1)
     batch = xr.shape[:-1]
-    ar = xr.reshape(*batch, m1, cols) * w
-    ai = xi.reshape(*batch, m1, cols) * w
+    ar = xr.reshape(*batch, rows, cols) * w
+    ai = xi.reshape(*batch, rows, cols) * w
     # Stage 1: contract k2 over the stored columns with conj(F2).
     f2r, f2i = plan.f2_re[:, :cols], plan.f2_im[:, :cols]
     ur = (
@@ -245,13 +316,14 @@ def ifft_from_half(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
         -jnp.einsum("...kl,ml->...km", ar, f2i, precision=_PRECISION)
         + jnp.einsum("...kl,ml->...km", ai, f2r, precision=_PRECISION)
     )
-    tr, ti = plan.tw_re, plan.tw_im
     vr = ur * tr + ui * ti
     vi = -ur * ti + ui * tr
     out = (
-        jnp.einsum("nk,...km->...nm", plan.f1_re, vr, precision=_PRECISION)
-        + jnp.einsum("nk,...km->...nm", plan.f1_im, vi, precision=_PRECISION)
+        jnp.einsum("nk,...km->...nm", f1_re, vr, precision=_PRECISION)
+        + jnp.einsum("nk,...km->...nm", f1_im, vi, precision=_PRECISION)
     )
+    if axis_name is not None:
+        out = lax.psum(out, axis_name)
     return (out / n).reshape(*batch, n)
 
 

@@ -125,10 +125,12 @@ def _fdl_mac(
     # the filter row broadcast over blocks — spelling it out that way
     # avoids XLA lowering a 2-wide contraction as degenerate MXU matmuls
     # (measured ~20x slower on v5e).  Large channel counts fall back to
-    # an einsum.
+    # an einsum.  Accumulators are seeded from the first term rather
+    # than zero constants: one add fewer, and under shard_map's
+    # varying-manual-axes checking the seed inherits the data's vma set.
     if cin * cout <= 16:
-        acc_r = [jnp.zeros((t, k), jnp.float32) for _ in range(cout)]
-        acc_i = [jnp.zeros((t, k), jnp.float32) for _ in range(cout)]
+        acc_r = [None] * cout
+        acc_i = [None] * cout
         for pi in range(p):
             off = (p - 1) - pi
             for o in range(cout):
@@ -137,13 +139,14 @@ def _fdl_mac(
                     xi = xall_im[off : off + t, i]
                     hr = h_spec[pi, i, o, 0]  # [K]
                     hi = h_spec[pi, i, o, 1]
-                    acc_r[o] = acc_r[o] + (xr * hr - xi * hi)
-                    acc_i[o] = acc_i[o] + (xr * hi + xi * hr)
+                    tr = xr * hr - xi * hi
+                    ti = xr * hi + xi * hr
+                    acc_r[o] = tr if acc_r[o] is None else acc_r[o] + tr
+                    acc_i[o] = ti if acc_i[o] is None else acc_i[o] + ti
         yr = jnp.stack(acc_r, axis=1)
         yi = jnp.stack(acc_i, axis=1)
     else:
-        yr = jnp.zeros((t, cout, k), dtype=jnp.float32)
-        yi = jnp.zeros((t, cout, k), dtype=jnp.float32)
+        yr = yi = None
         for pi in range(p):
             off = (p - 1) - pi
             xr = xall_re[off : off + t]  # [T, Cin, K]
@@ -153,8 +156,8 @@ def _fdl_mac(
             ii = jnp.einsum("tik,iok->tok", xi, hi, precision=_PRECISION)
             ri = jnp.einsum("tik,iok->tok", xr, hi, precision=_PRECISION)
             ir = jnp.einsum("tik,iok->tok", xi, hr, precision=_PRECISION)
-            yr = yr + (rr - ii)
-            yi = yi + (ri + ir)
+            yr = (rr - ii) if yr is None else yr + (rr - ii)
+            yi = (ri + ir) if yi is None else yi + (ri + ir)
     return yr, yi
 
 
@@ -163,6 +166,9 @@ def chunk_step(
     state: StreamState,
     x: jax.Array,
     n_valid: jax.Array | int | None = None,
+    *,
+    freq_axis: str | None = None,
+    freq_shards: int = 1,
 ) -> tuple[StreamState, jax.Array]:
     """Convolve ``T`` full input blocks in one device step.
 
@@ -173,6 +179,17 @@ def chunk_step(
     monitor ignores the padding's convolution output past end-of-stream.
 
     Returns ``(new_state, y)`` with ``y``: float32 ``[T, Cout, fragm]``.
+
+    Frequency-sharded mode (inside ``shard_map``): with ``freq_axis``
+    set, ``bank.h_spec`` and the state's FDL hold only this shard's k1
+    rows of the permuted spectrum (``K_local = K_global / freq_shards``
+    bins).  The forward transform computes local rows only, the MAC is
+    elementwise in bins, and the inverse transform finishes its k1
+    contraction with one ``psum`` over ``freq_axis`` — after which the
+    time-domain output (and hence tail/max_abs) is replicated across the
+    freq axis.  This is the engine's single source of truth for both the
+    single-device and the multi-chip serving path
+    (:mod:`folve_tpu.parallel.serving`).
     """
     p, cin, cout, _, k = bank.h_spec.shape
     b = bank.fragm
@@ -183,9 +200,28 @@ def chunk_step(
         n_valid = t * b
 
     # 1. Block spectra: DFT of each block zero-padded to 2*fragm.  The
-    # bank's bin count says whether it was compiled half- or full-layout.
-    half = k == half_bins(2 * b) and k != 2 * b
-    xr, xi = fft_real(x.astype(jnp.float32), 2 * b, half=half)  # [T, Cin, K]
+    # bank's (global) bin count says whether it was compiled half- or
+    # full-layout.
+    k_global = k * freq_shards
+    half = k_global == half_bins(2 * b) and k_global != 2 * b
+    if freq_axis is None:
+        k1_window = {}
+    else:
+        from folve_tpu.engine.rfft import get_plan
+
+        plan = get_plan(2 * b)
+        if plan.m1 % freq_shards:
+            raise ValueError(
+                f"M1={plan.m1} rows not divisible by freq_shards={freq_shards}"
+            )
+        k1_n = plan.m1 // freq_shards
+        cols = plan.m2 // 2 + 1 if half else plan.m2
+        if k != k1_n * cols:
+            raise ValueError(
+                f"local bins {k} != k1_n*cols = {k1_n}*{cols} (bad shard layout)"
+            )
+        k1_window = dict(k1_start=lax.axis_index(freq_axis) * k1_n, k1_n=k1_n)
+    xr, xi = fft_real(x.astype(jnp.float32), 2 * b, half=half, **k1_window)
 
     # 2. FDL MAC against all partitions, fully parallel across T.
     xall_re = jnp.concatenate([state.hist_re, xr], axis=0)  # [T+P-1, Cin, K]
@@ -198,8 +234,11 @@ def chunk_step(
     # work).  The standalone Pallas iFFT kernel stays available behind
     # FOLVE_IFFT_IMPL for real-hardware evaluation (the dev tunnel is
     # HBM-bound either way, DEVNOTES.md).
+    shard_kw = dict(axis_name=freq_axis, **k1_window) if freq_axis else {}
     if half:
-        y2 = ifft_from_half(y_re, y_im, 2 * b)  # [T, Cout, 2B]
+        y2 = ifft_from_half(y_re, y_im, 2 * b, **shard_kw)  # [T, Cout, 2B]
+    elif freq_axis is not None:
+        y2 = ifft_to_real(y_re, y_im, 2 * b, **shard_kw)
     elif os.environ.get("FOLVE_IFFT_IMPL") == "pallas" and _is_tpu_backend():
         from folve_tpu.engine.kernels.ifft2 import pallas_ifft_to_real
 

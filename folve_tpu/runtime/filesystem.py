@@ -31,7 +31,12 @@ logger = logging.getLogger("folve_tpu")
 
 
 class FolveFilesystem:
-    def __init__(self):
+    def __init__(self, serving_mesh=None):
+        """``serving_mesh``: optional ``jax.sharding.Mesh`` with
+        ("stream", "freq") axes; when set, the device scheduler fuses the
+        streams' block work into multi-chip sharded serving steps
+        (folve_tpu.parallel.serving) instead of single-device vmapped
+        steps."""
         # Defaults mirror folve-filesystem.cc:46-55.
         self.gapless_processing = False
         self.toplevel_dir_is_filter = False
@@ -49,7 +54,8 @@ class FolveFilesystem:
         # (BASELINE config 5); set to None for per-stream device calls.
         from folve_tpu.runtime.scheduler import DeviceScheduler
 
-        self.device_scheduler = DeviceScheduler()
+        self.serving_mesh = serving_mesh
+        self.device_scheduler = DeviceScheduler(mesh=serving_mesh)
         self.processor_pool = ProcessorPool(
             max_available_per_config=3, scheduler=self.device_scheduler
         )

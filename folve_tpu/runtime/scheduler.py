@@ -73,10 +73,17 @@ def _stop_all_schedulers() -> None:
 
 
 class DeviceScheduler:
-    def __init__(self, max_batch: int = 16, window_s: float = 0.002):
+    def __init__(self, max_batch: int = 16, window_s: float = 0.002, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with ("stream", "freq")
+        axes (see :func:`folve_tpu.parallel.serving.make_serving_mesh`).
+        When set, batches whose filter banks are freq-shardable dispatch
+        to the multi-chip sharded serving step instead of the
+        single-device vmapped step."""
         _live_schedulers.add(self)
         self._max_batch = max_batch
         self._window_s = window_s
+        self._mesh = mesh
+        self._sharded_steps: Dict[Tuple, object] = {}
         self._mutex = threading.Lock()
         self._cv = threading.Condition(self._mutex)
         self._queues: Dict[Tuple, List[_Job]] = {}
@@ -155,10 +162,26 @@ class DeviceScheduler:
 
     def _execute(self, jobs: List[_Job]) -> None:
         n = len(jobs)
+        bank0 = jobs[0].bank
+        mesh = self._mesh
+        if mesh is not None:
+            from folve_tpu.parallel.serving import check_freq_shardable
+
+            if not check_freq_shardable(
+                bank0.fragm, bank0.bins, mesh.shape["freq"]
+            ):
+                mesh = None  # bank too small for this freq split
         padded = _bucket(n, self._max_batch)
+        if mesh is not None:
+            # The stream axis splits the batch: pad to a multiple.
+            ss = mesh.shape["stream"]
+            padded = -(-max(padded, ss) // ss) * ss
         # Pad with replicas of job 0 so only power-of-two batch shapes
         # ever compile.
         all_jobs = jobs + [jobs[0]] * (padded - n)
+        if mesh is not None:
+            self._execute_sharded(mesh, jobs, all_jobs)
+            return
         states = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[j.state for j in all_jobs]
         )
@@ -184,4 +207,63 @@ class DeviceScheduler:
             self.batched_jobs += n
         for idx, job in enumerate(jobs):
             state_i = jax.tree_util.tree_map(lambda a: a[idx], new_states)
+            job.future.set_result((state_i, y[idx]))
+
+    def _execute_sharded(self, mesh, jobs: List[_Job], all_jobs: List[_Job]) -> None:
+        """Dispatch one batch through the multi-chip sharded serving step.
+
+        States cross the host once per step in each direction (stack →
+        device_put with the serving shardings → step → one device_get);
+        per-job device slices would otherwise pin each stream's state to
+        a single shard and break the next stack.
+        """
+        from folve_tpu.engine.stream import StreamState
+        from folve_tpu.parallel.serving import (
+            make_sharded_serving_step,
+            shard_states_and_bank,
+        )
+
+        bank0 = all_jobs[0].bank
+        shared = all(j.bank.h_spec is bank0.h_spec for j in all_jobs)
+        key = (bank0.fragm, shared)
+        step = self._sharded_steps.get(key)
+        if step is None:
+            step = make_sharded_serving_step(mesh, bank0.fragm, shared_bank=shared)
+            self._sharded_steps[key] = step
+
+        hist_re = np.stack([np.asarray(j.state.hist_re) for j in all_jobs])
+        hist_im = np.stack([np.asarray(j.state.hist_im) for j in all_jobs])
+        tail = np.stack([np.asarray(j.state.tail) for j in all_jobs])
+        max_abs = np.stack([np.asarray(j.state.max_abs) for j in all_jobs])
+        x = np.stack([np.asarray(j.x, dtype=np.float32) for j in all_jobs])
+        n_valid = np.asarray([int(j.n_valid) for j in all_jobs], dtype=np.int32)
+        if shared:
+            h_spec = bank0.h_spec
+        else:
+            h_spec = np.stack([np.asarray(j.bank.h_spec) for j in all_jobs])
+
+        t0 = time.perf_counter()
+        args = shard_states_and_bank(
+            mesh, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid,
+            shared_bank=shared,
+        )
+        new_re, new_im, new_tail, new_max, y = step(*args)
+        new_re, new_im, new_tail, new_max, y = jax.device_get(
+            (new_re, new_im, new_tail, new_max, y)
+        )
+        dt = time.perf_counter() - t0
+        n = len(jobs)
+        self.steps += 1
+        self.total_step_s += dt
+        self.last_step_s = dt
+        self.last_batch = n
+        if n > 1:
+            self.batched_jobs += n
+        for idx, job in enumerate(jobs):
+            state_i = StreamState(
+                hist_re=new_re[idx],
+                hist_im=new_im[idx],
+                tail=new_tail[idx],
+                max_abs=new_max[idx],
+            )
             job.future.set_result((state_i, y[idx]))

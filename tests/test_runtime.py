@@ -22,7 +22,8 @@ from folve_tpu.runtime import FolveFilesystem, PassThroughHandler, ConvolveFileH
 RATE = 44100
 
 
-def make_fs(tmp_path, conf_text=None, gapless=False, filter_name="echo"):
+def make_fs(tmp_path, conf_text=None, gapless=False, filter_name="echo",
+            serving_mesh=None):
     src = tmp_path / "src"
     cfg = tmp_path / "filters" / filter_name
     os.makedirs(src, exist_ok=True)
@@ -36,7 +37,7 @@ def make_fs(tmp_path, conf_text=None, gapless=False, filter_name="echo"):
             "/impulse/dirac 2 2 0.3 100\n"
         )
     (cfg / f"filter-{RATE}.conf").write_text(conf_text)
-    fs = FolveFilesystem()
+    fs = FolveFilesystem(serving_mesh=serving_mesh)
     fs.underlying_dir = str(src)
     fs.base_config_dir = str(tmp_path / "filters")
     fs.current_config_subdir = filter_name
