@@ -27,7 +27,6 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
-import os
 from functools import partial
 
 import jax
@@ -229,22 +228,17 @@ def chunk_step(
     y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t)
 
     # 3. Inverse FFT + overlap-add between consecutive blocks.  Half
-    # banks invert straight from the stored rectangle (conjugate
-    # multiplicity weights — no reconstruction pass, 65/128 stage-1
-    # work).  The standalone Pallas iFFT kernel stays available behind
-    # FOLVE_IFFT_IMPL for real-hardware evaluation (the dev tunnel is
-    # HBM-bound either way, DEVNOTES.md).
+    # banks (the compiler default) invert straight from the stored
+    # rectangle (conjugate multiplicity weights — no reconstruction
+    # pass, 65/128 stage-1 work); full banks use the plain two-stage
+    # inverse.  Alternative Pallas iFFT/fused-chunk kernels were
+    # measured on hardware and removed — the step is HBM-bound and
+    # they did not beat the XLA pipeline (DEVNOTES.md).
     shard_kw = dict(axis_name=freq_axis, **k1_window) if freq_axis else {}
     if half:
         y2 = ifft_from_half(y_re, y_im, 2 * b, **shard_kw)  # [T, Cout, 2B]
-    elif freq_axis is not None:
-        y2 = ifft_to_real(y_re, y_im, 2 * b, **shard_kw)
-    elif os.environ.get("FOLVE_IFFT_IMPL") == "pallas" and _is_tpu_backend():
-        from folve_tpu.engine.kernels.ifft2 import pallas_ifft_to_real
-
-        y2 = pallas_ifft_to_real(y_re, y_im, 2 * b)
     else:
-        y2 = ifft_to_real(y_re, y_im, 2 * b)  # [T, Cout, 2B]
+        y2 = ifft_to_real(y_re, y_im, 2 * b, **shard_kw)
     heads = y2[:, :, :b]
     tails = y2[:, :, b:]
     carry_in = jnp.concatenate([state.tail[None], tails[:-1]], axis=0)

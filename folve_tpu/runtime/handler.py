@@ -53,6 +53,10 @@ class HandlerStats:
     in_gapless: bool = False
     out_gapless: bool = False
     filter_dir: str = ""
+    # Per-stream device-step latency summary; shown on the status page
+    # only under -D / expensive_details (the reference's show_details,
+    # status-server.cc:201-205).
+    latency_summary: str = ""
 
 
 @dataclasses.dataclass
@@ -419,6 +423,8 @@ class ConvolveFileHandler(FileHandler):
                 f" in {self._processor.config_file if self._processor else 'filter'})"
             )
         stats = dataclasses.replace(self._base_stats)
+        if self._processor is not None and self._processor.latency.count:
+            stats.latency_summary = self._processor.latency.summary()
         frames_done = self._in_info.frames - self.frames_left()
         if frames_done == 0 or self._in_info.frames == 0 or file_size == 0:
             stats.buffer_progress = 0.0
@@ -559,6 +565,8 @@ class ConvolveFileHandler(FileHandler):
     def _save_output_values(self) -> None:
         if self._processor is not None:
             self._base_stats.max_output_value = self._processor.max_output_value()
+            if self._processor.latency.count:
+                self._base_stats.latency_summary = self._processor.latency.summary()
             self._processor.reset_max_values()
 
     def close(self) -> None:

@@ -23,6 +23,7 @@ import numpy as np
 
 from folve_tpu.engine.stream import chunk_step, init_state
 from folve_tpu.filters.compiler import CompiledFilter, compile_config_file
+from folve_tpu.utils.profiling import LatencyStats
 
 _jitted_chunk = jax.jit(chunk_step)
 
@@ -43,6 +44,9 @@ class SoundProcessor:
         # Optional DeviceScheduler: routes block work into fused batched
         # device steps shared with other concurrently-pumping streams.
         self.scheduler = scheduler
+        # Per-stream device-step latency (SURVEY §5 tracing: "per-stream
+        # block latency counters surfaced on the status page").
+        self.latency = LatencyStats()
         self._state = init_state(self.bank)
         b = self.bank.fragm
         self._in_buf = np.zeros((b, self.bank.ninp), dtype=np.float32)
@@ -135,16 +139,17 @@ class SoundProcessor:
         if self._input_pos < self.fragm:
             self._in_buf[self._input_pos :] = 0.0
         x = self._in_buf.T[None]  # [1, Cin, fragm]
-        if self.scheduler is not None:
-            fut = self.scheduler.submit(
-                self.bank, self._state, x, int(self._input_pos)
-            )
-            self._state, y = fut.result()
-        else:
-            self._state, y = _jitted_chunk(
-                self.bank, self._state, x, np.int32(self._input_pos)
-            )
-        self._out_buf = np.asarray(y[0]).T  # [fragm, Cout]
+        with self.latency.timer():
+            if self.scheduler is not None:
+                fut = self.scheduler.submit(
+                    self.bank, self._state, x, int(self._input_pos)
+                )
+                self._state, y = fut.result()
+            else:
+                self._state, y = _jitted_chunk(
+                    self.bank, self._state, x, np.int32(self._input_pos)
+                )
+            self._out_buf = np.asarray(y[0]).T  # [fragm, Cout]
         self._output_pos = 0
 
     def pump_chunk(self, source, sink, max_blocks: int) -> int:
@@ -167,12 +172,13 @@ class SoundProcessor:
         padded = np.zeros((t * b, self.bank.ninp), dtype=np.float32)
         padded[:r] = data
         x = np.ascontiguousarray(padded.reshape(t, b, self.bank.ninp).transpose(0, 2, 1))
-        if self.scheduler is not None:
-            fut = self.scheduler.submit(self.bank, self._state, x, r)
-            self._state, y = fut.result()
-        else:
-            self._state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))
-        out = np.asarray(y).transpose(0, 2, 1).reshape(t * b, -1)
+        with self.latency.timer():
+            if self.scheduler is not None:
+                fut = self.scheduler.submit(self.bank, self._state, x, r)
+                self._state, y = fut.result()
+            else:
+                self._state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))
+            out = np.asarray(y).transpose(0, 2, 1).reshape(t * b, -1)
         sink(out[:r])
         return r
 
@@ -191,9 +197,11 @@ class SoundProcessor:
 
     def reset(self) -> None:
         """Re-arm for a fresh stream before pooling; clears convolution
-        state and the clipping monitor (sound-processor.cc:139-145)."""
+        state, the clipping monitor and the latency counters
+        (sound-processor.cc:139-145)."""
         self._state = init_state(self.bank)
         self._max_out = 0.0
         self._input_pos = 0
         self._output_pos = -1
         self._out_buf = None
+        self.latency = LatencyStats()

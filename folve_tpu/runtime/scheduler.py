@@ -95,9 +95,13 @@ class DeviceScheduler:
         self.steps = 0
         self.jobs = 0
         self.batched_jobs = 0
+        self.sharded_steps = 0
         self.total_step_s = 0.0
         self.last_step_s = 0.0
         self.last_batch = 0
+        from folve_tpu.utils.profiling import LatencyStats
+
+        self.latency = LatencyStats()
 
     def start(self) -> None:
         if self._thread is None:
@@ -203,6 +207,7 @@ class DeviceScheduler:
         self.total_step_s += dt
         self.last_step_s = dt
         self.last_batch = n
+        self.latency.record(dt)
         if n > 1:
             self.batched_jobs += n
         for idx, job in enumerate(jobs):
@@ -254,9 +259,11 @@ class DeviceScheduler:
         dt = time.perf_counter() - t0
         n = len(jobs)
         self.steps += 1
+        self.sharded_steps += 1
         self.total_step_s += dt
         self.last_step_s = dt
         self.last_batch = n
+        self.latency.record(dt)
         if n > 1:
             self.batched_jobs += n
         for idx, job in enumerate(jobs):

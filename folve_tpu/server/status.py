@@ -83,6 +83,7 @@ class StatusServer:
         self._retired_lock = threading.Lock()
         self.meta_refresh = -1  # seconds; -1 = off (-r flag)
         self.expensive_details = False  # -D flag ties show_details
+        self._profile_thread: Optional[threading.Thread] = None
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._port = 0
         fs.open_file_cache.set_observer(self)
@@ -143,8 +144,36 @@ class StatusServer:
             filt = q.get("f", [""])[0]
             self.fs.switch_current_config_dir(filt)
             return 302, {"Location": "/"}, b""
+        if parsed.path == "/profile":
+            return self._handle_profile(parsed.query)
         page = self.create_page(for_http=True)
         return 200, {"Content-Type": "text/html; charset=utf-8"}, page
+
+    def _handle_profile(self, query: str) -> tuple[int, dict, bytes]:
+        """``/profile?secs=N``: capture a JAX device trace of the next N
+        seconds of serving (xplane/perfetto, viewable in xprof /
+        TensorBoard) — the TPU-native analog of the reference's ``-d``
+        raw request tracing (SURVEY §5)."""
+        q = urllib.parse.parse_qs(query)
+        try:
+            secs = min(60.0, max(0.1, float(q.get("secs", ["3"])[0])))
+        except ValueError:
+            return 400, {"Content-Type": "text/plain"}, b"bad secs\n"
+        if self._profile_thread is not None and self._profile_thread.is_alive():
+            return 409, {"Content-Type": "text/plain"}, b"trace already running\n"
+        log_dir = f"/tmp/folve_profile_{int(time.time())}"
+
+        def run():
+            from folve_tpu.utils.profiling import device_trace
+
+            with device_trace(log_dir):
+                time.sleep(secs)
+
+        self._profile_thread = threading.Thread(target=run, daemon=True,
+                                                name="folve-profile")
+        self._profile_thread.start()
+        msg = f"tracing {secs:.1f}s of device activity to {log_dir}\n"
+        return 200, {"Content-Type": "text/plain"}, msg.encode()
 
     def create_status_file_handler(self) -> HtmlFileHandler:
         return HtmlFileHandler(self.create_page(for_http=False))
@@ -197,10 +226,17 @@ class StatusServer:
         if sched is not None and sched.steps:
             mean_ms = 1000.0 * sched.total_step_s / sched.steps
             batched_pct = 100.0 * sched.batched_jobs / max(sched.jobs, 1)
+            sharded = (
+                f", {sched.sharded_steps} multi-chip sharded"
+                if sched.sharded_steps
+                else ""
+            )
             parts.append(
                 f"<p>Device: {sched.steps} fused steps for {sched.jobs} block "
-                f"jobs ({batched_pct:.0f}% batched), last batch "
-                f"{sched.last_batch}, step mean {mean_ms:.2f}ms / last "
+                f"jobs ({batched_pct:.0f}% batched{sharded}), last batch "
+                f"{sched.last_batch}, step mean {mean_ms:.2f}ms / "
+                f"p50 {sched.latency.percentile_ms(50):.2f}ms / "
+                f"p99 {sched.latency.percentile_ms(99):.2f}ms / last "
                 f"{sched.last_step_s * 1000:.2f}ms</p>"
             )
 
@@ -225,10 +261,15 @@ class StatusServer:
         return "".join(parts).encode("utf-8")
 
     def _render_table(self, stats: List[HandlerStats], title: str) -> str:
+        # The per-stream device-step latency column is the expensive
+        # detail the -D flag unlocks (reference show_details,
+        # status-server.cc:201-205).
+        details = self.expensive_details
+        lat_th = "<th>Device step latency</th>" if details else ""
         rows = [
             f"<h3>{title}</h3><table><tr><th>Stat</th><th>Progress</th>"
             "<th>Pos</th><th>Len</th><th>Max out</th><th>Format</th>"
-            "<th>Gapless</th><th>Filter</th><th>File</th></tr>"
+            f"<th>Gapless</th>{lat_th}<th>Filter</th><th>File</th></tr>"
         ]
         for s in stats:
             pos = s.access_progress * s.duration_seconds
@@ -238,6 +279,11 @@ class StatusServer:
             )
             name = html.escape(s.filename)
             msg = f" <i>{html.escape(s.message)}</i>" if s.message else ""
+            lat_td = (
+                f"<td>{html.escape(s.latency_summary) or '&nbsp;'}</td>"
+                if details
+                else ""
+            )
             rows.append(
                 f"<tr><td>{html.escape(s.status)}</td>"
                 f"<td>{_progress_bar(s.access_progress, s.buffer_progress)}</td>"
@@ -245,7 +291,7 @@ class StatusServer:
                 f"<td>{_fmt_time(s.duration_seconds)}</td>"
                 f"<td{clip}>{_db(s.max_output_value)}</td>"
                 f"<td>{html.escape(s.format)}</td>"
-                f"<td>{gapless}</td>"
+                f"<td>{gapless}</td>{lat_td}"
                 f"<td>{html.escape(s.filter_dir)}</td>"
                 f"<td>{name}{msg}</td></tr>"
             )

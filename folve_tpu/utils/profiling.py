@@ -28,11 +28,11 @@ def device_trace(log_dir: str) -> Iterator[None]:
 
 
 class LatencyStats:
-    """Running latency summary (count / mean / max / recent)."""
+    """Running latency summary (count / mean / max / recent percentiles)."""
 
     __slots__ = ("count", "total_s", "max_s", "_recent", "_recent_cap")
 
-    def __init__(self, recent: int = 32):
+    def __init__(self, recent: int = 128):
         self.count = 0
         self.total_s = 0.0
         self.max_s = 0.0
@@ -66,8 +66,17 @@ class LatencyStats:
             return 0.0
         return 1000.0 * sum(self._recent) / len(self._recent)
 
+    def percentile_ms(self, q: float) -> float:
+        """q-th percentile (0..100) over the recent window, in ms."""
+        if not self._recent:
+            return 0.0
+        data = sorted(self._recent)
+        idx = min(len(data) - 1, max(0, round(q / 100.0 * (len(data) - 1))))
+        return 1000.0 * data[idx]
+
     def summary(self) -> str:
         return (
             f"n={self.count} mean={self.mean_ms:.2f}ms "
-            f"recent={self.recent_ms:.2f}ms max={self.max_s * 1000:.2f}ms"
+            f"p50={self.percentile_ms(50):.2f}ms "
+            f"p99={self.percentile_ms(99):.2f}ms max={self.max_s * 1000:.2f}ms"
         )

@@ -59,13 +59,3 @@ def test_large_p_fori_path(rng):
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
 
 
-@pytest.mark.parametrize("n", [128, 2048, 16384])
-def test_pallas_ifft_matches_xla(rng, n):
-    from folve_tpu.engine.kernels.ifft2 import pallas_ifft_to_real
-    from folve_tpu.engine.rfft import ifft_to_real
-
-    xr = rng.standard_normal((3, 2, n)).astype(np.float32)
-    xi = rng.standard_normal((3, 2, n)).astype(np.float32)
-    ref = np.asarray(ifft_to_real(xr, xi, n))
-    got = np.asarray(pallas_ifft_to_real(xr, xi, n, interpret=True))
-    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -142,6 +142,40 @@ class TestStatusServer:
         _, _, body = fs_status(vfs).handle_http("/")
         assert b"Recently retired" in body
 
+    def test_expensive_details_latency_column(self, tmp_path):
+        """-D / expensive_details unlocks the per-stream device-step
+        latency column (reference show_details, status-server.cc:201-205)."""
+        vfs, fs, src = make_vfs(tmp_path)
+        write_song(src, "a.flac", 900)
+        h = vfs.open("/a.flac")
+        out = b""  # read through the body to force device steps
+        for _ in range(8):
+            d = vfs.read(h, 65536, len(out))
+            if not d:
+                break
+            out += d
+        status = fs_status(vfs)
+        _, _, body = status.handle_http("/")
+        assert b"Device step latency" not in body  # default: off
+        status.expensive_details = True
+        _, _, body = status.handle_http("/")
+        assert b"Device step latency" in body
+        assert b"p99=" in body  # a populated per-stream summary cell
+        vfs.release("/a.flac", h)
+
+    def test_profile_endpoint(self, tmp_path):
+        vfs, fs, src = make_vfs(tmp_path)
+        status = fs_status(vfs)
+        code, _, body = status.handle_http("/profile?secs=abc")
+        assert code == 400
+        code, _, body = status.handle_http("/profile?secs=0.2")
+        assert code == 200 and b"tracing" in body
+        # A second capture while one runs is refused.
+        code, _, _ = status.handle_http("/profile?secs=0.2")
+        assert code == 409
+        status._profile_thread.join(timeout=30)
+        assert not status._profile_thread.is_alive()
+
     def test_clipping_marker(self, tmp_path):
         conf = (
             "/convolver/new 2 2 64 128\n"
