@@ -139,6 +139,42 @@ def read_aiff_info(src) -> AudioInfo:
     return info
 
 
+# AIFF text chunks <-> vorbis-style tag names (libsndfile's mapping; the
+# reference carries these via sf_get_string/sf_set_string,
+# convolve-file-handler.cc:484-495).
+_TEXT_CHUNKS = {
+    b"NAME": "TITLE",
+    b"AUTH": "ARTIST",
+    b"(c) ": "COPYRIGHT",
+    b"ANNO": "COMMENT",
+}
+_TAG_CHUNKS = {v: k for k, v in _TEXT_CHUNKS.items()}
+
+
+def read_aiff_metadata(src) -> dict:
+    """String tags from NAME/AUTH/(c)/ANNO chunks, vorbis-style keys."""
+    f = _open(src)
+    out = {}
+    form = f.read(12)
+    if len(form) < 12 or form[:4] != b"FORM" or form[8:12] not in (b"AIFF", b"AIFC"):
+        return out
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, size = hdr[:4], struct.unpack(">I", hdr[4:])[0]
+        name = _TEXT_CHUNKS.get(cid)
+        if name:
+            val = f.read(size).split(b"\0")[0]
+            if val:
+                out[name] = val.decode("utf-8", errors="replace")
+            if size & 1:
+                f.seek(1, io.SEEK_CUR)
+        else:
+            f.seek(size + (size & 1), io.SEEK_CUR)
+    return out
+
+
 class AiffStreamEncoder:
     """Streaming AIFF encoder with the FlacEncoder interface (header /
     write_float / finish).  AIFF is uncompressed and the convolved
@@ -158,17 +194,28 @@ class AiffStreamEncoder:
         self._limit = (1 << (bits - 1)) - 1
 
     def header(self, metadata=None) -> bytes:
-        del metadata  # AIFF string chunks not emitted (yet)
         mant, exp = self.rate, 16383 + 63
         while mant < (1 << 63):
             mant <<= 1
             exp -= 1
         ext = struct.pack(">HQ", exp, mant)
         comm = struct.pack(">HIH", self.channels, self.total_frames, self.bits) + ext
+        # Carry string tags over as NAME/AUTH/(c)/ANNO text chunks
+        # (reference: sf_set_string copy, convolve-file-handler.cc:484-495).
+        text = b""
+        for name, value in (metadata or {}).items():
+            cid = _TAG_CHUNKS.get(name.upper())
+            if cid is None:
+                continue
+            payload = value.encode("utf-8")
+            text += cid + struct.pack(">I", len(payload)) + payload
+            if len(payload) & 1:
+                text += b"\0"
         payload_len = self.total_frames * self.channels * self.bits // 8
         ssnd_len = 8 + payload_len
-        body_len = 4 + 8 + len(comm) + 8 + ssnd_len
+        body_len = 4 + len(text) + 8 + len(comm) + 8 + ssnd_len
         out = b"FORM" + struct.pack(">I", body_len) + b"AIFF"
+        out += text
         out += b"COMM" + struct.pack(">I", len(comm)) + comm
         out += b"SSND" + struct.pack(">I", ssnd_len) + struct.pack(">II", 0, 0)
         return out

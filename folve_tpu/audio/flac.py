@@ -290,12 +290,13 @@ def write_flac(
     rate: int,
     bits: int = 16,
     blocksize: int = 4096,
+    metadata: Optional[dict] = None,
 ) -> None:
     """Encode float32 [frames, channels] to a FLAC file (offline path)."""
     if data.ndim == 1:
         data = data[:, None]
     enc = FlacEncoder(rate, data.shape[1], bits, blocksize, total_frames_hint=data.shape[0])
-    body = enc.header()
+    body = enc.header(metadata)
     parts = [body]
     step = 1 << 16
     for start in range(0, data.shape[0], step):

@@ -39,6 +39,15 @@ class _VorbisInfo(ctypes.Structure):
     ]
 
 
+class _VorbisComment(ctypes.Structure):
+    _fields_ = [
+        ("user_comments", ctypes.POINTER(ctypes.c_char_p)),
+        ("comment_lengths", ctypes.POINTER(ctypes.c_int)),
+        ("comments", ctypes.c_int),
+        ("vendor", ctypes.c_char_p),
+    ]
+
+
 _lib = None
 _lib_tried = False
 
@@ -91,6 +100,8 @@ def _get_lib():
         ]
         lib.ov_read_float.restype = ctypes.c_long
         lib.ov_clear.argtypes = [ctypes.c_void_p]
+        lib.ov_comment.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ov_comment.restype = ctypes.POINTER(_VorbisComment)
         _lib = lib
     return _lib
 
@@ -182,3 +193,29 @@ def read_ogg_info(path: str) -> AudioInfo:
     info = src.info
     src.close()
     return info
+
+
+def read_ogg_comments(path: str) -> dict:
+    """Vorbis comments as a vorbis-style tag dict (the reference carries
+    these into the FLAC output via sf_get_string/sf_set_string,
+    convolve-file-handler.cc:484-495)."""
+    lib = _get_lib()
+    if lib is None:
+        return {}
+    vf = ctypes.create_string_buffer(_OV_FILE_SIZE)
+    if lib.ov_fopen(path.encode(), vf) != 0:
+        return {}
+    out = {}
+    try:
+        vc = lib.ov_comment(vf, -1)
+        if vc:
+            for i in range(vc.contents.comments):
+                ln = vc.contents.comment_lengths[i]
+                raw = ctypes.string_at(vc.contents.user_comments[i], ln)
+                item = raw.decode("utf-8", errors="replace")
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    out[k.upper()] = v
+    finally:
+        lib.ov_clear(vf)
+    return out

@@ -123,14 +123,27 @@ def _build_vfs(args, fs):
 
 
 def cmd_mount(args) -> int:
+    from folve_tpu.fuse.mount import daemonize, mount_and_serve
+
+    if not args.foreground:
+        # Daemonize BEFORE building the filesystem so no helper thread
+        # (status server, scheduler, prefetcher) is lost in the fork
+        # (the reference daemonizes inside fuse_main, folve-main.cc:539).
+        # Resolve CLI paths first — the daemon keeps the original cwd.
+        args.underlying_dir = os.path.realpath(args.underlying_dir)
+        args.mount_point = os.path.realpath(args.mount_point)
+        args.config_dir = os.path.realpath(args.config_dir)
+        if args.pid_file:
+            args.pid_file = os.path.realpath(args.pid_file)
+        daemonize()
     fs = _build_fs(args, args.underlying_dir)
     vfs = _build_vfs(args, fs)
     if getattr(args, "fuse_debug", False):
         logging.getLogger("folve_tpu.fuse").setLevel(logging.DEBUG)
         logging.basicConfig(level=logging.DEBUG)
-    from folve_tpu.fuse.mount import mount_and_serve
-
-    return mount_and_serve(vfs, args.mount_point, foreground=args.foreground)
+    return mount_and_serve(
+        vfs, args.mount_point, options=getattr(args, "mount_options", "")
+    )
 
 
 def cmd_serve(args) -> int:
@@ -283,7 +296,9 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "-o", "--mount-options", default="",
-        help="mount options (accepted for compatibility; ro is implied)",
+        help="comma-separated fuse mount options: allow_other, "
+        "default_permissions, ro (default), rw; unknown options are "
+        "ignored with a warning (reference folve-main.cc:499-512)",
     )
     p.add_argument("underlying_dir")
     p.add_argument("mount_point")

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import errno
 import logging
+import os
 import stat as statmod
 import threading
 from typing import Dict
@@ -69,6 +70,12 @@ class FuseSession:
         lib.folve_fuse_session_new.restype = ctypes.c_void_p
         lib.folve_fuse_session_new.argtypes = [ctypes.c_void_p]
         lib.folve_fuse_session_mount.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.folve_fuse_session_mount_opts.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
         lib.folve_fuse_session_set_fd.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.folve_fuse_session_loop.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.folve_fuse_session_unmount.argtypes = [ctypes.c_void_p]
@@ -185,8 +192,16 @@ class FuseSession:
 
     # -- session control ---------------------------------------------------
 
-    def mount(self, mountpoint: str) -> None:
-        r = self._lib.folve_fuse_session_mount(self._session, mountpoint.encode())
+    def mount(self, mountpoint: str, options: str = "") -> None:
+        """``options``: comma-separated fuse mount options (the -o flag,
+        reference folve-main.cc:499-512).  Supported: ``allow_other``,
+        ``default_permissions``, ``ro`` (the default), ``rw``; unknown
+        options are ignored with a warning, like fuse tools do for
+        fs-specific ones."""
+        extra, writable = parse_mount_options(options)
+        r = self._lib.folve_fuse_session_mount_opts(
+            self._session, mountpoint.encode(), extra.encode(), int(writable)
+        )
         if r != 0:
             raise OSError(-r, f"cannot mount FUSE filesystem: {-r}")
 
@@ -205,13 +220,52 @@ class FuseSession:
             self._session = None
 
 
-def mount_and_serve(vfs: FolveVfs, mountpoint: str, foreground: bool = True) -> int:
+_KERNEL_OPTS = {"allow_other", "default_permissions"}
+
+
+def parse_mount_options(options: str) -> tuple[str, bool]:
+    """Split a ``-o`` option string into (kernel extra-data, writable)."""
+    extra = []
+    writable = False
+    for opt in (options or "").split(","):
+        opt = opt.strip()
+        if not opt or opt == "ro":
+            continue
+        if opt == "rw":
+            writable = True
+        elif opt in _KERNEL_OPTS:
+            extra.append(opt)
+        else:
+            _log.warning("ignoring unsupported mount option %r", opt)
+    return ",".join(extra), writable
+
+
+def daemonize() -> None:
+    """Classic double-fork daemonization (the reference daemonizes
+    inside fuse_main when not -f, folve-main.cc:539).  Must run before
+    any threads start (status server, scheduler, prefetcher)."""
+    if os.fork() > 0:
+        os._exit(0)
+    os.setsid()
+    if os.fork() > 0:
+        os._exit(0)
+    devnull = os.open(os.devnull, os.O_RDWR)
+    for fd in (0, 1, 2):
+        os.dup2(devnull, fd)
+    if devnull > 2:
+        os.close(devnull)
+
+
+def mount_and_serve(
+    vfs: FolveVfs, mountpoint: str, foreground: bool = True, options: str = ""
+) -> int:
     """CLI entry: mount and run the request loop until unmounted.
-    (No daemonize: modern service managers handle that; the reference
-    daemonizes inside fuse_main.)"""
+    Daemonization (when not foreground) is handled by the CLI before
+    threads start; by the time we get here we just mount and loop."""
+    del foreground
     session = FuseSession(vfs)
     try:
-        session.mount(mountpoint)
+        session.mount(mountpoint, options)
     except OSError as e:
         print(f"FUSE mount failed ({e}); is /dev/fuse available?")
         return 1

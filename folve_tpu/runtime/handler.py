@@ -295,18 +295,37 @@ class ConvolveFileHandler(FileHandler):
             self._copy_flac_header()
             self._patch_streaminfo()
         else:
-            metadata = None
-            if self._in_info.container == Container.WAV:
-                # Carry string tags over (GenerateHeaderFromInputFile,
-                # convolve-file-handler.cc:484-495).
-                from folve_tpu.audio.wav import read_wav_metadata
-
-                try:
-                    metadata = read_wav_metadata(self._underlying_file) or None
-                except Exception:
-                    metadata = None
+            # Carry string tags over for every regenerated header
+            # (GenerateHeaderFromInputFile copies them for all formats,
+            # convolve-file-handler.cc:484-495).
+            metadata = self._read_input_tags()
             self._buffer.append(self._encoder.header(metadata))
         self._buffer.header_finished()
+
+    def _read_input_tags(self) -> Optional[dict]:
+        try:
+            container = self._in_info.container
+            if container == Container.WAV:
+                from folve_tpu.audio.wav import read_wav_metadata
+
+                return read_wav_metadata(self._underlying_file) or None
+            if container == Container.AIFF:
+                from folve_tpu.audio.aiff import read_aiff_metadata
+
+                return read_aiff_metadata(self._underlying_file) or None
+            if container == Container.OGG:
+                from folve_tpu.audio.ogg import read_ogg_comments
+
+                return read_ogg_comments(self._underlying_file) or None
+            if container == Container.FLAC:
+                # Reached only in workaround_flac_header_issue mode (the
+                # verbatim copy keeps the original VORBIS_COMMENT block).
+                from folve_tpu.audio.flac import read_flac_metadata
+
+                return read_flac_metadata(self._underlying_file) or None
+        except Exception:
+            pass
+        return None
 
     def _copy_flac_header(self) -> None:
         """Verbatim metadata copy: keep everything except the seektable,

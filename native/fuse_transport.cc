@@ -66,17 +66,24 @@ class Session {
     if (fd_ >= 0) close(fd_);
   }
 
-  int Mount(const char* mountpoint) {
+  // extra_data: kernel fuse options appended verbatim to the mount data
+  // string (e.g. "allow_other", "default_permissions"); writable != 0
+  // clears the default MS_RDONLY.  The reference forwards such options
+  // to libfuse via -o (folve-main.cc:499-512).
+  int Mount(const char* mountpoint, const char* extra_data, int writable) {
     fd_ = open("/dev/fuse", O_RDWR | O_CLOEXEC);
     if (fd_ < 0) return -errno;
     struct stat st;
     if (stat(mountpoint, &st) != 0) return -errno;
-    char data[256];
+    char data[512];
     snprintf(data, sizeof(data),
-             "fd=%d,rootmode=%o,user_id=%u,group_id=%u,max_read=131072", fd_,
-             st.st_mode & S_IFMT, getuid(), getgid());
-    if (mount("folve-tpu", mountpoint, "fuse.folve-tpu",
-              MS_NOSUID | MS_NODEV | MS_RDONLY, data) != 0) {
+             "fd=%d,rootmode=%o,user_id=%u,group_id=%u,max_read=131072%s%s",
+             fd_, st.st_mode & S_IFMT, getuid(), getgid(),
+             (extra_data && extra_data[0]) ? "," : "",
+             extra_data ? extra_data : "");
+    unsigned long flags = MS_NOSUID | MS_NODEV;
+    if (!writable) flags |= MS_RDONLY;
+    if (mount("folve-tpu", mountpoint, "fuse.folve-tpu", flags, data) != 0) {
       int err = -errno;
       close(fd_);
       fd_ = -1;
@@ -418,7 +425,12 @@ void* folve_fuse_session_new(const FolveFuseOps* ops) {
 }
 
 int folve_fuse_session_mount(void* s, const char* mountpoint) {
-  return ((Session*)s)->Mount(mountpoint);
+  return ((Session*)s)->Mount(mountpoint, nullptr, 0);
+}
+
+int folve_fuse_session_mount_opts(void* s, const char* mountpoint,
+                                  const char* extra_data, int writable) {
+  return ((Session*)s)->Mount(mountpoint, extra_data, writable);
 }
 
 void folve_fuse_session_set_fd(void* s, int fd) { ((Session*)s)->SetFd(fd); }

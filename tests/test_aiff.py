@@ -5,15 +5,30 @@ import io
 import numpy as np
 import pytest
 
+import struct
+
 from folve_tpu.audio.aiff import (
     AiffError,
     AiffStreamEncoder,
     read_aiff,
     read_aiff_info,
+    read_aiff_metadata,
     write_aiff,
 )
 
 from tests.test_runtime import echo_ir, expected_conv, make_fs, read_all
+
+
+def _add_text_chunks(blob: bytes, chunks: dict) -> bytes:
+    """Splice NAME/AUTH/... text chunks into a FORM/AIFF blob."""
+    text = b""
+    for cid, value in chunks.items():
+        payload = value.encode()
+        text += cid + struct.pack(">I", len(payload)) + payload
+        if len(payload) & 1:
+            text += b"\0"
+    body_len = struct.unpack(">I", blob[4:8])[0] + len(text)
+    return blob[:4] + struct.pack(">I", body_len) + blob[8:12] + text + blob[12:]
 
 
 @pytest.mark.parametrize("bits,atol", [(16, 1 / 32768), (24, 1 / 8388608), (32, 1e-7)])
@@ -47,6 +62,53 @@ def test_stream_encoder_matches_offline(rng):
     data, info = read_aiff(blob)
     assert info.frames == 500
     np.testing.assert_allclose(data, x, atol=1e-7)
+
+
+def test_metadata_read_and_encode(rng):
+    buf = io.BytesIO()
+    write_aiff(buf, np.zeros((10, 2), np.float32), 44100, 16)
+    tagged = _add_text_chunks(
+        buf.getvalue(),
+        {b"NAME": "My Song", b"AUTH": "An Artist", b"(c) ": "2026", b"ANNO": "note"},
+    )
+    tags = read_aiff_metadata(tagged)
+    assert tags == {
+        "TITLE": "My Song",
+        "ARTIST": "An Artist",
+        "COPYRIGHT": "2026",
+        "COMMENT": "note",
+    }
+    # Audio still decodes with the extra chunks in front.
+    data, info = read_aiff(tagged)
+    assert info.frames == 10
+    # Encoder emits them back out.
+    enc = AiffStreamEncoder(44100, 2, 16, 5)
+    x = np.zeros((5, 2), np.float32)
+    blob = enc.header(tags) + enc.write_float(x) + enc.finish()
+    assert read_aiff_metadata(blob) == tags
+    data, info = read_aiff(blob)
+    assert info.frames == 5
+
+
+def test_aiff_tags_carried_through_filesystem(tmp_path, rng):
+    """Reference behavior: string tags survive the convolution
+    (convolve-file-handler.cc:484-495) — the round-1 known gap."""
+    fs, src = make_fs(tmp_path)
+    x = np.round(rng.uniform(-0.4, 0.4, (1500, 2)) * 32768) / 32768
+    buf = io.BytesIO()
+    write_aiff(buf, x.astype(np.float32), 44100, 16)
+    (src / "tagged.aiff").write_bytes(
+        _add_text_chunks(buf.getvalue(), {b"NAME": "Tag Me", b"AUTH": "Artist X"})
+    )
+    h = fs.get_or_create_handler("/tagged.aiff")
+    blob = read_all(h)
+    fs.close_handler("/tagged.aiff", h)
+    tags = read_aiff_metadata(blob)
+    assert tags["TITLE"] == "Tag Me"
+    assert tags["ARTIST"] == "Artist X"
+    got, _ = read_aiff(blob)
+    ref = expected_conv(x, echo_ir())
+    assert np.max(np.abs(got - ref)) < 2.5 / 32768
 
 
 def test_aiff_through_filesystem(tmp_path, rng):

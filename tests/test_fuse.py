@@ -211,8 +211,46 @@ class TestProtocol:
         h.release(nodeid, fh)
 
 
+def test_parse_mount_options():
+    from folve_tpu.fuse.mount import parse_mount_options
+
+    assert parse_mount_options("") == ("", False)
+    assert parse_mount_options("ro") == ("", False)
+    assert parse_mount_options("allow_other") == ("allow_other", False)
+    assert parse_mount_options("allow_other,rw,default_permissions") == (
+        "allow_other,default_permissions",
+        True,
+    )
+    # Unknown options are ignored (warned), like the reference's
+    # pass-through of unrecognized -o flags to libfuse.
+    assert parse_mount_options("nosuchopt,ro") == ("", False)
+
+
 @pytest.mark.skipif(not os.path.exists("/dev/fuse"), reason="no /dev/fuse")
 class TestRealMount:
+    def test_kernel_mount_with_options(self, tmp_path):
+        """-o allow_other,rw reaches the kernel mount (visible in
+        /proc/mounts)."""
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 400)
+        vfs = FolveVfs(fs, status_server=StatusServer(fs))
+        mnt = tmp_path / "mnt"
+        mnt.mkdir()
+        session = FuseSession(vfs)
+        try:
+            session.mount(str(mnt), options="allow_other,rw")
+        except OSError as e:
+            pytest.skip(f"mount not permitted here: {e}")
+        t = threading.Thread(target=session.loop, daemon=True)
+        t.start()
+        try:
+            with open("/proc/mounts") as f:
+                line = next(l for l in f if str(mnt) in l)
+            assert "allow_other" in line
+            assert line.split()[3].startswith("rw")
+        finally:
+            session.unmount()
+
     def test_kernel_mount(self, tmp_path):
         fs, src = make_fs(tmp_path)
         x = write_song(src, "song.flac", 1200)

@@ -64,6 +64,15 @@ def test_streaming_chunks_match_full():
     np.testing.assert_allclose(got, data, atol=1e-7)
 
 
+def test_comments_binding():
+    from folve_tpu.audio.ogg import read_ogg_comments
+
+    # The pygame sample carries no tags; the binding must return a dict
+    # without crashing, and {} for non-ogg input.
+    assert isinstance(read_ogg_comments(SAMPLE), dict)
+    assert read_ogg_comments("/etc/hostname") == {}
+
+
 def test_ogg_through_filesystem(tmp_path):
     """ogg in -> FLAC/16 out (output format policy,
     convolve-file-handler.cc:237-243)."""

@@ -258,6 +258,35 @@ class TestCli:
 
 
 class TestMetadataCarryover:
+    def test_flac_tags_survive_regenerated_header(self, tmp_path):
+        """workaround_flac_header_issue regenerates the header from
+        scratch; string tags must still be copied
+        (convolve-file-handler.cc:484-495)."""
+        import numpy as np
+
+        from folve_tpu.audio.flac import read_flac, read_flac_metadata, write_flac
+
+        fs, src = make_fs(tmp_path)
+        fs.workaround_flac_header_issue = True
+        rng = np.random.default_rng(4)
+        x = np.round(rng.uniform(-0.3, 0.3, (700, 2)) * 32768) / 32768
+        meta = {"TITLE": "Workaround", "ALBUM": "Round Two"}
+        write_flac(str(src / "w.flac"), x.astype(np.float32), RATE, bits=16,
+                   metadata=meta)
+        h = fs.get_or_create_handler("/w.flac")
+        blob = b""
+        while True:
+            d = h.read(65536, len(blob))
+            if not d:
+                break
+            blob += d
+        got = read_flac_metadata(blob)
+        assert got["TITLE"] == "Workaround"
+        assert got["ALBUM"] == "Round Two"
+        data, _ = read_flac(blob)
+        assert data.shape[0] == 700
+        fs.close_handler("/w.flac", h)
+
     def test_wav_tags_become_vorbis_comments(self, tmp_path):
         """GenerateHeaderFromInputFile tag copy
         (convolve-file-handler.cc:484-495)."""
@@ -379,6 +408,60 @@ class TestServeCommand:
         finally:
             proc.terminate()
             proc.wait(timeout=10)
+
+    @pytest.mark.skipif(not os.path.exists("/dev/fuse"), reason="no /dev/fuse")
+    def test_mount_daemon_mode(self, tmp_path):
+        """Without -f the mount daemonizes: the CLI returns promptly,
+        the mount lives on, and the pid file names the daemon
+        (reference: fuse_main daemonize, folve-main.cc:539)."""
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        fs, src = make_fs(tmp_path)
+        write_song(src, "a.flac", 600)
+        mnt = tmp_path / "mnt"
+        mnt.mkdir()
+        pidfile = tmp_path / "folve.pid"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "folve_tpu", "mount",
+                "-C", str(tmp_path / "filters"), "-i", "echo",
+                "-P", str(pidfile),
+                str(src), str(mnt),
+            ],
+            capture_output=True,
+            timeout=120,
+            env={**os.environ, "FOLVE_PLATFORM": "cpu"},
+        )
+        assert r.returncode == 0  # parent exits once the daemon forked
+        daemon_pid = None
+        try:
+            deadline = time.time() + 60
+            names = []
+            while time.time() < deadline:
+                if pidfile.exists():
+                    try:
+                        names = os.listdir(mnt)
+                    except OSError:
+                        names = []
+                    if "a.flac" in names:
+                        break
+                time.sleep(0.2)
+            assert "a.flac" in names, "daemon mount never appeared"
+            daemon_pid = int(pidfile.read_text())
+            assert daemon_pid != r.returncode  # a real, different process
+            os.kill(daemon_pid, 0)  # alive
+            blob = (mnt / "a.flac").read_bytes()
+            assert blob[:4] == b"fLaC"
+        finally:
+            subprocess.run(["umount", str(mnt)], capture_output=True)
+            if daemon_pid:
+                try:
+                    os.kill(daemon_pid, signal.SIGTERM)
+                except ProcessLookupError:
+                    pass
 
     def test_mount_cli_bad_mountpoint(self, tmp_path):
         """Graceful failure when the mountpoint is unusable."""
