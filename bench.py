@@ -1,39 +1,46 @@
-"""Benchmark: TPU partitioned-convolution serving throughput + accuracy.
+"""Benchmark: TPU partitioned-convolution serving — all five BASELINE configs.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Headline config (BASELINE.md): stereo 44.1 kHz, 131,072-tap filter.
-``value`` is aggregate audio-seconds convolved per wall second on one
-chip (realtime multiples) for batched multi-stream serving — the TPU
-analog of the reference's "3% of one 2012 core at 1x realtime"
-(README.md:357-360), i.e. ~30x realtime per reference core, which is
-the vs_baseline denominator.
+``value`` is BASELINE config 5 (batched multi-stream serving, aggregate
+audio-seconds convolved per wall second on one chip) at the headline
+shape: stereo 44.1 kHz, 131,072-tap filter.  The vs_baseline
+denominator is the reference's ~30x realtime per 2012 core
+(README.md:357-360).  Also reported:
 
-Measurement notes: inputs/states/outputs stay device-resident and only
-scalar metrics are fetched — the dev harness reaches the chip through a
-tunnel whose device->host readback is ~3 MB/s, which would measure the
-tunnel, not the engine.  Accuracy (SNR vs a direct time-domain
-convolution oracle) is likewise computed on device.
+  config 1  single_stream_lowpass_x — the demo lowpass filter, S=1
+            (what one blocking media player sees)
+  config 2  long_ir_204800_x — SantaLucia-class reverb IR
+  config 3  gapless_join_x — two-file album join through the real
+            runtime (decode -> convolve -> FLAC encode + handover)
+  config 4  filter_switch_* — processor-pool miss/hit timings across
+            44.1/48/96 kHz configs
+  latency   block_step_p50_ms / p99 (single-block device step) and
+            ttfb_cold_ms / ttfb_warm_ms (time to first byte of a
+            fresh handler, cold pool vs pool hit)
+  traffic   hbm_gbps + pct_of_peak_v5e — modeled minimum HBM bytes of
+            the config-5 step vs measured wall time (v5e peak 819 GB/s)
+
+Measurement notes: engine configs keep inputs/states/outputs
+device-resident and fetch only scalars — the dev harness reaches the
+chip through a tunnel whose device->host readback is ~3 MB/s
+(DEVNOTES.md).  Runtime configs (3/4, TTFB) necessarily include host
+decode/encode work; that is the product's real serving path.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 
-def main():
+def _engine_configs(out, rng):
     import jax
     import jax.numpy as jnp
     from jax import lax
-
-    try:  # reuse compilations across driver rounds (first compile through
-        # the remote-compile tunnel can take minutes)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/folve_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
 
     from folve_tpu.engine import (
         chunk_step,
@@ -43,9 +50,9 @@ def main():
         shared_filter_chunk_step,
     )
 
+    smoke = bool(os.environ.get("FOLVE_BENCH_SMOKE"))
     rate = 44100
-    size = 131072
-    rng = np.random.default_rng(42)
+    size = 16384 if smoke else 131072
     ir = rng.standard_normal((2, 2, size)).astype(np.float32) / np.sqrt(size)
     bank = compile_filter_bank(ir)
     fragm = bank.fragm
@@ -60,86 +67,214 @@ def main():
     def accuracy(bank, x):
         state = init_state(bank)
         _, y = chunk_step(bank, state, x, n_acc)
-        got = jnp.transpose(y, (0, 2, 1)).reshape(n_acc, 2)  # [N, Cout]
-        flat = jnp.transpose(x, (0, 2, 1)).reshape(n_acc, 2)  # [N, Cin]
-        irj = jnp.asarray(ir)  # [Cin, Cout, L]
-        # Direct convolution oracle via conv_general_dilated (no FFT):
-        # pad the signal and correlate with the flipped IR.
-        sig = jnp.pad(flat.T, ((0, 0), (size - 1, 0)))[None]  # [1, Cin, N+L-1]
-        ker = jnp.flip(irj, axis=-1)  # [Cin, Cout, L] -> conv kernel
+        got = jnp.transpose(y, (0, 2, 1)).reshape(n_acc, 2)
+        flat = jnp.transpose(x, (0, 2, 1)).reshape(n_acc, 2)
+        irj = jnp.asarray(ir)
+        sig = jnp.pad(flat.T, ((0, 0), (size - 1, 0)))[None]
+        ker = jnp.flip(irj, axis=-1)
         ref = lax.conv_general_dilated(
             sig,
-            jnp.transpose(ker, (1, 0, 2)),  # [Cout, Cin, L]
+            jnp.transpose(ker, (1, 0, 2)),
             window_strides=(1,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             precision=lax.Precision.HIGHEST,
-        )[0].T  # [N, Cout]
+        )[0].T
         err = jnp.sum((got - ref) ** 2)
-        denom = jnp.sum(ref**2)
-        return 10.0 * jnp.log10(err / denom)
+        return 10.0 * jnp.log10(err / jnp.sum(ref**2))
 
-    snr_db = float(accuracy(bank, x_acc))
+    out["snr_vs_oracle_db"] = round(float(accuracy(bank, x_acc)), 1)
 
-    # --- throughput: batched serving, S streams x T blocks per step.
-    s_streams, t_blocks = 32, 32
-    states = jax.vmap(lambda _: init_state(bank))(np.arange(s_streams))
-    x = jax.device_put(
-        rng.standard_normal((s_streams, t_blocks, 2, fragm)).astype(np.float32)
-    )
-    n_valid = jax.device_put(np.full((s_streams,), t_blocks * fragm, np.int32))
     step = jax.jit(shared_filter_chunk_step)
 
-    states, y = step(bank, states, x, n_valid)  # compile + warmup
-    float(jnp.sum(y))  # force (block_until_ready is unreliable for
-    # pallas outputs through this backend's tunnel — DEVNOTES.md)
+    def run(bank, s, t, iters):
+        states = jax.vmap(lambda _: init_state(bank))(np.arange(s))
+        x = jax.device_put(
+            rng.standard_normal((s, t, 2, bank.fragm)).astype(np.float32)
+        )
+        nv = jax.device_put(np.full((s,), t * bank.fragm, np.int32))
+        states, y = step(bank, states, x, nv)  # compile + warmup
+        float(jnp.sum(y))  # force (block_until_ready unreliable, DEVNOTES)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            # State chain threads every iteration; the final sum forces
+            # the whole sequence.
+            states, y = step(bank, states, x, nv)
+        float(jnp.sum(y))
+        dt = time.perf_counter() - t0
+        return iters * s * t * bank.fragm / rate / dt, dt
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        states, y = step(bank, states, x, n_valid)
-    # The state chain threads every iteration; summing the final output
-    # forces the full sequence before the clock stops.
-    float(jnp.sum(y))
-    dt = time.perf_counter() - t0
+    # --- config 5: batched serving (headline value).
+    s5, t5, iters5 = (4, 4, 2) if smoke else (32, 32, 20)
+    value, dt5 = run(bank, s5, t5, iters5)
+    out["metric"] = (
+        f"audio-sec/sec/chip (realtimex), {size}-tap stereo 44.1kHz, "
+        "batched serving"
+    )
+    out["value"] = round(value, 1)
+    out["unit"] = "x realtime"
+    out["vs_baseline"] = round(value / 30.0, 1)
+    out["batch_streams"] = s5
+    out["blocks_per_step"] = t5
+    out["fragm"] = fragm
+    out["partitions"] = bank.partitions
 
-    audio_sec = iters * s_streams * t_blocks * fragm / rate
-    value = audio_sec / dt
+    # Modeled minimum HBM traffic of one step (fwd FFT in/out, MAC
+    # window + filter + out, inverse in/out, overlap-add), vs wall time.
+    p, k, b = bank.partitions, bank.bins, bank.fragm
+    cin = cout = 2
+    bytes_per_step = 4 * (
+        s5 * t5 * cin * b  # fwd read x
+        + s5 * t5 * cin * 2 * k  # fwd write spectra
+        + s5 * (t5 + p - 1) * cin * 2 * k  # MAC read window
+        + p * cin * cout * 2 * k  # MAC read shared filter
+        + s5 * t5 * cout * 2 * k  # MAC write Y
+        + s5 * t5 * cout * 2 * k  # inv read Y
+        + s5 * t5 * cout * 2 * b  # inv write y2
+        + s5 * t5 * cout * 2 * b  # OLA read + write out
+    )
+    hbm_gbps = bytes_per_step * iters5 / dt5 / 1e9
+    out["hbm_gbps_model_min"] = round(hbm_gbps, 1)
+    out["pct_of_peak_v5e"] = round(100.0 * hbm_gbps / 819.0, 1)
 
-    # --- secondary: long-IR reverb config (BASELINE config 2 —
-    # SantaLucia-class impulse, 204,800 taps -> 25 partitions/block).
-    size2 = 204800
+    # --- config 2: long-IR reverb (SantaLucia-class, 204,800 taps).
+    size2 = 32768 if smoke else 204800
     ir2 = rng.standard_normal((2, 2, size2)).astype(np.float32) / np.sqrt(size2)
     bank2 = compile_filter_bank(ir2)
-    s2, t2 = 8, 16
-    states2 = jax.vmap(lambda _: init_state(bank2))(np.arange(s2))
-    x2 = jax.device_put(rng.standard_normal((s2, t2, 2, fragm)).astype(np.float32))
-    nv2 = jax.device_put(np.full((s2,), t2 * fragm, np.int32))
-    states2, y2 = step(bank2, states2, x2, nv2)
-    float(jnp.sum(y2))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        states2, y2 = step(bank2, states2, x2, nv2)
-    float(jnp.sum(y2))
-    long_ir_value = 10 * s2 * t2 * fragm / rate / (time.perf_counter() - t0)
+    out["long_ir_204800_x"] = round(run(bank2, 2 if smoke else 8, 4 if smoke else 16, 2 if smoke else 10)[0], 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "audio-sec/sec/chip (realtimex), 131072-tap stereo 44.1kHz",
-                "value": round(value, 1),
-                "unit": "x realtime",
-                "vs_baseline": round(value / 30.0, 1),
-                "snr_vs_oracle_db": round(snr_db, 1),
-                "long_ir_204800_x": round(long_ir_value, 1),
-                "batch_streams": s_streams,
-                "blocks_per_step": t_blocks,
-                "fragm": fragm,
-                "partitions": bank.partitions,
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    # --- config 1: single stream, demo-lowpass-class filter (65,536
+    # taps).  S=1, modest chunking — the blocking-reader case.
+    size1 = 16384 if smoke else 65536
+    ir1 = rng.standard_normal((2, 2, size1)).astype(np.float32) / 256.0
+    bank1 = compile_filter_bank(ir1)
+    out["single_stream_lowpass_x"] = round(run(bank1, 1, 4, 3 if smoke else 30)[0], 1)
+
+    # --- latency: single-block single-stream step, forced per call.
+    st = init_state(bank1)
+    x1 = jax.device_put(rng.standard_normal((1, 2, bank1.fragm)).astype(np.float32))
+    nv1 = np.int32(bank1.fragm)
+    jstep = jax.jit(chunk_step)
+    st, y = jstep(bank1, st, x1, nv1)
+    float(jnp.sum(y))
+    lat = []
+    for _ in range(5 if smoke else 30):
+        t0 = time.perf_counter()
+        st, y = jstep(bank1, st, x1, nv1)
+        float(jnp.sum(y))
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    out["block_step_p50_ms"] = round(1000 * lat[len(lat) // 2], 2)
+    out["block_step_p99_ms"] = round(1000 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 2)
+    return out
+
+
+def _runtime_configs(out, rng):
+    """Configs 3 & 4 + TTFB: the real serving runtime (host + device)."""
+    from folve_tpu.audio.flac import write_flac
+    from folve_tpu.runtime.filesystem import FolveFilesystem
+    from folve_tpu.tools.make_demo_filters import make_lowpass
+
+    rate = 44100
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        filters = os.path.join(tmp, "filters")
+        os.makedirs(src)
+        make_lowpass(filters)  # writes filters/lowpass/filter-<rate>.conf
+
+        seconds = 2.0
+        frames = int(rate * seconds)
+        for name, seed in (("01-a.flac", 1), ("02-b.flac", 2)):
+            x = rng.uniform(-0.4, 0.4, (frames, 2)).astype(np.float32)
+            x = np.round(x * 32768) / 32768
+            write_flac(os.path.join(src, name), x, rate, bits=16)
+
+        def make_fs(gapless):
+            fs = FolveFilesystem()
+            fs.underlying_dir = src
+            fs.base_config_dir = filters
+            fs.current_config_subdir = "lowpass"
+            fs.gapless_processing = gapless
+            return fs
+
+        def read_all(h):
+            blob = b""
+            while True:
+                d = h.read(1 << 16, len(blob))
+                if not d:
+                    break
+                blob += d
+            return blob
+
+        # TTFB: cold (filter compile + pool miss) then warm (pool hit).
+        fs = make_fs(gapless=False)
+        t0 = time.perf_counter()
+        h = fs.get_or_create_handler("/01-a.flac")
+        h.read(1 << 16, 0)
+        out["ttfb_cold_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+        read_all(h)
+        fs.close_handler("/01-a.flac", h)
+        t0 = time.perf_counter()
+        h = fs.get_or_create_handler("/02-b.flac")
+        h.read(1 << 16, 0)
+        out["ttfb_warm_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+        read_all(h)
+        fs.close_handler("/02-b.flac", h)
+
+        # --- config 3: gapless two-file album join, full pipeline.
+        fs = make_fs(gapless=True)
+        t0 = time.perf_counter()
+        h1 = fs.get_or_create_handler("/01-a.flac")
+        read_all(h1)  # triggers the handover into 02-b
+        h2 = fs.get_or_create_handler("/02-b.flac")
+        read_all(h2)
+        dt = time.perf_counter() - t0
+        fs.close_handler("/01-a.flac", h1)
+        fs.close_handler("/02-b.flac", h2)
+        out["gapless_join_x"] = round(2 * seconds / dt, 1)
+
+        # --- config 4: filter switching across rates; pool miss vs hit.
+        fs = make_fs(gapless=False)
+        pool = fs.processor_pool
+        misses, hits = [], []
+        for r in (44100, 48000, 96000):
+            cfg = os.path.join(filters, "lowpass")
+            t0 = time.perf_counter()
+            proc, err = pool.get_or_create(cfg, r, 2, 16)
+            misses.append(time.perf_counter() - t0)
+            assert proc is not None, err
+            pool.return_processor(proc)
+            t0 = time.perf_counter()
+            proc, err = pool.get_or_create(cfg, r, 2, 16)
+            hits.append(time.perf_counter() - t0)
+            assert proc is not None, err
+            pool.return_processor(proc)
+        out["filter_switch_pool_miss_ms"] = round(1000 * max(misses), 1)
+        out["filter_switch_pool_hit_ms"] = round(1000 * max(hits), 2)
+        out["filter_switch_rates"] = [44100, 48000, 96000]
+    return out
+
+
+def main():
+    import jax
+
+    try:  # reuse compilations across driver rounds (first compile through
+        # the remote-compile tunnel can take minutes)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/folve_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        platform = os.environ.get("FOLVE_PLATFORM")
+        if platform:
+            jax.config.update("jax_platforms", platform)
+    except Exception:
+        pass
+
+    rng = np.random.default_rng(42)
+    out = {}
+    _engine_configs(out, rng)
+    _runtime_configs(out, rng)
+    out["device"] = str(jax.devices()[0])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

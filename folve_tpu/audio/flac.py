@@ -307,5 +307,8 @@ def write_flac(
     si = enc.streaminfo(with_md5=True)
     blob[FlacEncoder.STREAMINFO_FILE_OFFSET : FlacEncoder.STREAMINFO_FILE_OFFSET + len(si)] = si
     enc.close()
-    with open(dst, "wb") as f:
-        f.write(bytes(blob))
+    if hasattr(dst, "write"):
+        dst.write(bytes(blob))
+    else:
+        with open(dst, "wb") as f:
+            f.write(bytes(blob))

@@ -60,9 +60,16 @@ def ensure_built() -> str:
 
 
 def load_native() -> ctypes.CDLL:
-    """Load (building if necessary) the native library, cached."""
+    """Load (building if necessary) the native library, cached.
+
+    ``FOLVE_NATIVE_LIB`` overrides the library path — the sanitizer CI
+    runs the suite against the ASAN/TSAN builds this way (SURVEY §5)."""
     global _lib
     if _lib is None:
+        override = os.environ.get("FOLVE_NATIVE_LIB")
+        if override:
+            _lib = ctypes.CDLL(override)
+            return _lib
         with _lock:
             pass  # ensure_built has its own lock; read check below
         path = ensure_built()

@@ -297,7 +297,12 @@ class Decoder {
            !(buf_[p] == 0xFF && (buf_[p + 1] & 0xFC) == 0xF8)) {
       p++;
     }
-    if (p + 16 > buf_.size()) return false;
+    // Smallest legal frame (mono constant subframe, 1-byte coded number)
+    // is ~10 bytes; a 16-byte guard here used to reject valid tiny final
+    // frames (e.g. a 1-frame 16-bit stereo stream).  Truncated headers
+    // below this bound fail their CRC via the reader's error flag and
+    // resync until the scan runs out.
+    if (p + 9 > buf_.size()) return false;
     BitReader br(buf_.data(), buf_.size());
     br.SeekByte(p);
     size_t header_start = p;
@@ -1040,7 +1045,9 @@ uint64_t folve_flac_enc_streaminfo(void* h, int with_md5) {
 }
 
 void folve_flac_enc_copy(uint8_t* dst) {
-  memcpy(dst, g_enc_out.data(), g_enc_out.size());
+  // Zero-length fetches hand over a null/empty buffer; memcpy with a
+  // null argument is UB even for size 0 (flagged by UBSAN).
+  if (dst && !g_enc_out.empty()) memcpy(dst, g_enc_out.data(), g_enc_out.size());
 }
 
 void folve_flac_enc_free(void* h) { delete (folve::Encoder*)h; }

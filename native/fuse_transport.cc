@@ -24,6 +24,7 @@
 #include <atomic>
 #include <cstdint>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -186,7 +187,11 @@ class Session {
   // ---- dispatch ---------------------------------------------------------
 
   void Dispatch(const uint8_t* msg, size_t len) {
+    // Defensive: a runt message (possible on the test socketpair
+    // transport) must not be parsed past its end.
+    if (len < sizeof(fuse_in_header)) return;
     const fuse_in_header* in = (const fuse_in_header*)msg;
+    if (in->len > len) return;
     const uint8_t* arg = msg + sizeof(fuse_in_header);
     switch (in->opcode) {
       case FUSE_INIT:
@@ -306,12 +311,9 @@ class Session {
   void DoOpendir(const fuse_in_header* in) {
     std::string path = PathOf(in->nodeid);
     if (path.empty()) return ReplyErr(in->unique, ENOENT);
-    auto* dirbuf = new DirBuffer();
-    int r = ops_.readdir(path.c_str(), dirbuf);
-    if (r != 0) {
-      delete dirbuf;
-      return ReplyErr(in->unique, -r);
-    }
+    auto dirbuf = std::make_shared<DirBuffer>();
+    int r = ops_.readdir(path.c_str(), dirbuf.get());
+    if (r != 0) return ReplyErr(in->unique, -r);
     uint64_t fh;
     {
       std::lock_guard<std::mutex> l(mu_);
@@ -325,7 +327,7 @@ class Session {
   }
 
   void DoReaddir(const fuse_in_header* in, const fuse_read_in* rd) {
-    DirBuffer* dirbuf;
+    std::shared_ptr<DirBuffer> dirbuf;
     {
       std::lock_guard<std::mutex> l(mu_);
       auto it = dirs_.find(rd->fh);
@@ -354,11 +356,7 @@ class Session {
   void DoReleasedir(const fuse_in_header* in, const fuse_release_in* rl) {
     {
       std::lock_guard<std::mutex> l(mu_);
-      auto it = dirs_.find(rl->fh);
-      if (it != dirs_.end()) {
-        delete it->second;
-        dirs_.erase(it);
-      }
+      dirs_.erase(rl->fh);  // last shared_ptr owner frees the buffer
     }
     Reply(in->unique, 0, nullptr, 0);
   }
@@ -410,7 +408,9 @@ class Session {
   std::mutex mu_;
   std::map<uint64_t, std::string> paths_;
   std::map<std::string, uint64_t> ino_by_path_;
-  std::map<uint64_t, DirBuffer*> dirs_;
+  // shared_ptr: DoReaddir replies outside the lock, so a concurrent
+  // RELEASEDIR must not free the buffer under it (TSAN-found race).
+  std::map<uint64_t, std::shared_ptr<DirBuffer>> dirs_;
   std::map<uint64_t, std::string> open_paths_;
   uint64_t next_ino_ = FUSE_ROOT_ID + 1;
   uint64_t next_dir_fh_ = 1;

@@ -1,0 +1,272 @@
+"""Sanitizer driver — exercises the native layer under ASAN/UBSAN/TSAN.
+
+Run as a standalone script (NOT under pytest) with:
+
+  LD_PRELOAD=<libasan.so|libtsan.so>
+  FOLVE_NATIVE_LIB=native/libfolve_native_{asan,tsan}.so
+
+It deliberately never imports jax: the sanitizer runtime's __cxa_throw
+interceptor is incompatible with jaxlib's hermetic C++ (CHECK failure in
+asan_interceptors.cpp), and the sanitizers' job here is the repo's own
+C++ (flac_codec.cc, fuse_transport.cc), not jaxlib.  The FUSE session is
+driven over a socketpair against a stub VFS, multithreaded — the surface
+where TSAN earns its keep (SURVEY §5).
+
+Exit code 0 = all scenarios ran; the wrapping pytest checks our output
+and the sanitizers' (a report aborts or prints ERROR/WARNING lines).
+"""
+
+import errno
+import os
+import socket
+import struct
+import sys
+import threading
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# ---------------------------------------------------------------- FLAC
+
+
+def check_flac() -> None:
+    from folve_tpu.audio.flac import FlacError, read_flac, write_flac
+    import io
+
+    rng = np.random.default_rng(7)
+    for bits in (8, 16, 24):
+        for frames in (1, 100, 4096, 10000):
+            x = rng.uniform(-0.9, 0.9, (frames, 2)).astype(np.float32)
+            scale = float(1 << (bits - 1))
+            x = np.round(x * scale) / scale
+            buf = io.BytesIO()
+            write_flac(buf, x, 44100, bits=bits)
+            got, info = read_flac(buf.getvalue())
+            assert got.shape == (frames, 2), (bits, frames, got.shape)
+            assert np.max(np.abs(got - x)) < 1.5 / scale
+    # Metadata path.
+    buf = io.BytesIO()
+    write_flac(buf, np.zeros((64, 2), np.float32), 48000, bits=16,
+               metadata={"TITLE": "san", "ARTIST": "itizer"})
+    blob = bytearray(buf.getvalue())
+    # Fuzz: truncations, garbage, bit flips must never crash the codec.
+    for cut in (0, 3, 4, 17, len(blob) // 2, len(blob) - 1):
+        try:
+            read_flac(bytes(blob[:cut]))
+        except Exception:
+            pass
+    rng2 = np.random.default_rng(13)
+    for _ in range(200):
+        fuzz = bytearray(blob)
+        for _ in range(rng2.integers(1, 8)):
+            fuzz[rng2.integers(0, len(fuzz))] ^= 1 << rng2.integers(0, 8)
+        try:
+            read_flac(bytes(fuzz))
+        except Exception:
+            pass
+    garbage = bytes(rng2.integers(0, 256, 4096, dtype=np.uint8))
+    try:
+        read_flac(garbage)
+    except Exception:
+        pass
+    print("flac: ok")
+
+
+# ------------------------------------------------------------ FUSE/VFS
+
+FUSE_LOOKUP = 1
+FUSE_GETATTR = 3
+FUSE_OPEN = 14
+FUSE_READ = 15
+FUSE_RELEASE = 18
+FUSE_INIT = 26
+FUSE_OPENDIR = 27
+FUSE_READDIR = 28
+FUSE_RELEASEDIR = 29
+FUSE_DESTROY = 38
+ROOT_ID = 1
+IN_HDR = struct.Struct("<IIQQIIII")
+OUT_HDR = struct.Struct("<IiQ")
+
+
+class StubStat:
+    st_size = 1 << 16
+    st_mode = 0o100444
+    st_mtime = 0.0
+    st_atime = 0.0
+    st_ctime = 0.0
+    st_nlink = 1
+    st_uid = 0
+    st_gid = 0
+
+
+class StubVfs:
+    """Minimal VFS: a handful of readable pseudo-files (no jax)."""
+
+    def getattr(self, path):
+        if path == "/" :
+            st = StubStat()
+            st.st_mode = 0o40555
+            return st
+        if not path.startswith("/f"):
+            raise OSError(errno.ENOENT, path)
+        return StubStat()
+
+    def readdir(self, path):
+        return [".", "..", *(f"f{i}" for i in range(16))]
+
+    def readlink(self, path):
+        raise OSError(errno.EINVAL, path)
+
+    def open(self, path):
+        if not path.startswith("/f"):
+            raise OSError(errno.ENOENT, path)
+        return path
+
+    def read(self, handler, size, offset):
+        blob = (handler * 997).encode()
+        return blob[offset : offset + size]
+
+    def release(self, path, handler):
+        pass
+
+
+class Kernel:
+    """Socketpair 'kernel' firing concurrent requests at the session."""
+
+    def __init__(self):
+        from folve_tpu.fuse.mount import FuseSession
+
+        self.sock, session_sock = socket.socketpair(
+            socket.AF_UNIX, socket.SOCK_SEQPACKET
+        )
+        self.session = FuseSession(StubVfs())
+        self._session_sock = session_sock
+        self.session.set_fd(session_sock.fileno())
+        self._unique = 0
+        self._lock = threading.Lock()
+        self._pending = {}
+        self._cv = threading.Condition(self._lock)
+        self.thread = threading.Thread(
+            target=self.session.loop, kwargs=dict(num_threads=4), daemon=True
+        )
+        self.thread.start()
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def _read_loop(self):
+        while True:
+            try:
+                reply = self.sock.recv(1 << 20)
+            except OSError:
+                return
+            if not reply:
+                return
+            _, _, unique = OUT_HDR.unpack_from(reply)
+            with self._cv:
+                self._pending[unique] = reply
+                self._cv.notify_all()
+
+    def request(self, opcode, nodeid, payload=b"", want_reply=True):
+        with self._lock:
+            self._unique += 1
+            unique = self._unique
+        msg = IN_HDR.pack(
+            IN_HDR.size + len(payload), opcode, unique, nodeid, 0, 0, 0, 0
+        ) + payload
+        self.sock.send(msg)
+        if not want_reply:
+            return None, None
+        with self._cv:
+            while unique not in self._pending:
+                if not self._cv.wait(timeout=30):
+                    raise TimeoutError(f"no reply for {unique}")
+            reply = self._pending.pop(unique)
+        length, error, _ = OUT_HDR.unpack_from(reply)
+        return error, reply[OUT_HDR.size : length]
+
+    def init(self):
+        payload = struct.pack("<IIII", 7, 38, 65536, 0) + bytes(48)
+        err, _ = self.request(FUSE_INIT, 0, payload)
+        assert err == 0
+
+
+def check_fuse() -> None:
+    k = Kernel()
+    k.init()
+
+    def lookup(name):
+        payload = name.encode() + b"\0"
+        err, body = k.request(FUSE_LOOKUP, ROOT_ID, payload)
+        assert err == 0, (name, err)
+        nodeid = struct.unpack_from("<Q", body)[0]
+        return nodeid
+
+    errors = []
+
+    def worker(i):
+        try:
+            for round_ in range(20):
+                nodeid = lookup(f"f{i % 16}")
+                err, body = k.request(
+                    FUSE_OPEN, nodeid, struct.pack("<II", os.O_RDONLY, 0)
+                )
+                assert err == 0
+                fh = struct.unpack_from("<Q", body)[0]
+                err, data = k.request(
+                    FUSE_READ, nodeid,
+                    struct.pack("<QQIIQII", fh, (i * 7) % 512, 4096, 0, 0, 0, 0),
+                )
+                assert err == 0 and data
+                err2, _ = k.request(
+                    FUSE_RELEASE, nodeid, struct.pack("<QIIQ", fh, 0, 0, 0)
+                )
+                assert err2 == 0
+                # Unknown names produce ENOENT without crashing.
+                err3, _ = k.request(FUSE_LOOKUP, ROOT_ID, b"nosuch\0")
+                assert err3 == -errno.ENOENT
+                # Concurrent readdir.
+                err4, body4 = k.request(
+                    FUSE_OPENDIR, ROOT_ID, struct.pack("<II", 0, 0)
+                )
+                assert err4 == 0
+                dfh = struct.unpack_from("<Q", body4)[0]
+                k.request(
+                    FUSE_READDIR, ROOT_ID,
+                    struct.pack("<QQIIQII", dfh, 0, 8192, 0, 0, 0, 0),
+                )
+                k.request(
+                    FUSE_RELEASEDIR, ROOT_ID,
+                    struct.pack("<QIIQ", dfh, 0, 0, 0),
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    # Orderly teardown: wait for the DESTROY reply (guarantees the
+    # session's exiting flag is set), then shutdown() the kernel-side
+    # socket — that wakes every blocked read/recv with EOF without the
+    # close-vs-blocked-recv race TSAN would (rightly) flag in CPython's
+    # _socket.  Only after all threads joined are the fds closed.
+    err, _ = k.request(FUSE_DESTROY, 0)
+    assert err == 0
+    k.sock.shutdown(socket.SHUT_RDWR)
+    k.thread.join(timeout=30)
+    assert not k.thread.is_alive(), "session loop did not exit"
+    k._reader.join(timeout=30)
+    assert not k._reader.is_alive(), "reader did not exit"
+    k.sock.close()
+    k._session_sock.close()
+    print("fuse: ok")
+
+
+if __name__ == "__main__":
+    check_flac()
+    check_fuse()
+    print("SANITIZE_DRIVER_OK")
