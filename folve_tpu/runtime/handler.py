@@ -514,7 +514,8 @@ class ConvolveFileHandler(FileHandler):
             and self._input_frames_left > safety
         ):
             r = proc.pump_chunk(
-                self._source, self._write_frames, self.CHUNK_BLOCKS
+                self._source, self._write_frames, self.CHUNK_BLOCKS,
+                quantize_bits=self._out_bits,
             )
             if r:
                 with self._stats_lock:
@@ -579,7 +580,11 @@ class ConvolveFileHandler(FileHandler):
     # ---------------------------------------------------------------- close
 
     def _write_frames(self, frames: np.ndarray) -> None:
-        self._buffer.append(self._encoder.write_float(frames))
+        if np.issubdtype(frames.dtype, np.integer):
+            # Device-quantized bulk-pump output (processor.pump_chunk).
+            self._buffer.append(self._encoder.write_int(frames))
+        else:
+            self._buffer.append(self._encoder.write_float(frames))
 
     def _save_output_values(self) -> None:
         if self._processor is not None:

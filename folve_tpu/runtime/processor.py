@@ -28,6 +28,22 @@ from folve_tpu.utils.profiling import LatencyStats
 _jitted_chunk = jax.jit(chunk_step)
 
 
+def _quantize(y, bits: int):
+    """Device-side PCM quantization, bit-identical to the host encoders'
+    float64 path: the scale is a power of two, so ``y * scale`` is exact
+    in float32 and round-half-even picks the same integer either way.
+    int16 output halves the device->host audio traffic for <=16-bit
+    streams (PCIe on real hardware; ~3 MB/s through the dev tunnel)."""
+    import jax.numpy as jnp
+
+    scale = float(1 << (bits - 1))
+    q = jnp.clip(jnp.round(y * scale), -scale, scale - 1.0)
+    return q.astype(jnp.int16 if bits <= 16 else jnp.int32)
+
+
+_jitted_quantize = jax.jit(_quantize, static_argnames=("bits",))
+
+
 def _mtime(path: str) -> float:
     try:
         return os.stat(path).st_mtime
@@ -152,11 +168,16 @@ class SoundProcessor:
             self._out_buf = np.asarray(y[0]).T  # [fragm, Cout]
         self._output_pos = 0
 
-    def pump_chunk(self, source, sink, max_blocks: int) -> int:
+    def pump_chunk(self, source, sink, max_blocks: int,
+                   quantize_bits: Optional[int] = None) -> int:
         """Fast path: read, convolve and write up to ``max_blocks`` full
         blocks in ONE device step (the TPU-native replacement for the
         reference's one-block pump; used away from stream edges where
         the gapless partial-block semantics cannot trigger).
+
+        ``quantize_bits``: when set, PCM-quantize on device and hand the
+        sink integer frames (int16 for <=16 bits) instead of float32 —
+        same values the encoder would produce, half the transfer.
 
         Requires a clean block boundary (no partial input, no pending
         output).  Returns frames consumed (0 = caller should use the
@@ -178,6 +199,8 @@ class SoundProcessor:
                 self._state, y = fut.result()
             else:
                 self._state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))
+            if quantize_bits is not None and not isinstance(y, np.ndarray):
+                y = _jitted_quantize(y, quantize_bits)
             out = np.asarray(y).transpose(0, 2, 1).reshape(t * b, -1)
         sink(out[:r])
         return r

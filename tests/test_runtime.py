@@ -501,6 +501,38 @@ class TestChunkedPump:
             CFH.CHUNK_BLOCKS = old
         assert out_bulk == out_block
 
+    def test_bulk_pump_hands_encoder_int16(self, tmp_path, rng):
+        """pump_chunk(quantize_bits=16) quantizes on device and delivers
+        int16 frames — half the device->host transfer — with values
+        identical to the host float64 quantization."""
+        from folve_tpu.engine import compile_filter_bank, init_state
+        from folve_tpu.runtime.processor import SoundProcessor
+        from folve_tpu.filters.compiler import CompiledFilter
+
+        ir = np.zeros((2, 2, 64), np.float32)
+        ir[0, 0, 0] = ir[1, 1, 0] = 0.8
+        bank = compile_filter_bank(ir, fragm=64, size=64)
+        compiled = CompiledFilter(ir=ir, bank=bank, fsamp=RATE, warnings=[])
+        proc = SoundProcessor(compiled, config_file="/nonexistent")
+
+        x = (rng.uniform(-0.6, 0.6, (256, 2))).astype(np.float32)
+
+        class Src:
+            pos = 0
+
+            def read_float(self, n):
+                blk = x[self.pos : self.pos + n]
+                self.pos += blk.shape[0]
+                return blk
+
+        got = []
+        r = proc.pump_chunk(Src(), lambda f: got.append(f), 4, quantize_bits=16)
+        assert r == 256
+        out = np.concatenate(got)
+        assert out.dtype == np.int16
+        ref = np.clip(np.round(x.astype(np.float64) * 0.8 * 32768), -32768, 32767)
+        np.testing.assert_array_equal(out.astype(np.int64), ref.astype(np.int64))
+
 
 def test_channel_mismatch_falls_back(tmp_path):
     """Stereo-only filter + mono file -> clean pass-through with message."""
