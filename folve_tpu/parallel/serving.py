@@ -82,7 +82,9 @@ SPEC_SCALAR = P("stream")
 SPEC_X = P("stream", None, None, None)
 
 
-def make_sharded_serving_step(mesh: Mesh, fragm: int, *, shared_bank: bool = False):
+def make_sharded_serving_step(
+    mesh: Mesh, fragm: int, *, shared_bank: bool = False, gather: bool = False
+):
     """Build the jitted multi-chip serving step for one block length.
 
     Inputs (global shapes):
@@ -99,6 +101,12 @@ def make_sharded_serving_step(mesh: Mesh, fragm: int, *, shared_bank: bool = Fal
 
     Returns a jitted ``step(h_spec, hist_re, hist_im, tail, max_abs, x,
     n_valid) -> (hist_re, hist_im, tail, max_abs, y)``.
+
+    With ``gather``, the step takes a trailing ``idx`` [S] int32 and the
+    state arrays may hold a previous step's batch in any order/capacity:
+    states are re-gathered on device (XLA inserts any needed
+    collectives) so the persistent-slot scheduler never round-trips
+    convolution state through the host.
     """
     freq_shards = mesh.shape["freq"]
     plan = get_plan(2 * fragm)
@@ -128,7 +136,17 @@ def make_sharded_serving_step(mesh: Mesh, fragm: int, *, shared_bank: bool = Fal
                   SPEC_X, SPEC_SCALAR),
         out_specs=(SPEC_HIST, SPEC_HIST, SPEC_TAIL, SPEC_SCALAR, SPEC_X),
     )
-    return jax.jit(step)
+    if not gather:
+        return jax.jit(step)
+
+    def gathered(h_spec, hist_re, hist_im, tail, max_abs, x, n_valid, idx):
+        hist_re = jnp.take(hist_re, idx, axis=0)
+        hist_im = jnp.take(hist_im, idx, axis=0)
+        tail = jnp.take(tail, idx, axis=0)
+        max_abs = jnp.take(max_abs, idx, axis=0)
+        return step(h_spec, hist_re, hist_im, tail, max_abs, x, n_valid)
+
+    return jax.jit(gathered)
 
 
 def shard_states_and_bank(

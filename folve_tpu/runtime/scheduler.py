@@ -58,6 +58,52 @@ class _Job:
         self.future: Future = Future()
 
 
+class _SlotStates:
+    """One sharded step's output states, kept device-resident."""
+
+    __slots__ = ("hist_re", "hist_im", "tail", "max_abs")
+
+    def __init__(self, hist_re, hist_im, tail, max_abs):
+        self.hist_re = hist_re
+        self.hist_im = hist_im
+        self.tail = tail
+        self.max_abs = max_abs
+
+
+class ShardedStateRef:
+    """Duck-typed :class:`StreamState` view into a device-resident batch.
+
+    Streams served by the sharded scheduler carry one of these instead
+    of materialized arrays; the next step gathers rows on device
+    (``jnp.take`` inside the jitted step), so convolution state never
+    crosses the host between steps.  Accessing the fields lazily slices
+    the parent batch — only fallback paths (reset, reordering across
+    schedulers) ever do that.
+    """
+
+    __slots__ = ("parent", "idx")
+
+    def __init__(self, parent: _SlotStates, idx: int):
+        self.parent = parent
+        self.idx = idx
+
+    @property
+    def hist_re(self):
+        return self.parent.hist_re[self.idx]
+
+    @property
+    def hist_im(self):
+        return self.parent.hist_im[self.idx]
+
+    @property
+    def tail(self):
+        return self.parent.tail[self.idx]
+
+    @property
+    def max_abs(self):
+        return self.parent.max_abs[self.idx]
+
+
 _live_schedulers: "weakref.WeakSet[DeviceScheduler]" = weakref.WeakSet()
 
 
@@ -84,6 +130,7 @@ class DeviceScheduler:
         self._window_s = window_s
         self._mesh = mesh
         self._sharded_steps: Dict[Tuple, object] = {}
+        self._placed_banks: Dict[int, Tuple] = {}
         self._mutex = threading.Lock()
         self._cv = threading.Condition(self._mutex)
         self._queues: Dict[Tuple, List[_Job]] = {}
@@ -96,6 +143,7 @@ class DeviceScheduler:
         self.jobs = 0
         self.batched_jobs = 0
         self.sharded_steps = 0
+        self.sharded_fast_steps = 0  # device-resident-state steps
         self.total_step_s = 0.0
         self.last_step_s = 0.0
         self.last_batch = 0
@@ -214,48 +262,94 @@ class DeviceScheduler:
             state_i = jax.tree_util.tree_map(lambda a: a[idx], new_states)
             job.future.set_result((state_i, y[idx]))
 
+    def _placed_bank(self, mesh, h_spec):
+        """Shared-bank spectra placed with the serving sharding, cached
+        so repeated steps don't re-transfer the filter."""
+        from jax.sharding import NamedSharding
+
+        from folve_tpu.parallel.serving import SPEC_H_SHARED
+
+        key = id(h_spec)
+        hit = self._placed_banks.get(key)
+        if hit is not None and hit[0] is h_spec:
+            return hit[1]
+        placed = jax.device_put(h_spec, NamedSharding(mesh, SPEC_H_SHARED))
+        if len(self._placed_banks) > 16:  # bounded (pool caps configs)
+            self._placed_banks.clear()
+        self._placed_banks[key] = (h_spec, placed)
+        return placed
+
     def _execute_sharded(self, mesh, jobs: List[_Job], all_jobs: List[_Job]) -> None:
         """Dispatch one batch through the multi-chip sharded serving step.
 
-        States cross the host once per step in each direction (stack →
-        device_put with the serving shardings → step → one device_get);
-        per-job device slices would otherwise pin each stream's state to
-        a single shard and break the next stack.
+        Steady-state streams carry :class:`ShardedStateRef`s from the
+        previous step, so their convolution state stays device-resident:
+        the jitted step gathers the referenced rows on device
+        (``gather=True`` variant) and only the audio output crosses to
+        the host.  Mixed/fresh batches fall back to a host stack →
+        device_put once.
         """
-        from folve_tpu.engine.stream import StreamState
+        from jax.sharding import NamedSharding
+
         from folve_tpu.parallel.serving import (
+            SPEC_SCALAR,
+            SPEC_X,
             make_sharded_serving_step,
             shard_states_and_bank,
         )
 
         bank0 = all_jobs[0].bank
         shared = all(j.bank.h_spec is bank0.h_spec for j in all_jobs)
-        key = (bank0.fragm, shared)
+        states = [j.state for j in all_jobs]
+        parent = states[0].parent if isinstance(states[0], ShardedStateRef) else None
+        fast = parent is not None and all(
+            isinstance(s, ShardedStateRef) and s.parent is parent for s in states
+        )
+        key = (bank0.fragm, shared, fast)
         step = self._sharded_steps.get(key)
         if step is None:
-            step = make_sharded_serving_step(mesh, bank0.fragm, shared_bank=shared)
+            step = make_sharded_serving_step(
+                mesh, bank0.fragm, shared_bank=shared, gather=fast
+            )
             self._sharded_steps[key] = step
 
-        hist_re = np.stack([np.asarray(j.state.hist_re) for j in all_jobs])
-        hist_im = np.stack([np.asarray(j.state.hist_im) for j in all_jobs])
-        tail = np.stack([np.asarray(j.state.tail) for j in all_jobs])
-        max_abs = np.stack([np.asarray(j.state.max_abs) for j in all_jobs])
         x = np.stack([np.asarray(j.x, dtype=np.float32) for j in all_jobs])
         n_valid = np.asarray([int(j.n_valid) for j in all_jobs], dtype=np.int32)
-        if shared:
-            h_spec = bank0.h_spec
-        else:
-            h_spec = np.stack([np.asarray(j.bank.h_spec) for j in all_jobs])
 
         t0 = time.perf_counter()
-        args = shard_states_and_bank(
-            mesh, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid,
-            shared_bank=shared,
-        )
-        new_re, new_im, new_tail, new_max, y = step(*args)
-        new_re, new_im, new_tail, new_max, y = jax.device_get(
-            (new_re, new_im, new_tail, new_max, y)
-        )
+        if fast:
+            put = lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec))
+            if shared:
+                h_spec = self._placed_bank(mesh, bank0.h_spec)
+            else:
+                h_spec = np.stack([np.asarray(j.bank.h_spec) for j in all_jobs])
+            idx = np.asarray([s.idx for s in states], dtype=np.int32)
+            new_re, new_im, new_tail, new_max, y = step(
+                h_spec,
+                parent.hist_re,
+                parent.hist_im,
+                parent.tail,
+                parent.max_abs,
+                put(x, SPEC_X),
+                put(n_valid, SPEC_SCALAR),
+                idx,
+            )
+            self.sharded_fast_steps += 1
+        else:
+            hist_re = np.stack([np.asarray(s.hist_re) for s in states])
+            hist_im = np.stack([np.asarray(s.hist_im) for s in states])
+            tail = np.stack([np.asarray(s.tail) for s in states])
+            max_abs = np.stack([np.asarray(s.max_abs) for s in states])
+            if shared:
+                h_spec = bank0.h_spec
+            else:
+                h_spec = np.stack([np.asarray(j.bank.h_spec) for j in all_jobs])
+            args = shard_states_and_bank(
+                mesh, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid,
+                shared_bank=shared,
+            )
+            new_re, new_im, new_tail, new_max, y = step(*args)
+        y_host = jax.device_get(y)  # audio leaves; states stay on device
         dt = time.perf_counter() - t0
         n = len(jobs)
         self.steps += 1
@@ -266,11 +360,6 @@ class DeviceScheduler:
         self.latency.record(dt)
         if n > 1:
             self.batched_jobs += n
-        for idx, job in enumerate(jobs):
-            state_i = StreamState(
-                hist_re=new_re[idx],
-                hist_im=new_im[idx],
-                tail=new_tail[idx],
-                max_abs=new_max[idx],
-            )
-            job.future.set_result((state_i, y[idx]))
+        new_parent = _SlotStates(new_re, new_im, new_tail, new_max)
+        for idx_i, job in enumerate(jobs):
+            job.future.set_result((ShardedStateRef(new_parent, idx_i), y_host[idx_i]))

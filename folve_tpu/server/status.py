@@ -227,7 +227,8 @@ class StatusServer:
             mean_ms = 1000.0 * sched.total_step_s / sched.steps
             batched_pct = 100.0 * sched.batched_jobs / max(sched.jobs, 1)
             sharded = (
-                f", {sched.sharded_steps} multi-chip sharded"
+                f", {sched.sharded_steps} multi-chip sharded "
+                f"({sched.sharded_fast_steps} device-resident)"
                 if sched.sharded_steps
                 else ""
             )

@@ -120,6 +120,60 @@ def test_sharded_scheduler_matches_single(rng):
     sched.stop()
 
 
+def test_sharded_states_stay_device_resident(rng):
+    """Steady-state sharded serving gathers states on device: after the
+    first step every stream carries a ShardedStateRef, follow-up steps
+    take the gather fast path (even with submission order shuffled),
+    and results still match the single-device engine."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from folve_tpu.parallel.serving import make_serving_mesh
+    from folve_tpu.runtime.scheduler import ShardedStateRef
+
+    mesh = make_serving_mesh(8, freq_parallel=2)
+    size, fragm, streams, rounds = 512, 128, 8, 4
+    ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+    bank = compile_filter_bank(ir, fragm=fragm, size=size)
+    xs = [rng.standard_normal((rounds, 1, 2, fragm)).astype(np.float32)
+          for _ in range(streams)]
+
+    sched = DeviceScheduler(max_batch=8, window_s=0.05, mesh=mesh)
+    sched.start()
+    states = [init_state(bank) for _ in range(streams)]
+    got = [[] for _ in range(streams)]
+    order = list(range(streams))
+    for r in range(rounds):
+        rng_np = np.random.default_rng(r)
+        rng_np.shuffle(order)  # arrival order varies between steps
+        barrier = threading.Barrier(streams)
+        futs = {}
+
+        def submit(i):
+            barrier.wait()
+            futs[i] = sched.submit(bank, states[i], xs[i][r], fragm)
+
+        threads = [threading.Thread(target=submit, args=(i,)) for i in order]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(streams):
+            states[i], y = futs[i].result(timeout=120)
+            got[i].append(np.asarray(y))
+            if r > 0:
+                assert isinstance(states[i], ShardedStateRef)
+    assert sched.sharded_fast_steps > 0, "gather fast path never engaged"
+    sched.stop()
+
+    for i in range(streams):
+        st = init_state(bank)
+        for r in range(rounds):
+            st, ref = chunk_step(bank, st, xs[i][r], fragm)
+            np.testing.assert_allclose(got[i][r], np.asarray(ref), atol=1e-5)
+
+
 def test_sharded_runtime_end_to_end(tmp_path):
     """VERDICT round-1 item 2: the FULL serving path (handler ->
     processor -> scheduler) runs sharded over the virtual mesh and
