@@ -280,7 +280,20 @@ def cmd_make_demo_filters(args) -> int:
     return 0
 
 
+_SUBCOMMANDS = (
+    "mount", "serve", "convolve", "make-demo-filters", "info", "filters",
+)
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # Reference-compatible invocation: `folve [options] src mnt` with no
+    # subcommand (folve-main.cc:330-361).  If the first non-flag token
+    # is not a subcommand, this is a classic folve command line — mount.
+    head = next((a for a in argv if not a.startswith("-")), None)
+    if argv and head not in _SUBCOMMANDS and head not in ("-h", "--help", None):
+        argv = ["mount"] + list(argv)
     parser = argparse.ArgumentParser(
         prog="folve-tpu",
         description="TPU-native on-the-fly FIR filter convolution framework",

@@ -359,6 +359,28 @@ class TestCliUtilities:
         out = capsys.readouterr().out
         assert "2x2" in out and "4 impulse op(s)" in out
 
+    def test_reference_style_invocation_means_mount(self, tmp_path):
+        """`folve [options] src mnt` with no subcommand is the reference
+        binary's command line (folve-main.cc:330-361) — it must route to
+        mount (here: fail on the bad mountpoint, proving the route)."""
+        import subprocess
+        import sys
+
+        fs, src = make_fs(tmp_path)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "folve_tpu",
+                "-C", str(tmp_path / "filters"), "-f",
+                str(src), str(tmp_path / "nope"),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            env={**os.environ, "FOLVE_PLATFORM": "cpu"},
+        )
+        assert r.returncode == 1
+        assert "mount failed" in r.stdout + r.stderr
+
     def test_filters_listing(self, tmp_path, capsys):
         from folve_tpu.cli import main
 
