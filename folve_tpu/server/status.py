@@ -84,6 +84,7 @@ class StatusServer:
         self.meta_refresh = -1  # seconds; -1 = off (-r flag)
         self.expensive_details = False  # -D flag ties show_details
         self._profile_thread: Optional[threading.Thread] = None
+        self._profile_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._port = 0
         fs.open_file_cache.set_observer(self)
@@ -159,8 +160,6 @@ class StatusServer:
             secs = min(60.0, max(0.1, float(q.get("secs", ["3"])[0])))
         except ValueError:
             return 400, {"Content-Type": "text/plain"}, b"bad secs\n"
-        if self._profile_thread is not None and self._profile_thread.is_alive():
-            return 409, {"Content-Type": "text/plain"}, b"trace already running\n"
         log_dir = f"/tmp/folve_profile_{int(time.time())}"
 
         def run():
@@ -169,9 +168,13 @@ class StatusServer:
             with device_trace(log_dir):
                 time.sleep(secs)
 
-        self._profile_thread = threading.Thread(target=run, daemon=True,
-                                                name="folve-profile")
-        self._profile_thread.start()
+        with self._profile_lock:  # ThreadingHTTPServer handles requests
+            # concurrently; check-and-start must be atomic.
+            if self._profile_thread is not None and self._profile_thread.is_alive():
+                return 409, {"Content-Type": "text/plain"}, b"trace already running\n"
+            self._profile_thread = threading.Thread(target=run, daemon=True,
+                                                    name="folve-profile")
+            self._profile_thread.start()
         msg = f"tracing {secs:.1f}s of device activity to {log_dir}\n"
         return 200, {"Content-Type": "text/plain"}, msg.encode()
 
