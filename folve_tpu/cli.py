@@ -64,8 +64,10 @@ def _build_fs(args, underlying_dir: str):
     if args.debug:
         logging.basicConfig(level=logging.DEBUG)
     prebuffer = args.prebuffer
-    if prebuffer and not (64 <= prebuffer <= 16384):
-        sys.exit("-b prebuffer must be within 64..16384 KiB")
+    if prebuffer < 0:
+        prebuffer = 0  # "-b -1" disables prebuffering (usage text)
+    elif prebuffer and not (64 <= prebuffer <= 16384):
+        sys.exit("-b prebuffer must be within 64..16384 KiB (or -1 to disable)")
     mesh = None
     freq_parallel = getattr(args, "freq_parallel", 1)
     try:
@@ -125,6 +127,8 @@ def _build_vfs(args, fs):
 def cmd_mount(args) -> int:
     from folve_tpu.fuse.mount import daemonize, mount_and_serve
 
+    if getattr(args, "fuse_debug", False):
+        args.foreground = True  # reference: -d implies -f
     if not args.foreground:
         # Daemonize BEFORE building the filesystem so no helper thread
         # (status server, scheduler, prefetcher) is lost in the fork

@@ -359,6 +359,32 @@ class TestCliUtilities:
         out = capsys.readouterr().out
         assert "2x2" in out and "4 impulse op(s)" in out
 
+    def test_prebuffer_disable_flag(self, tmp_path):
+        """-b -1 disables prebuffering (reference usage text: 'Disable
+        with -1'); invalid sizes still exit."""
+        import argparse
+
+        from folve_tpu.cli import _build_fs
+
+        fs0, src = make_fs(tmp_path)
+
+        def build(prebuffer):
+            args = argparse.Namespace(
+                config_dir=str(tmp_path / "filters"), initial_filter="echo",
+                gapless=False, toplevel_filter=False, prebuffer=prebuffer,
+                oversize_factor=1.25, flac_block_size=4096,
+                workaround_flac_header=False, pid_file="", debug=False,
+                freq_parallel=1,
+            )
+            return _build_fs(args, str(src))
+
+        fs = build(-1)
+        assert fs.pre_buffer_size == 0
+        fs = build(256)
+        assert fs.pre_buffer_size == 256 << 10
+        with pytest.raises(SystemExit):
+            build(7)  # below the 64 KiB floor
+
     def test_reference_style_invocation_means_mount(self, tmp_path):
         """`folve [options] src mnt` with no subcommand is the reference
         binary's command line (folve-main.cc:330-361) — it must route to
