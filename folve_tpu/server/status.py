@@ -209,6 +209,13 @@ class StatusServer:
             f"<h2>Folve-TPU</h2><p>version {__version__} &mdash; "
             f"convolving <code>{html.escape(fs.underlying_dir)}</code></p>"
         )
+        if self.expensive_details:
+            # Reference shows the filter base dir only under -D
+            # (status-server.cc:401-405).
+            parts.append(
+                f"<p>Filter base directory "
+                f"<code>{html.escape(fs.base_config_dir)}</code></p>"
+            )
 
         # Filter selector tabs (status-server.cc:325-366).
         if for_http:
@@ -288,8 +295,13 @@ class StatusServer:
                 if details
                 else ""
             )
+            status_cell = html.escape(s.status)
+            if details and s.last_access:
+                # Time since last access (status-server.cc:275-281).
+                ago = max(0.0, time.time() - s.last_access)
+                status_cell += f" <span style='color:#888'>({ago:.1f}s)</span>"
             rows.append(
-                f"<tr><td>{html.escape(s.status)}</td>"
+                f"<tr><td>{status_cell}</td>"
                 f"<td>{_progress_bar(s.access_progress, s.buffer_progress)}</td>"
                 f"<td>{_fmt_time(pos)}</td>"
                 f"<td>{_fmt_time(s.duration_seconds)}</td>"

@@ -161,6 +161,8 @@ class TestStatusServer:
         _, _, body = status.handle_http("/")
         assert b"Device step latency" in body
         assert b"p99=" in body  # a populated per-stream summary cell
+        assert b"Filter base directory" in body  # status-server.cc:401-405
+        assert b"s)</span>" in body  # last-access age, status-server.cc:275
         vfs.release("/a.flac", h)
 
     def test_profile_endpoint(self, tmp_path):
