@@ -80,6 +80,7 @@ class StatusServer:
     def __init__(self, fs: FolveFilesystem):
         self.fs = fs
         self._retired: Deque[HandlerStats] = collections.deque(maxlen=_RETIRED_MAX)
+        self._expunged_retired = 0  # dropped beyond the ring (":.. (N more)")
         self._retired_lock = threading.Lock()
         self.meta_refresh = -1  # seconds; -1 = off (-r flag)
         self.expensive_details = False  # -D flag ties show_details
@@ -98,6 +99,8 @@ class StatusServer:
         stats = handler.get_handler_status()
         stats.status = Status.RETIRED
         with self._retired_lock:
+            if len(self._retired) == _RETIRED_MAX:
+                self._expunged_retired += 1  # status-server.cc:216
             self._retired.appendleft(stats)
 
     # -- HTTP -------------------------------------------------------------
@@ -263,8 +266,11 @@ class StatusServer:
         parts.append(self._render_table(stats, "Active streams"))
         with self._retired_lock:
             retired = list(self._retired)
+            expunged = self._expunged_retired
         if retired:
             parts.append(self._render_table(retired, "Recently retired"))
+            if expunged:
+                parts.append(f"<p>... ({expunged} more)</p>")
         parts.append(
             f"<p style='color:#888'>Page created in "
             f"{(time.time() - t0) * 1000:.2f}ms</p></body></html>"

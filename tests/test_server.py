@@ -142,6 +142,19 @@ class TestStatusServer:
         _, _, body = fs_status(vfs).handle_http("/")
         assert b"Recently retired" in body
 
+    def test_retired_overflow_counter(self, tmp_path):
+        """Beyond the 20-entry ring the page shows '... (N more)'
+        (status-server.cc:216,471)."""
+        vfs, fs, src = make_vfs(tmp_path)
+        write_song(src, "s.flac", 300)
+        status = fs_status(vfs)
+        h = fs.get_or_create_handler("/s.flac")
+        for _ in range(23):
+            status.retire_handler_event(h)
+        fs.close_handler("/s.flac", h)
+        _, _, body = status.handle_http("/")
+        assert b"... (3 more)" in body
+
     def test_expensive_details_latency_column(self, tmp_path):
         """-D / expensive_details unlocks the per-stream device-step
         latency column (reference show_details, status-server.cc:201-205)."""
