@@ -107,6 +107,91 @@ def _kernel(h_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, p, cin, cout, t):
         yi_ref[:, o, :] = acc_i
 
 
+def _split_kernel(h_ref, hr_re, hr_im, xr_re, xr_im, yr_ref, yi_ref,
+                  *, p, cin, cout, t):
+    """Two-input variant: the FDL history and the new block spectra stay
+    SEPARATE buffers — the caller never materializes the concatenated
+    [T+P-1] window (one full extra HBM write per step in the fused
+    variant below).  Partition ``pi`` contributes
+      Y[tt] += H[pi] * X[tt + (P-1) - pi]
+    where window row w = tt + (P-1) - pi reads hist for w < P-1 and the
+    new spectra for w >= P-1; the boundary splits the T output rows at
+    ``split = min(pi, t)`` — all static, so the updates are two strip
+    read-modify-writes on the accumulating output refs."""
+    yr_ref[...] = jnp.zeros_like(yr_ref)
+    yi_ref[...] = jnp.zeros_like(yi_ref)
+    for pi in range(p):
+        off = (p - 1) - pi
+        split = min(pi, t)
+        for o in range(cout):
+            for i in range(cin):
+                hr = h_ref[pi, i, o, 0, :]
+                hi = h_ref[pi, i, o, 1, :]
+                if split > 0:
+                    # Output rows [0, split) read hist rows [off, P-1).
+                    n = split
+                    xr = hr_re[pl.ds(off, n), i, :]
+                    xi = hr_im[pl.ds(off, n), i, :]
+                    yr_ref[pl.ds(0, n), o, :] += xr * hr - xi * hi
+                    yi_ref[pl.ds(0, n), o, :] += xr * hi + xi * hr
+                if split < t:
+                    # Output rows [split, T) read new rows [0, T-split).
+                    n = t - split
+                    xr = xr_re[pl.ds(0, n), i, :]
+                    xi = xr_im[pl.ds(0, n), i, :]
+                    yr_ref[pl.ds(split, n), o, :] += xr * hr - xi * hi
+                    yi_ref[pl.ds(split, n), o, :] += xr * hi + xi * hr
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_fdl_mac_split(
+    h_spec: jax.Array,
+    hist_re: jax.Array,
+    hist_im: jax.Array,
+    xr: jax.Array,
+    xi: jax.Array,
+    interpret: bool = False,
+):
+    """FDL MAC over (history, new-spectra) pairs without concatenation.
+
+    ``h_spec``: [P, Cin, Cout, 2, K]; ``hist_re``/``hist_im``:
+    [P-1, Cin, K]; ``xr``/``xi``: [T, Cin, K].  Returns (yr, yi) each
+    [T, Cout, K].  Only used for unrolled partition counts
+    (P <= _UNROLL_LIMIT): the strip boundaries are per-partition static.
+    """
+    p, cin, cout, _, k = h_spec.shape
+    t = xr.shape[0]
+    kt = _pick_tile(p, cin, cout, t, k)
+    assert k % kt == 0
+    grid = (k // kt,)
+    kernel = functools.partial(_split_kernel, p=p, cin=cin, cout=cout, t=t)
+    mem = {"memory_space": _VMEM} if _VMEM else {}
+    hist_spec = pl.BlockSpec((p - 1, cin, kt), lambda j: (0, 0, j), **mem)
+    x_spec = pl.BlockSpec((t, cin, kt), lambda j: (0, 0, j), **mem)
+    in_specs = [
+        pl.BlockSpec((p, cin, cout, 2, kt), lambda j: (0, 0, 0, 0, j), **mem),
+        hist_spec,
+        hist_spec,
+        x_spec,
+        x_spec,
+    ]
+    out_specs = [
+        pl.BlockSpec((t, cout, kt), lambda j: (0, 0, j), **mem) for _ in range(2)
+    ]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
+            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h_spec, hist_re, hist_im, xr, xi)
+    return yr, yi
+
+
 @functools.partial(jax.jit, static_argnames=("t", "interpret"))
 def pallas_fdl_mac(
     h_spec: jax.Array,

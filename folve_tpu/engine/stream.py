@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from folve_tpu.engine.filter_bank import FilterBank
+from folve_tpu.engine.kernels.fdl_mac import _UNROLL_LIMIT
 from folve_tpu.engine.rfft import (
     fft_real,
     half_bins,
@@ -96,21 +97,21 @@ def init_state(bank: FilterBank) -> StreamState:
 
 
 def _fdl_mac(
-    h_spec: jax.Array, xall_re: jax.Array, xall_im: jax.Array, t: int
+    h_spec: jax.Array, xall_re: jax.Array, xall_im: jax.Array, t: int,
+    impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Frequency-delay-line MAC: Y[t] = sum_p H[p] * Xall[t + (P-1) - p].
 
     ``h_spec``: [P, Cin, Cout, 2, K]; ``xall_re``/``xall_im``:
-    [T+P-1, Cin, K].  Returns (Yr, Yi) each [T, Cout, K].
+    [T+P-1, Cin, K].  Returns (Yr, Yi) each [T, Cout, K].  ``impl`` is
+    resolved by the caller (chunk_step routes small unrolled partition
+    counts to the concat-free split kernel before ever reaching here).
     """
     p, cin, cout, _, k = h_spec.shape
 
-    # Prefer the fused Pallas kernel: the XLA formulations re-materialize
-    # the accumulators in HBM once per partition; the kernel streams each
-    # frequency tile exactly once (engine/kernels/fdl_mac.py).
-    impl = _MAC_IMPL
-    if impl == "auto":
-        impl = "pallas" if _is_tpu_backend() else "xla"
+    # Pallas kernel (large P / fori-loop variant): the XLA formulations
+    # re-materialize the accumulators in HBM once per partition; the
+    # kernel streams each frequency tile exactly once.
     if impl in ("pallas", "pallas_interpret") and cin * cout <= 16:
         from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac
 
@@ -222,10 +223,38 @@ def chunk_step(
         k1_window = dict(k1_start=lax.axis_index(freq_axis) * k1_n, k1_n=k1_n)
     xr, xi = fft_real(x.astype(jnp.float32), 2 * b, half=half, **k1_window)
 
-    # 2. FDL MAC against all partitions, fully parallel across T.
-    xall_re = jnp.concatenate([state.hist_re, xr], axis=0)  # [T+P-1, Cin, K]
-    xall_im = jnp.concatenate([state.hist_im, xi], axis=0)
-    y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t)
+    # 2. FDL MAC against all partitions, fully parallel across T.  On
+    # the Pallas path the kernel reads (history, new spectra) as two
+    # buffers — the concatenated [T+P-1] window (a full extra HBM write
+    # per step) is never materialized.  XLA/fallback paths concatenate.
+    impl = _MAC_IMPL
+    if impl == "auto":
+        impl = "pallas" if _is_tpu_backend() else "xla"
+    use_split = (
+        impl in ("pallas", "pallas_interpret")
+        and cin * cout <= 16
+        and 2 <= p <= _UNROLL_LIMIT
+    )
+    if use_split:
+        from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac_split
+
+        y_re, y_im = pallas_fdl_mac_split(
+            bank.h_spec, state.hist_re, state.hist_im, xr, xi,
+            interpret=(impl == "pallas_interpret"),
+        )
+        if t >= p - 1:
+            new_re, new_im = xr[t - (p - 1):], xi[t - (p - 1):]
+        else:
+            new_re = jnp.concatenate([state.hist_re[t:], xr], axis=0)
+            new_im = jnp.concatenate([state.hist_im[t:], xi], axis=0)
+    else:
+        xall_re = jnp.concatenate([state.hist_re, xr], axis=0)  # [T+P-1,...]
+        xall_im = jnp.concatenate([state.hist_im, xi], axis=0)
+        y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t, impl=impl)
+        if p > 1:
+            new_re, new_im = xall_re[t:], xall_im[t:]
+        else:
+            new_re, new_im = state.hist_re, state.hist_im
 
     # 3. Inverse FFT + overlap-add between consecutive blocks.  Half
     # banks (the compiler default) invert straight from the stored
@@ -251,10 +280,6 @@ def chunk_step(
     valid = frame_idx < jnp.asarray(n_valid, dtype=jnp.int32)
     max_abs = jnp.maximum(state.max_abs, jnp.max(jnp.where(valid, jnp.abs(y), 0.0)))
 
-    if p > 1:
-        new_re, new_im = xall_re[t:], xall_im[t:]
-    else:
-        new_re, new_im = state.hist_re, state.hist_im
     new_state = StreamState(
         hist_re=new_re, hist_im=new_im, tail=tails[-1], max_abs=max_abs
     )

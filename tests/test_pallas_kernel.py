@@ -32,6 +32,33 @@ def test_matches_xla_path(rng, p, cin, cout, k, t):
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "p,cin,cout,k,t",
+    [
+        (4, 1, 1, 256, 3),
+        (16, 2, 2, 2048, 4),
+        (2, 1, 2, 4096, 2),
+        (8, 2, 2, 512, 3),   # t < p-1: history outlives the chunk
+        (4, 2, 2, 512, 8),   # t >= p-1: new hist is a slice of xr
+    ],
+)
+def test_split_kernel_matches_xla(rng, p, cin, cout, k, t):
+    """Concat-free (hist, new) kernel == XLA over the stitched window."""
+    from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac_split
+
+    h = rng.standard_normal((p, cin, cout, 2, k)).astype(np.float32)
+    hist_re = rng.standard_normal((p - 1, cin, k)).astype(np.float32)
+    hist_im = rng.standard_normal((p - 1, cin, k)).astype(np.float32)
+    xr = rng.standard_normal((t, cin, k)).astype(np.float32)
+    xi = rng.standard_normal((t, cin, k)).astype(np.float32)
+    xall_re = np.concatenate([hist_re, xr])
+    xall_im = np.concatenate([hist_im, xi])
+    ref = jax.jit(lambda h, a, b: st._fdl_mac(h, a, b, t))(h, xall_re, xall_im)
+    got = pallas_fdl_mac_split(h, hist_re, hist_im, xr, xi, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
+
+
 def test_vmapped_batching(rng):
     p, cin, cout, k, t, s = 4, 2, 2, 512, 3, 5
     h = rng.standard_normal((p, cin, cout, 2, k)).astype(np.float32)
@@ -41,6 +68,40 @@ def test_vmapped_batching(rng):
     for i in range(s):
         ref = pallas_fdl_mac(h, xbr[i], xbi[i], t, interpret=True)
         np.testing.assert_allclose(np.asarray(got[0][i]), np.asarray(ref[0]), atol=1e-5)
+
+
+def test_chunk_step_split_path_streaming(rng):
+    """chunk_step on the split-kernel route (interpret): multi-step
+    streaming equals the XLA route bit-for-tolerance, covering both the
+    t >= P-1 (hist from xr) and t < P-1 (stitched hist) carries."""
+    from folve_tpu.engine import chunk_step, compile_filter_bank, init_state
+
+    fragm, size = 64, 512  # P = 8
+    ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+    bank = compile_filter_bank(ir, fragm=fragm, size=size)
+    xs = [rng.standard_normal((t, 2, fragm)).astype(np.float32)
+          for t in (3, 12, 2, 9)]  # mixes t < P-1 and t >= P-1
+
+    def run():
+        state = init_state(bank)
+        outs = []
+        for x in xs:
+            state, y = chunk_step(bank, state, x, x.shape[0] * fragm)
+            outs.append(np.asarray(y))
+        return np.concatenate(outs), np.asarray(state.hist_re)
+
+    st.set_mac_impl("xla")
+    try:
+        ref_y, ref_hist = run()
+    finally:
+        st.set_mac_impl("auto")
+    st.set_mac_impl("pallas_interpret")
+    try:
+        got_y, got_hist = run()
+    finally:
+        st.set_mac_impl("auto")
+    np.testing.assert_allclose(got_y, ref_y, atol=2e-5)
+    np.testing.assert_allclose(got_hist, ref_hist, atol=2e-5)
 
 
 def test_large_p_fori_path(rng):
