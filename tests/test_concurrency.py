@@ -6,6 +6,7 @@ tests hammer the equivalent paths.
 """
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -109,6 +110,99 @@ def test_gapless_album_under_concurrent_readers(tmp_path):
     got = np.concatenate(ys)
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) < 2.5 / 32768
+
+
+def test_soak_everything_at_once(tmp_path):
+    """Soak: concurrent readers across two filters (via -t-style per-open
+    filter keys), mid-run filter switching, cache eviction pressure,
+    status-page polling and prebuffer — all at once; every stream's
+    output must match ITS filter's oracle and nothing may raise."""
+    import numpy as np
+    from scipy import signal
+
+    from folve_tpu.server.status import StatusServer
+    from tests.test_runtime import RATE, make_fs, read_all, write_song
+
+    fs, src = make_fs(tmp_path)
+    # Second filter with a different echo tap.
+    other = tmp_path / "filters" / "other"
+    other.mkdir()
+    (other / f"filter-{RATE}.conf").write_text(
+        "/convolver/new 2 2 64 256\n"
+        "/impulse/dirac 1 1 0.5 0\n/impulse/dirac 2 2 0.5 0\n"
+        "/impulse/dirac 1 1 0.2 40\n/impulse/dirac 2 2 0.2 40\n"
+    )
+    fs.gapless_processing = True
+    fs.open_file_cache.set_max_size(3)  # eviction pressure
+    status = StatusServer(fs)
+
+    def ir_for(filt):
+        ir = np.zeros(512 if filt == "echo" else 256)
+        if filt == "echo":
+            ir[0], ir[100] = 0.7, 0.3
+        else:
+            ir[0], ir[40] = 0.5, 0.2
+        return ir
+
+    n_files = 6
+    songs = {}
+    for i in range(n_files):
+        songs[f"/s{i}.flac"] = write_song(src, f"s{i}.flac", 1200 + 97 * i, seed=i)
+
+    errors = []
+    results = {}
+
+    def reader(i):
+        try:
+            path = f"/s{i}.flac"
+            h = fs.get_or_create_handler(path)
+            # Whatever filter was current at open time stays with this
+            # handler for its whole life (cache key = filter + path,
+            # folve-filesystem.cc:91-94) even while the switcher runs.
+            filt = h.filter_dir()
+            blob = read_all(h)
+            fs.close_handler(path, h)
+            results[i] = (filt, blob)
+        except Exception as e:  # pragma: no cover
+            errors.append((i, e))
+
+    def poller():
+        try:
+            for _ in range(30):
+                status.handle_http("/")
+                time.sleep(0.01)
+        except Exception as e:  # pragma: no cover
+            errors.append(("poller", e))
+
+    def switcher():
+        try:
+            for f in ("other", "echo", "other", "echo"):
+                status.handle_http(f"/settings?f={f}")
+                time.sleep(0.03)
+        except Exception as e:  # pragma: no cover
+            errors.append(("switcher", e))
+
+    threads = [threading.Thread(target=poller), threading.Thread(target=switcher)]
+    for i in range(n_files):
+        threads.append(threading.Thread(target=reader, args=(i,)))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == n_files
+
+    from folve_tpu.audio.flac import read_flac
+
+    for i, (filt, blob) in results.items():
+        assert filt in ("echo", "other"), filt
+        got, _ = read_flac(blob)
+        x = songs[f"/s{i}.flac"]
+        ir = ir_for(filt)
+        ref = np.zeros_like(x)
+        for c in range(2):
+            ref[:, c] = signal.fftconvolve(x[:, c].astype(np.float64), ir)[: x.shape[0]]
+        assert np.max(np.abs(got - ref)) < 2.5 / 32768, (i, filt)
 
 
 def test_demo_reverb_filter_end_to_end(tmp_path):

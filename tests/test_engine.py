@@ -177,3 +177,26 @@ def test_many_channels_einsum_path(rng):
     _, _, y = run_engine(ir, x, fragm=fragm, size=size)
     ref = oracle(ir, x)
     assert snr_db(ref, y) < -90
+
+
+def test_maxinp_maxout_64x64(rng):
+    """The engine limit the reference enforces (Convproc MAXINP/MAXOUT,
+    zita-fconfig.cc:49-60): a full 64x64 matrix convolver is accepted
+    and correct."""
+    from folve_tpu.engine import MAXINP, MAXOUT
+
+    assert MAXINP == MAXOUT == 64
+    cin, cout, size, fragm = 64, 64, 96, 32
+    ir = rng.standard_normal((cin, cout, size)).astype(np.float32) / 80
+    n = 2 * fragm + 7
+    x = (rng.standard_normal((n, cin)) * 0.1).astype(np.float32)
+    _, _, y = run_engine(ir, x, fragm=fragm, size=size)
+    ref = oracle(ir, x)
+    assert snr_db(ref, y) < -90
+    # One past the limit is rejected (zita-fconfig.cc bounds checks).
+    from folve_tpu.engine import compile_filter_bank
+
+    with pytest.raises(ValueError):
+        compile_filter_bank(np.zeros((65, 1, 8), np.float32), fragm=32, size=8)
+    with pytest.raises(ValueError):
+        compile_filter_bank(np.zeros((1, 65, 8), np.float32), fragm=32, size=8)
