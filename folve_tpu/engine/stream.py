@@ -201,7 +201,14 @@ def chunk_step(
 
     # 1. Block spectra: DFT of each block zero-padded to 2*fragm.  The
     # bank's (global) bin count says whether it was compiled half- or
-    # full-layout.
+    # full-layout.  The MAC/FFT implementation choice is made here once
+    # (chunk_step is the single source of truth for kernel routing).
+    impl = _MAC_IMPL
+    if impl == "auto":
+        impl = "pallas" if _is_tpu_backend() else "xla"
+    use_pallas = impl in ("pallas", "pallas_interpret")
+    interpret = impl == "pallas_interpret"
+
     k_global = k * freq_shards
     half = k_global == half_bins(2 * b) and k_global != 2 * b
     if freq_axis is None:
@@ -221,26 +228,28 @@ def chunk_step(
                 f"local bins {k} != k1_n*cols = {k1_n}*{cols} (bad shard layout)"
             )
         k1_window = dict(k1_start=lax.axis_index(freq_axis) * k1_n, k1_n=k1_n)
-    xr, xi = fft_real(x.astype(jnp.float32), 2 * b, half=half, **k1_window)
+    if half and freq_axis is None and use_pallas:
+        # Fused two-stage forward (both matmul stages in VMEM; XLA
+        # spills the stage intermediates to HBM — DEVNOTES measurements).
+        from folve_tpu.engine.kernels.fft_half import pallas_fft_real_half
+
+        xr, xi = pallas_fft_real_half(
+            x.astype(jnp.float32), 2 * b, interpret=interpret
+        )
+    else:
+        xr, xi = fft_real(x.astype(jnp.float32), 2 * b, half=half, **k1_window)
 
     # 2. FDL MAC against all partitions, fully parallel across T.  On
     # the Pallas path the kernel reads (history, new spectra) as two
     # buffers — the concatenated [T+P-1] window (a full extra HBM write
     # per step) is never materialized.  XLA/fallback paths concatenate.
-    impl = _MAC_IMPL
-    if impl == "auto":
-        impl = "pallas" if _is_tpu_backend() else "xla"
-    use_split = (
-        impl in ("pallas", "pallas_interpret")
-        and cin * cout <= 16
-        and 2 <= p <= _UNROLL_LIMIT
-    )
+    use_split = use_pallas and cin * cout <= 16 and 2 <= p <= _UNROLL_LIMIT
     if use_split:
         from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac_split
 
         y_re, y_im = pallas_fdl_mac_split(
             bank.h_spec, state.hist_re, state.hist_im, xr, xi,
-            interpret=(impl == "pallas_interpret"),
+            interpret=interpret,
         )
         if t >= p - 1:
             new_re, new_im = xr[t - (p - 1):], xi[t - (p - 1):]
@@ -260,11 +269,16 @@ def chunk_step(
     # banks (the compiler default) invert straight from the stored
     # rectangle (conjugate multiplicity weights — no reconstruction
     # pass, 65/128 stage-1 work); full banks use the plain two-stage
-    # inverse.  Alternative Pallas iFFT/fused-chunk kernels were
-    # measured on hardware and removed — the step is HBM-bound and
-    # they did not beat the XLA pipeline (DEVNOTES.md).
+    # inverse.  On TPU the fused Pallas inverse keeps both Cooley-Tukey
+    # stages in VMEM — XLA spills the stage intermediates to HBM, which
+    # made the inverse over half the whole step (measured 3.9x faster
+    # fused; DEVNOTES.md).
     shard_kw = dict(axis_name=freq_axis, **k1_window) if freq_axis else {}
-    if half:
+    if half and freq_axis is None and use_pallas:
+        from folve_tpu.engine.kernels.ifft_half import pallas_ifft_from_half
+
+        y2 = pallas_ifft_from_half(y_re, y_im, 2 * b, interpret=interpret)
+    elif half:
         y2 = ifft_from_half(y_re, y_im, 2 * b, **shard_kw)  # [T, Cout, 2B]
     else:
         y2 = ifft_to_real(y_re, y_im, 2 * b, **shard_kw)
