@@ -68,6 +68,114 @@ def _kernel(yr_ref, yi_ref, wn_ref, f2tr_ref, f2ti_ref, twr_ref, twi_ref,
     )
 
 
+def _ola_kernel(yr_ref, yi_ref, tail_in_ref, wn_ref, f2tr_ref, f2ti_ref,
+                twr_ref, twi_ref, f1r_ref, f1i_ref,
+                y_ref, tail_out_ref, scratch, *, t_total):
+    """Inverse + overlap-add fused: per (channel, t) grid step the real
+    output tile [M1, M2] splits at row M1/2 into head/tail halves
+    (flat index n = M2*n1 + n2, so the first half of the samples IS the
+    first half of the rows); the head adds the previous block's tail,
+    carried across the sequential t grid dim in VMEM scratch."""
+    t_idx = pl.program_id(1)
+    ar = yr_ref[0, 0] * wn_ref[...]
+    ai = yi_ref[0, 0] * wn_ref[...]
+    ur = (
+        jax.lax.dot(ar, f2tr_ref[...], precision=_PREC)
+        + jax.lax.dot(ai, f2ti_ref[...], precision=_PREC)
+    )
+    ui = (
+        jax.lax.dot(ai, f2tr_ref[...], precision=_PREC)
+        - jax.lax.dot(ar, f2ti_ref[...], precision=_PREC)
+    )
+    vr = ur * twr_ref[...] + ui * twi_ref[...]
+    vi = ui * twr_ref[...] - ur * twi_ref[...]
+    x = (
+        jax.lax.dot(f1r_ref[...], vr, precision=_PREC)
+        + jax.lax.dot(f1i_ref[...], vi, precision=_PREC)
+    )
+    m1 = x.shape[0]
+    half_rows = m1 // 2
+
+    @pl.when(t_idx == 0)
+    def _():
+        scratch[...] = tail_in_ref[0]
+
+    y_ref[0, 0] = x[:half_rows] + scratch[...]
+    scratch[...] = x[half_rows:]
+
+    @pl.when(t_idx == t_total - 1)
+    def _():
+        tail_out_ref[0] = x[half_rows:]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_ifft_ola(yr: jax.Array, yi: jax.Array, tail: jax.Array, n: int,
+                    interpret: bool = False):
+    """Fused inverse + overlap-add for the engine's chunk step.
+
+    ``yr``/``yi``: float32 ``[T, C, half_bins(n)]``; ``tail``: float32
+    ``[C, n//2]`` — the previous chunk's overlap carry.  Returns
+    ``(y, new_tail)`` with ``y`` ``[T, C, n//2]`` = the overlap-added
+    audio blocks and ``new_tail`` ``[C, n//2]``.  Never materializes the
+    length-``n`` intermediate (saves its HBM write + read).
+    """
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    cols = m2 // 2 + 1
+    half_rows = m1 // 2
+    t_total, c = yr.shape[0], yr.shape[1]
+    a_r = yr.reshape(t_total, c, m1, cols)
+    a_i = yi.reshape(t_total, c, m1, cols)
+    tail3 = tail.reshape(c, half_rows, m2)
+
+    wn = (_half_weights(n) / float(n)).astype(np.float32)
+    f2tr = np.ascontiguousarray(plan.f2_re[:, :cols].T)
+    f2ti = np.ascontiguousarray(plan.f2_im[:, :cols].T)
+
+    mem = {"memory_space": _VMEM} if _VMEM else {}
+    y_spec = pl.BlockSpec((1, 1, m1, cols), lambda o, t: (t, o, 0, 0), **mem)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda o, t: tuple(0 for _ in shape), **mem
+    )
+    kernel = functools.partial(_ola_kernel, t_total=t_total)
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        # The t grid dim carries state in scratch: forbid parallel
+        # execution of grid steps (megacore splitting).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        )
+    y, new_tail = pl.pallas_call(
+        kernel,
+        grid=(c, t_total),
+        in_specs=[
+            y_spec,
+            y_spec,
+            pl.BlockSpec((1, half_rows, m2), lambda o, t: (o, 0, 0), **mem),
+            const((m1, cols)),
+            const((cols, m2)),
+            const((cols, m2)),
+            const((m1, m2)),
+            const((m1, m2)),
+            const((m1, m1)),
+            const((m1, m1)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, half_rows, m2), lambda o, t: (t, o, 0, 0), **mem),
+            pl.BlockSpec((1, half_rows, m2), lambda o, t: (o, 0, 0), **mem),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, c, half_rows, m2), jnp.float32),
+            jax.ShapeDtypeStruct((c, half_rows, m2), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((half_rows, m2), jnp.float32)],
+        interpret=interpret,
+    )(a_r, a_i, tail3, wn, f2tr, f2ti, plan.tw_re, plan.tw_im,
+      plan.f1_re, plan.f1_im)
+    b = n // 2
+    return y.reshape(t_total, c, b), new_tail.reshape(c, b)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
 def pallas_ifft_from_half(yr: jax.Array, yi: jax.Array, n: int,
                           interpret: bool = False) -> jax.Array:

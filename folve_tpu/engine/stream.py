@@ -275,17 +275,23 @@ def chunk_step(
     # fused; DEVNOTES.md).
     shard_kw = dict(axis_name=freq_axis, **k1_window) if freq_axis else {}
     if half and freq_axis is None and use_pallas:
-        from folve_tpu.engine.kernels.ifft_half import pallas_ifft_from_half
+        # Fused inverse + overlap-add: the length-2B intermediate is
+        # never materialized; the tail carries across blocks in VMEM.
+        from folve_tpu.engine.kernels.ifft_half import pallas_ifft_ola
 
-        y2 = pallas_ifft_from_half(y_re, y_im, 2 * b, interpret=interpret)
-    elif half:
-        y2 = ifft_from_half(y_re, y_im, 2 * b, **shard_kw)  # [T, Cout, 2B]
+        y, new_tail = pallas_ifft_ola(
+            y_re, y_im, state.tail, 2 * b, interpret=interpret
+        )
     else:
-        y2 = ifft_to_real(y_re, y_im, 2 * b, **shard_kw)
-    heads = y2[:, :, :b]
-    tails = y2[:, :, b:]
-    carry_in = jnp.concatenate([state.tail[None], tails[:-1]], axis=0)
-    y = heads + carry_in  # [T, Cout, B]
+        if half:
+            y2 = ifft_from_half(y_re, y_im, 2 * b, **shard_kw)  # [T, Cout, 2B]
+        else:
+            y2 = ifft_to_real(y_re, y_im, 2 * b, **shard_kw)
+        heads = y2[:, :, :b]
+        tails = y2[:, :, b:]
+        carry_in = jnp.concatenate([state.tail[None], tails[:-1]], axis=0)
+        y = heads + carry_in  # [T, Cout, B]
+        new_tail = tails[-1]
 
     # 4. Clipping monitor over valid frames only.
     frame_idx = lax.broadcasted_iota(jnp.int32, (t, 1, b), 0) * b + lax.broadcasted_iota(
@@ -295,7 +301,7 @@ def chunk_step(
     max_abs = jnp.maximum(state.max_abs, jnp.max(jnp.where(valid, jnp.abs(y), 0.0)))
 
     new_state = StreamState(
-        hist_re=new_re, hist_im=new_im, tail=tails[-1], max_abs=max_abs
+        hist_re=new_re, hist_im=new_im, tail=new_tail, max_abs=max_abs
     )
     return new_state, y
 
