@@ -170,6 +170,7 @@ def pallas_ifft_ola(yr: jax.Array, yi: jax.Array, tail: jax.Array, n: int,
         ],
         scratch_shapes=[pltpu.VMEM((half_rows, m2), jnp.float32)],
         interpret=interpret,
+        **kwargs,
     )(a_r, a_i, tail3, wn, f2tr, f2ti, plan.tw_re, plan.tw_im,
       plan.f1_re, plan.f1_im)
     b = n // 2
