@@ -104,6 +104,49 @@ def test_chunk_step_split_path_streaming(rng):
     np.testing.assert_allclose(got_hist, ref_hist, atol=2e-5)
 
 
+def test_vmapped_chunk_step_matches_single(rng):
+    """vmap of the full pallas chunk step == per-stream, including the
+    OLA kernel's scratch tail carry (validated bit-exact on real TPU;
+    this pins the interpret-mode equivalent in CI)."""
+    from folve_tpu.engine import (
+        batched_chunk_step,
+        chunk_step,
+        compile_filter_bank,
+        init_state,
+    )
+    from folve_tpu.engine.filter_bank import FilterBank
+
+    fragm, size, s, t = 64, 256, 3, 4
+    banks = []
+    for _ in range(s):
+        ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+        banks.append(compile_filter_bank(ir, fragm=fragm, size=size))
+    bank_b = FilterBank(
+        h_spec=jax.numpy.stack([b.h_spec for b in banks]),
+        fragm=fragm,
+        size=size,
+    )
+    x = rng.standard_normal((s, t, 2, fragm)).astype(np.float32)
+    nv = np.full((s,), t * fragm, np.int32)
+
+    st.set_mac_impl("pallas_interpret")
+    try:
+        states = jax.vmap(lambda i: init_state(banks[0]))(np.arange(s))
+        st1, y1 = batched_chunk_step(bank_b, states, jax.numpy.asarray(x), nv)
+        st2, y2 = batched_chunk_step(bank_b, st1, jax.numpy.asarray(x[:, ::-1]), nv)
+        for i in range(s):
+            ss = init_state(banks[i])
+            ss, r1 = chunk_step(banks[i], ss, x[i], int(nv[i]))
+            ss, r2 = chunk_step(banks[i], ss, x[i, ::-1], int(nv[i]))
+            np.testing.assert_array_equal(np.asarray(y1[i]), np.asarray(r1))
+            np.testing.assert_array_equal(np.asarray(y2[i]), np.asarray(r2))
+            np.testing.assert_array_equal(
+                np.asarray(st2.tail[i]), np.asarray(ss.tail)
+            )
+    finally:
+        st.set_mac_impl("auto")
+
+
 def test_large_p_fori_path(rng):
     """P > unroll limit exercises the in-kernel fori_loop."""
     p, cin, cout, k, t = 40, 1, 1, 256, 2
