@@ -69,6 +69,15 @@ def _pick_tile(p: int, cin: int, cout: int, t: int, k: int) -> int:
 _UNROLL_LIMIT = 32
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct inheriting ``like``'s varying-manual-axes set —
+    required for pallas_call outputs inside shard_map (check_vma)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _kernel(h_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, p, cin, cout, t):
     acc_shape = yr_ref.shape[0:1] + yr_ref.shape[2:]
     for o in range(cout):
@@ -184,8 +193,8 @@ def pallas_fdl_mac_split(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
-            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
+            _sds((t, cout, k), jnp.float32, xr),
+            _sds((t, cout, k), jnp.float32, xr),
         ],
         interpret=interpret,
     )(h_spec, hist_re, hist_im, xr, xi)
@@ -226,8 +235,8 @@ def pallas_fdl_mac(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
-            jax.ShapeDtypeStruct((t, cout, k), jnp.float32),
+            _sds((t, cout, k), jnp.float32, xall_re),
+            _sds((t, cout, k), jnp.float32, xall_re),
         ],
         interpret=interpret,
     )(h_spec, xall_re, xall_im)

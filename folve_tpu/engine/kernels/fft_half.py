@@ -37,6 +37,15 @@ except Exception:  # pragma: no cover
 _PREC = lax.Precision.HIGHEST
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct inheriting ``like``'s varying-manual-axes set —
+    required for pallas_call outputs inside shard_map (check_vma)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _kernel(x_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref,
             yr_ref, yi_ref):
     a = x_ref[0]  # [rows, M2]
@@ -55,6 +64,59 @@ def _kernel(x_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref,
         jax.lax.dot(t_r, f2i_ref[...], precision=_PREC)
         + jax.lax.dot(t_i, f2r_ref[...], precision=_PREC)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_fft_real_half_rows(x: jax.Array, n: int,
+                              f1r, f1i, twr, twi,
+                              interpret: bool = False):
+    """Freq-sharded variant: compute only a window of k1 rows.
+
+    The stage factors vary per shard (k1_start = axis_index * k1_n), so
+    they are INPUTS instead of baked constants: ``f1r``/``f1i``
+    ``[k1_n, rows]`` (the local rows of F1's used columns), ``twr``/
+    ``twi`` ``[k1_n, M2]``.  Returns ``(re, im)`` each
+    ``[..., k1_n * cols]`` local permuted half-spectrum bins.
+    """
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    cols = m2 // 2 + 1
+    k1_n = f1r.shape[0]
+    length = x.shape[-1]
+    rows = min(m1, -(-length // m2))
+    if length < rows * m2:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, rows * m2 - length)]
+        x = jnp.pad(x, pad)
+    batch = x.shape[:-1]
+    r = int(np.prod(batch)) if batch else 1
+    a = x.reshape(r, rows, m2)
+    f2r = np.ascontiguousarray(plan.f2_re[:, :cols])
+    f2i = np.ascontiguousarray(plan.f2_im[:, :cols])
+
+    mem = {"memory_space": _VMEM} if _VMEM else {}
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **mem)
+    out_spec = pl.BlockSpec((1, k1_n, cols), lambda i: (i, 0, 0), **mem)
+    yr, yi = pl.pallas_call(
+        functools.partial(_kernel),
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, rows, m2), lambda i: (i, 0, 0), **mem),
+            const((k1_n, rows)),
+            const((k1_n, rows)),
+            const((k1_n, m2)),
+            const((k1_n, m2)),
+            const((m2, cols)),
+            const((m2, cols)),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            _sds((r, k1_n, cols), jnp.float32, a),
+            _sds((r, k1_n, cols), jnp.float32, a),
+        ],
+        interpret=interpret,
+    )(a, f1r, f1i, twr, twi, f2r, f2i)
+    k = k1_n * cols
+    return yr.reshape(*batch, k), yi.reshape(*batch, k)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))

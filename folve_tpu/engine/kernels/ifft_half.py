@@ -44,6 +44,15 @@ except Exception:  # pragma: no cover
 _PREC = lax.Precision.HIGHEST
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct inheriting ``like``'s varying-manual-axes set —
+    required for pallas_call outputs inside shard_map (check_vma)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _kernel(yr_ref, yi_ref, wn_ref, f2tr_ref, f2ti_ref, twr_ref, twi_ref,
             f1r_ref, f1i_ref, out_ref):
     # Weighted half rectangle: [M1, cols].
@@ -175,6 +184,56 @@ def pallas_ifft_ola(yr: jax.Array, yi: jax.Array, tail: jax.Array, n: int,
       plan.f1_re, plan.f1_im)
     b = n // 2
     return y.reshape(t_total, c, b), new_tail.reshape(c, b)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_ifft_partial_rows(yr: jax.Array, yi: jax.Array, n: int,
+                             wn, f1r_cols, f1i_cols, twr, twi,
+                             interpret: bool = False) -> jax.Array:
+    """Freq-sharded variant: inverse from a k1-row window of the half
+    rectangle, producing this shard's PARTIAL stage-2 sum (the caller
+    psums over the freq axis and applies the overlap-add after).
+
+    Shard-varying factors are inputs: ``wn`` ``[k1_n, cols]`` (the local
+    multiplicity-weight rows, already scaled by 1/N), ``f1r_cols``/
+    ``f1i_cols`` ``[M1, k1_n]`` (conj(F1)'s local k1 columns), ``twr``/
+    ``twi`` ``[k1_n, M2]``.
+    """
+    plan = get_plan(n)
+    m1, m2 = plan.m1, plan.m2
+    cols = m2 // 2 + 1
+    k1_n = wn.shape[0]
+    batch = yr.shape[:-1]
+    r = int(np.prod(batch)) if batch else 1
+    a_r = yr.reshape(r, k1_n, cols)
+    a_i = yi.reshape(r, k1_n, cols)
+    f2tr = np.ascontiguousarray(plan.f2_re[:, :cols].T)
+    f2ti = np.ascontiguousarray(plan.f2_im[:, :cols].T)
+
+    mem = {"memory_space": _VMEM} if _VMEM else {}
+    y_spec = pl.BlockSpec((1, k1_n, cols), lambda i: (i, 0, 0), **mem)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), **mem
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid=(r,),
+        in_specs=[
+            y_spec,
+            y_spec,
+            const((k1_n, cols)),
+            const((cols, m2)),
+            const((cols, m2)),
+            const((k1_n, m2)),
+            const((k1_n, m2)),
+            const((m1, k1_n)),
+            const((m1, k1_n)),
+        ],
+        out_specs=pl.BlockSpec((1, m1, m2), lambda i: (i, 0, 0), **mem),
+        out_shape=_sds((r, m1, m2), jnp.float32, a_r),
+        interpret=interpret,
+    )(a_r, a_i, wn, f2tr, f2ti, twr, twi, f1r_cols, f1i_cols)
+    return out.reshape(*batch, n)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))

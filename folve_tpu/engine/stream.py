@@ -236,6 +236,24 @@ def chunk_step(
         xr, xi = pallas_fft_real_half(
             x.astype(jnp.float32), 2 * b, interpret=interpret
         )
+    elif half and use_pallas:
+        # Freq-sharded fused forward: the shard's stage factors vary
+        # with axis_index, so they are sliced here and passed as inputs.
+        from folve_tpu.engine.kernels.fft_half import pallas_fft_real_half_rows
+        from folve_tpu.engine.rfft import _rows, get_plan as _gp
+
+        plan2 = _gp(2 * b)
+        rows = min(plan2.m1, -(-b // plan2.m2))
+        ks, kn = k1_window["k1_start"], k1_window["k1_n"]
+        xr, xi = pallas_fft_real_half_rows(
+            x.astype(jnp.float32),
+            2 * b,
+            _rows(plan2.f1_re[:, :rows], ks, kn),
+            _rows(plan2.f1_im[:, :rows], ks, kn),
+            _rows(plan2.tw_re, ks, kn),
+            _rows(plan2.tw_im, ks, kn),
+            interpret=interpret,
+        )
     else:
         xr, xi = fft_real(x.astype(jnp.float32), 2 * b, half=half, **k1_window)
 
@@ -283,7 +301,32 @@ def chunk_step(
             y_re, y_im, state.tail, 2 * b, interpret=interpret
         )
     else:
-        if half:
+        if half and use_pallas and freq_axis is not None:
+            # Freq-sharded fused inverse: each shard computes its
+            # partial stage-2 sum in VMEM; one psum completes the k1
+            # contraction (the same single collective as the XLA path).
+            from folve_tpu.engine.kernels.ifft_half import (
+                pallas_ifft_partial_rows,
+            )
+            from folve_tpu.engine.rfft import _half_weights, _rows
+            from folve_tpu.engine.rfft import get_plan as _gp
+
+            plan2 = _gp(2 * b)
+            ks, kn = k1_window["k1_start"], k1_window["k1_n"]
+            wn_full = (_half_weights(2 * b) / float(2 * b)).astype("float32")
+            partial = pallas_ifft_partial_rows(
+                y_re,
+                y_im,
+                2 * b,
+                _rows(wn_full, ks, kn),
+                _rows(plan2.f1_re, ks, kn, axis=1),
+                _rows(plan2.f1_im, ks, kn, axis=1),
+                _rows(plan2.tw_re, ks, kn),
+                _rows(plan2.tw_im, ks, kn),
+                interpret=interpret,
+            )
+            y2 = lax.psum(partial, freq_axis)
+        elif half:
             y2 = ifft_from_half(y_re, y_im, 2 * b, **shard_kw)  # [T, Cout, 2B]
         else:
             y2 = ifft_to_real(y_re, y_im, 2 * b, **shard_kw)

@@ -83,7 +83,8 @@ SPEC_X = P("stream", None, None, None)
 
 
 def make_sharded_serving_step(
-    mesh: Mesh, fragm: int, *, shared_bank: bool = False, gather: bool = False
+    mesh: Mesh, fragm: int, *, shared_bank: bool = False, gather: bool = False,
+    check_vma: bool = True,
 ):
     """Build the jitted multi-chip serving step for one block length.
 
@@ -129,12 +130,17 @@ def make_sharded_serving_step(
             h_spec, hist_re, hist_im, tail, max_abs, x, n_valid
         )
 
+    # check_vma stays ON for production; ``check_vma=False`` exists only
+    # for interpret-mode Pallas tests on the virtual CPU mesh, where the
+    # interpreter's block extraction (dynamic_slice with unvarying grid
+    # indices) trips JAX's varying-manual-axes rule.
     step = _shard_map(
         local,
         mesh=mesh,
         in_specs=(spec_h, SPEC_HIST, SPEC_HIST, SPEC_TAIL, SPEC_SCALAR,
                   SPEC_X, SPEC_SCALAR),
         out_specs=(SPEC_HIST, SPEC_HIST, SPEC_TAIL, SPEC_SCALAR, SPEC_X),
+        check_vma=check_vma,
     )
     if not gather:
         return jax.jit(step)

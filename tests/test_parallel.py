@@ -133,6 +133,38 @@ def test_sharded_many_channels_einsum(rng, has8):
         np.testing.assert_allclose(np.asarray(y)[i], np.asarray(ref), atol=3e-5)
 
 
+def test_sharded_pallas_kernels_interpret(rng, has8):
+    """The freq-sharded path on the fused Pallas kernels (interpret
+    mode): per-shard forward rows + partial inverse + psum must match
+    the single-device engine."""
+    from folve_tpu.engine import stream as stmod
+
+    fragm, size, s, t = 128, 512, 8, 3
+    mesh = make_serving_mesh(8, freq_parallel=2)
+    banks, irs, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid = _build_inputs(
+        rng, s, t, fragm, size
+    )
+    stmod.set_mac_impl("pallas_interpret")
+    try:
+        # check_vma off: the Pallas INTERPRETER's block extraction trips
+        # the varying-manual-axes rule (unvarying grid indices against
+        # stream-varying operands); the compiled TPU path keeps it on.
+        step = make_sharded_serving_step(mesh, fragm, check_vma=False)
+        args = shard_states_and_bank(
+            mesh, h_spec, hist_re, hist_im, tail, max_abs, x, n_valid
+        )
+        _, _, new_tail, _, y = step(*args)
+    finally:
+        stmod.set_mac_impl("auto")
+    for i in range(s):
+        st = init_state(banks[i])
+        st2, y_ref = chunk_step(banks[i], st, x[i], int(n_valid[i]))
+        np.testing.assert_allclose(np.asarray(y)[i], np.asarray(y_ref), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_tail)[i], np.asarray(st2.tail), atol=2e-5
+        )
+
+
 def test_check_freq_shardable():
     from folve_tpu.engine.rfft import half_bins
 
