@@ -141,14 +141,15 @@ def _engine_configs(out, rng):
     size2 = 32768 if smoke else 204800
     ir2 = rng.standard_normal((2, 2, size2)).astype(np.float32) / np.sqrt(size2)
     bank2 = compile_filter_bank(ir2)
-    out["long_ir_204800_x"] = round(run(bank2, 2 if smoke else 8, 4 if smoke else 16, 2 if smoke else 10)[0], 1)
+    out["long_ir_204800_x"] = round(run(bank2, 2 if smoke else 8, 4 if smoke else 32, 2 if smoke else 10)[0], 1)
 
     # --- config 1: single stream, demo-lowpass-class filter (65,536
-    # taps).  S=1, modest chunking — the blocking-reader case.
+    # taps).  S=1, T=8 — the runtime's bulk pump chunk (the
+    # blocking-reader case).
     size1 = 16384 if smoke else 65536
     ir1 = rng.standard_normal((2, 2, size1)).astype(np.float32) / 256.0
     bank1 = compile_filter_bank(ir1)
-    out["single_stream_lowpass_x"] = round(run(bank1, 1, 4, 3 if smoke else 30)[0], 1)
+    out["single_stream_lowpass_x"] = round(run(bank1, 1, 8, 3 if smoke else 30)[0], 1)
 
     # --- latency: single-block single-stream step, forced per call.
     st = init_state(bank1)
