@@ -125,13 +125,16 @@ def _split_kernel(h_ref, hr_re, hr_im, xr_re, xr_im, yr_ref, yi_ref,
       Y[tt] += H[pi] * X[tt + (P-1) - pi]
     where window row w = tt + (P-1) - pi reads hist for w < P-1 and the
     new spectra for w >= P-1; the boundary splits the T output rows at
-    ``split = min(pi, t)`` — all static, so the updates are two strip
-    read-modify-writes on the accumulating output refs."""
+    ``split = min(pi, t)``.  For pi < T the two strips have static
+    shapes and unroll; for pi >= T every output row reads hist (one
+    uniform full-T strip at dynamic offset), so the long tail of a
+    MAXSIZE filter runs as a ``fori_loop`` — no compile-time blowup and
+    still no window concat."""
     yr_ref[...] = jnp.zeros_like(yr_ref)
     yi_ref[...] = jnp.zeros_like(yi_ref)
-    for pi in range(p):
+    for pi in range(min(p, t)):  # static boundary region
         off = (p - 1) - pi
-        split = min(pi, t)
+        split = pi
         for o in range(cout):
             for i in range(cin):
                 hr = h_ref[pi, i, o, 0, :]
@@ -143,13 +146,27 @@ def _split_kernel(h_ref, hr_re, hr_im, xr_re, xr_im, yr_ref, yi_ref,
                     xi = hr_im[pl.ds(off, n), i, :]
                     yr_ref[pl.ds(0, n), o, :] += xr * hr - xi * hi
                     yi_ref[pl.ds(0, n), o, :] += xr * hi + xi * hr
-                if split < t:
-                    # Output rows [split, T) read new rows [0, T-split).
-                    n = t - split
-                    xr = xr_re[pl.ds(0, n), i, :]
-                    xi = xr_im[pl.ds(0, n), i, :]
-                    yr_ref[pl.ds(split, n), o, :] += xr * hr - xi * hi
-                    yi_ref[pl.ds(split, n), o, :] += xr * hi + xi * hr
+                # Output rows [split, T) read new rows [0, T-split).
+                n = t - split
+                xr = xr_re[pl.ds(0, n), i, :]
+                xi = xr_im[pl.ds(0, n), i, :]
+                yr_ref[pl.ds(split, n), o, :] += xr * hr - xi * hi
+                yi_ref[pl.ds(split, n), o, :] += xr * hi + xi * hr
+
+    if p > t:
+        def body(pi, _):
+            off = (p - 1) - pi
+            for o in range(cout):
+                for i in range(cin):
+                    hr = h_ref[pi, i, o, 0, :]
+                    hi = h_ref[pi, i, o, 1, :]
+                    xr = hr_re[pl.ds(off, t), i, :]
+                    xi = hr_im[pl.ds(off, t), i, :]
+                    yr_ref[:, o, :] += xr * hr - xi * hi
+                    yi_ref[:, o, :] += xr * hi + xi * hr
+            return 0
+
+        jax.lax.fori_loop(t, p, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -165,8 +182,9 @@ def pallas_fdl_mac_split(
 
     ``h_spec``: [P, Cin, Cout, 2, K]; ``hist_re``/``hist_im``:
     [P-1, Cin, K]; ``xr``/``xi``: [T, Cin, K].  Returns (yr, yi) each
-    [T, Cout, K].  Only used for unrolled partition counts
-    (P <= _UNROLL_LIMIT): the strip boundaries are per-partition static.
+    [T, Cout, K].  The unrolled boundary region is min(P, T) partitions
+    (caller gates on that staying <= _UNROLL_LIMIT); partitions beyond T
+    loop with ``fori``.
     """
     p, cin, cout, _, k = h_spec.shape
     t = xr.shape[0]

@@ -261,7 +261,13 @@ def chunk_step(
     # the Pallas path the kernel reads (history, new spectra) as two
     # buffers — the concatenated [T+P-1] window (a full extra HBM write
     # per step) is never materialized.  XLA/fallback paths concatenate.
-    use_split = use_pallas and cin * cout <= 16 and 2 <= p <= _UNROLL_LIMIT
+    # Split kernel: the unrolled boundary region is min(P, T) partitions
+    # (beyond T the kernel fori-loops), so any P works as long as the
+    # boundary stays within the unroll budget.
+    use_split = (
+        use_pallas and cin * cout <= 16 and p >= 2
+        and min(p, t) <= _UNROLL_LIMIT
+    )
     if use_split:
         from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac_split
 

@@ -40,6 +40,8 @@ def test_matches_xla_path(rng, p, cin, cout, k, t):
         (2, 1, 2, 4096, 2),
         (8, 2, 2, 512, 3),   # t < p-1: history outlives the chunk
         (4, 2, 2, 512, 8),   # t >= p-1: new hist is a slice of xr
+        (40, 2, 2, 256, 4),  # p > unroll limit: fori tail engaged
+        (128, 1, 1, 256, 2),  # MAXSIZE-class partition count
     ],
 )
 def test_split_kernel_matches_xla(rng, p, cin, cout, k, t):
