@@ -186,6 +186,47 @@ def test_zita_parser_never_crashes(line):
 
 @settings(deadline=None, max_examples=15)
 @given(
+    size=st.integers(1, 300),
+    fragm_log=st.integers(4, 7),
+    cin=st.integers(1, 3),
+    cout=st.integers(1, 3),
+    extra=st.integers(0, 50),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_engine_matches_oracle_odd_shapes(size, fragm_log, cin, cout, extra,
+                                          seed):
+    """Engine == direct convolution for arbitrary IR lengths (incl.
+    1-tap, shorter/longer than a block, non-power-of-two), channel
+    combos and a declared size exceeding the IR."""
+    from scipy import signal
+
+    from folve_tpu.engine import chunk_step, compile_filter_bank, init_state
+
+    fragm = 1 << fragm_log
+    rng = np.random.default_rng(seed)
+    ir = rng.standard_normal((cin, cout, size)).astype(np.float32) / max(
+        np.sqrt(size), 4
+    )
+    bank = compile_filter_bank(ir, fragm=fragm, size=size + extra)
+    t = max(2, -(-(size + extra) // fragm) + 1)  # cover > one FDL wrap
+    x = rng.standard_normal((t, cin, fragm)).astype(np.float32)
+    st_ = init_state(bank)
+    _, y = chunk_step(bank, st_, x, t * fragm)
+    got = np.asarray(y).transpose(0, 2, 1).reshape(t * fragm, cout)
+    flat = x.transpose(0, 2, 1).reshape(t * fragm, cin)
+    ref = np.zeros((t * fragm, cout))
+    for o in range(cout):
+        for i in range(cin):
+            ref[:, o] += signal.fftconvolve(
+                flat[:, i].astype(np.float64), ir[i, o].astype(np.float64)
+            )[: t * fragm]
+    err = np.sum((got - ref) ** 2)
+    denom = max(np.sum(ref**2), 1e-30)
+    assert 10 * np.log10(max(err, 1e-300) / denom) < -90
+
+
+@settings(deadline=None, max_examples=15)
+@given(
     splits=st.lists(st.integers(1, 7), min_size=1, max_size=4),
     seed=st.integers(0, 2**31 - 1),
 )
