@@ -133,12 +133,26 @@ def cmd_mount(args) -> int:
         # Daemonize BEFORE building the filesystem so no helper thread
         # (status server, scheduler, prefetcher) is lost in the fork
         # (the reference daemonizes inside fuse_main, folve-main.cc:539).
-        # Resolve CLI paths first — the daemon keeps the original cwd.
+        # Everything cheaply checkable is validated FIRST so bad
+        # invocations fail loudly with a nonzero exit instead of
+        # vanishing into the daemon; deeper failures (mount syscall,
+        # mesh setup) land in syslog after the fork.
         args.underlying_dir = os.path.realpath(args.underlying_dir)
         args.mount_point = os.path.realpath(args.mount_point)
         args.config_dir = os.path.realpath(args.config_dir)
         if args.pid_file:
             args.pid_file = os.path.realpath(args.pid_file)
+        for label, d in (
+            ("underlying dir", args.underlying_dir),
+            ("mount point", args.mount_point),
+            ("config dir", args.config_dir),
+        ):
+            if not os.path.isdir(d):
+                sys.exit(f"{label} {d!r} is not a directory")
+        if args.prebuffer >= 0 and args.prebuffer and not (
+            64 <= args.prebuffer <= 16384
+        ):
+            sys.exit("-b prebuffer must be within 64..16384 KiB (or -1 to disable)")
         daemonize()
     fs = _build_fs(args, args.underlying_dir)
     vfs = _build_vfs(args, fs)
@@ -293,10 +307,16 @@ def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     # Reference-compatible invocation: `folve [options] src mnt` with no
-    # subcommand (folve-main.cc:330-361).  If the first non-flag token
-    # is not a subcommand, this is a classic folve command line — mount.
+    # subcommand (folve-main.cc:330-361).  Rewrite to mount only when NO
+    # token names a subcommand anywhere — an option VALUE before a
+    # subcommand (e.g. `--port 8080 serve dir`) must not trigger it, and
+    # ambiguous lines still get argparse's loud error.
     head = next((a for a in argv if not a.startswith("-")), None)
-    if argv and head not in _SUBCOMMANDS and head not in ("-h", "--help", None):
+    if (
+        argv
+        and head is not None
+        and not set(argv) & set(_SUBCOMMANDS)
+    ):
         argv = ["mount"] + list(argv)
     parser = argparse.ArgumentParser(
         prog="folve-tpu",

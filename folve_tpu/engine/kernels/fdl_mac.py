@@ -23,13 +23,7 @@ import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
 
-try:  # TPU-specific memory spaces; absent on pure-CPU installs
-    from jax.experimental.pallas import tpu as pltpu
-
-    _VMEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _VMEM = None
+from folve_tpu.engine.kernels.common import VMEM as _VMEM, promote_vma, sds as _sds
 
 # VMEM budget for one grid step's blocks (H + X + Y tiles); the actual
 # tile width adapts so MAXSIZE filters (P=128, zita-config.h:61) fit.
@@ -69,13 +63,15 @@ def _pick_tile(p: int, cin: int, cout: int, t: int, k: int) -> int:
 _UNROLL_LIMIT = 32
 
 
-def _sds(shape, dtype, like):
-    """ShapeDtypeStruct inheriting ``like``'s varying-manual-axes set —
-    required for pallas_call outputs inside shard_map (check_vma)."""
-    vma = getattr(jax.typeof(like), "vma", None)
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
+def pallas_mac_supported(p: int, cin: int, cout: int, t: int, k: int) -> bool:
+    """True when a VMEM-fitting lane-legal tile exists for these shapes.
+
+    Freq-sharded half-layout bin counts like (M1/N)*65 have no
+    multiple-of-128 divisor, so the only legal tile is the full width —
+    which for deep FDLs (MAXSIZE P=128) would not fit VMEM.  Callers
+    route such shapes to the XLA MAC instead."""
+    kt = _pick_tile(p, cin, cout, t, k)
+    return k % kt == 0 and _fits(p, cin, cout, t, kt)
 
 
 def _kernel(h_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, p, cin, cout, t):
@@ -188,6 +184,9 @@ def pallas_fdl_mac_split(
     """
     p, cin, cout, _, k = h_spec.shape
     t = xr.shape[0]
+    h_spec, hist_re, hist_im, xr, xi = promote_vma(
+        h_spec, hist_re, hist_im, xr, xi
+    )
     kt = _pick_tile(p, cin, cout, t, k)
     assert k % kt == 0
     grid = (k // kt,)
@@ -233,6 +232,7 @@ def pallas_fdl_mac(
     [T+P-1, Cin, K].  Returns (yr, yi) each [T, Cout, K].
     """
     p, cin, cout, _, k = h_spec.shape
+    h_spec, xall_re, xall_im = promote_vma(h_spec, xall_re, xall_im)
     kt = _pick_tile(p, cin, cout, t, k)
     assert k % kt == 0
     grid = (k // kt,)

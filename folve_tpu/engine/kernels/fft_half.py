@@ -26,24 +26,11 @@ from jax.experimental import pallas as pl
 
 from folve_tpu.engine.rfft import get_plan
 
-try:  # pragma: no cover
-    from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu
 
-    _VMEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _VMEM = None
+from folve_tpu.engine.kernels.common import VMEM as _VMEM, promote_vma, sds as _sds
 
 _PREC = lax.Precision.HIGHEST
-
-
-def _sds(shape, dtype, like):
-    """ShapeDtypeStruct inheriting ``like``'s varying-manual-axes set —
-    required for pallas_call outputs inside shard_map (check_vma)."""
-    vma = getattr(jax.typeof(like), "vma", None)
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
 
 
 def _kernel(x_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref,
@@ -90,8 +77,13 @@ def pallas_fft_real_half_rows(x: jax.Array, n: int,
     batch = x.shape[:-1]
     r = int(np.prod(batch)) if batch else 1
     a = x.reshape(r, rows, m2)
-    f2r = np.ascontiguousarray(plan.f2_re[:, :cols])
-    f2i = np.ascontiguousarray(plan.f2_im[:, :cols])
+    f2r = jnp.asarray(np.ascontiguousarray(plan.f2_re[:, :cols]))
+    f2i = jnp.asarray(np.ascontiguousarray(plan.f2_im[:, :cols]))
+    # Mixed vma sets (stream-varying audio, freq-varying factors,
+    # unvarying constants) must be unified for pallas_call in shard_map.
+    a, f1r, f1i, twr, twi, f2r, f2i = promote_vma(
+        a, f1r, f1i, twr, twi, f2r, f2i
+    )
 
     mem = {"memory_space": _VMEM} if _VMEM else {}
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **mem)

@@ -33,24 +33,11 @@ from jax.experimental import pallas as pl
 
 from folve_tpu.engine.rfft import _half_weights, get_plan
 
-try:  # TPU-specific memory spaces; absent on pure-CPU installs
-    from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu
 
-    _VMEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _VMEM = None
+from folve_tpu.engine.kernels.common import VMEM as _VMEM, promote_vma, sds as _sds
 
 _PREC = lax.Precision.HIGHEST
-
-
-def _sds(shape, dtype, like):
-    """ShapeDtypeStruct inheriting ``like``'s varying-manual-axes set —
-    required for pallas_call outputs inside shard_map (check_vma)."""
-    vma = getattr(jax.typeof(like), "vma", None)
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
 
 
 def _kernel(yr_ref, yi_ref, wn_ref, f2tr_ref, f2ti_ref, twr_ref, twi_ref,
@@ -207,8 +194,12 @@ def pallas_ifft_partial_rows(yr: jax.Array, yi: jax.Array, n: int,
     r = int(np.prod(batch)) if batch else 1
     a_r = yr.reshape(r, k1_n, cols)
     a_i = yi.reshape(r, k1_n, cols)
-    f2tr = np.ascontiguousarray(plan.f2_re[:, :cols].T)
-    f2ti = np.ascontiguousarray(plan.f2_im[:, :cols].T)
+    f2tr = jnp.asarray(np.ascontiguousarray(plan.f2_re[:, :cols].T))
+    f2ti = jnp.asarray(np.ascontiguousarray(plan.f2_im[:, :cols].T))
+    # Unify mixed vma sets for pallas_call inside shard_map.
+    a_r, a_i, wn, f2tr, f2ti, twr, twi, f1r_cols, f1i_cols = promote_vma(
+        a_r, a_i, wn, f2tr, f2ti, twr, twi, f1r_cols, f1i_cols
+    )
 
     mem = {"memory_space": _VMEM} if _VMEM else {}
     y_spec = pl.BlockSpec((1, k1_n, cols), lambda i: (i, 0, 0), **mem)

@@ -263,10 +263,14 @@ def chunk_step(
     # per step) is never materialized.  XLA/fallback paths concatenate.
     # Split kernel: the unrolled boundary region is min(P, T) partitions
     # (beyond T the kernel fori-loops), so any P works as long as the
-    # boundary stays within the unroll budget.
+    # boundary stays within the unroll budget and a VMEM-fitting tile
+    # exists (freq-sharded bin counts can defeat lane-legal tiling).
+    from folve_tpu.engine.kernels.fdl_mac import pallas_mac_supported
+
+    mac_ok = pallas_mac_supported(p, cin, cout, t, k)
     use_split = (
         use_pallas and cin * cout <= 16 and p >= 2
-        and min(p, t) <= _UNROLL_LIMIT
+        and min(p, t) <= _UNROLL_LIMIT and mac_ok
     )
     if use_split:
         from folve_tpu.engine.kernels.fdl_mac import pallas_fdl_mac_split
@@ -283,7 +287,10 @@ def chunk_step(
     else:
         xall_re = jnp.concatenate([state.hist_re, xr], axis=0)  # [T+P-1,...]
         xall_im = jnp.concatenate([state.hist_im, xi], axis=0)
-        y_re, y_im = _fdl_mac(bank.h_spec, xall_re, xall_im, t, impl=impl)
+        y_re, y_im = _fdl_mac(
+            bank.h_spec, xall_re, xall_im, t,
+            impl=impl if mac_ok else "xla",
+        )
         if p > 1:
             new_re, new_im = xall_re[t:], xall_im[t:]
         else:

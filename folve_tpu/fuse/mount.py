@@ -243,7 +243,9 @@ def parse_mount_options(options: str) -> tuple[str, bool]:
 def daemonize() -> None:
     """Classic double-fork daemonization (the reference daemonizes
     inside fuse_main when not -f, folve-main.cc:539).  Must run before
-    any threads start (status server, scheduler, prefetcher)."""
+    any threads start (status server, scheduler, prefetcher).  After
+    detaching, warnings/errors go to syslog like the reference's
+    (folve-main.cc:273-277) — stdio is /dev/null."""
     if os.fork() > 0:
         os._exit(0)
     os.setsid()
@@ -254,6 +256,19 @@ def daemonize() -> None:
         os.dup2(devnull, fd)
     if devnull > 2:
         os.close(devnull)
+    try:
+        import logging.handlers
+
+        handler = logging.handlers.SysLogHandler(address="/dev/log")
+        handler.setFormatter(
+            logging.Formatter("folve-tpu[%(process)d]: %(levelname)s %(message)s")
+        )
+        root = logging.getLogger()
+        root.addHandler(handler)
+        if root.level > logging.INFO or root.level == logging.NOTSET:
+            root.setLevel(logging.INFO)
+    except Exception:
+        pass  # no /dev/log (containers): errors are still in the pid file's absence
 
 
 def mount_and_serve(
@@ -267,6 +282,9 @@ def mount_and_serve(
     try:
         session.mount(mountpoint, options)
     except OSError as e:
+        # Reaches the terminal in foreground mode and syslog when
+        # daemonized (daemonize() attached a SysLogHandler).
+        _log.error("FUSE mount failed (%s); is /dev/fuse available?", e)
         print(f"FUSE mount failed ({e}); is /dev/fuse available?")
         return 1
     print(f"mounted on {mountpoint}")

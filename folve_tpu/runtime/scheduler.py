@@ -130,7 +130,8 @@ class DeviceScheduler:
         self._window_s = window_s
         self._mesh = mesh
         self._sharded_steps: Dict[Tuple, object] = {}
-        self._placed_banks: Dict[int, Tuple] = {}
+        self._placed_banks: Dict[object, Tuple] = {}
+        self._last_parent: object = None
         self._mutex = threading.Lock()
         self._cv = threading.Condition(self._mutex)
         self._queues: Dict[Tuple, List[_Job]] = {}
@@ -170,6 +171,21 @@ class DeviceScheduler:
         self, bank: FilterBank, state: StreamState, x, n_valid
     ) -> Future:
         """Queue one stream's chunk; resolves to (new_state, y)."""
+        if (
+            isinstance(state, ShardedStateRef)
+            and state.parent is not self._last_parent
+        ):
+            # Straggler holding a SUPERSEDED device batch: materialize
+            # to host so old _SlotStates batches are released promptly
+            # (a ref pins the whole padded batch, not just its row).
+            from folve_tpu.engine.stream import StreamState as _SS
+
+            state = _SS(
+                hist_re=np.asarray(state.hist_re),
+                hist_im=np.asarray(state.hist_im),
+                tail=np.asarray(state.tail),
+                max_abs=np.asarray(state.max_abs),
+            )
         job = _Job(bank, state, x, n_valid)
         sig = _signature(bank) + (np.asarray(x).shape[0],)
         with self._cv:
@@ -279,6 +295,25 @@ class DeviceScheduler:
         self._placed_banks[key] = (h_spec, placed)
         return placed
 
+    def _placed_bank_stack(self, mesh, specs):
+        """Per-stream filter stack placed with the serving sharding,
+        cached by identity tuple — without this, every fast-path step of
+        a mixed-filter batch re-uploads all spectra from host."""
+        from jax.sharding import NamedSharding
+
+        from folve_tpu.parallel.serving import SPEC_H
+
+        key = tuple(id(h) for h in specs)
+        hit = self._placed_banks.get(key)
+        if hit is not None and all(a is b for a, b in zip(hit[0], specs)):
+            return hit[1]
+        stacked = np.stack([np.asarray(h) for h in specs])
+        placed = jax.device_put(stacked, NamedSharding(mesh, SPEC_H))
+        if len(self._placed_banks) > 16:
+            self._placed_banks.clear()
+        self._placed_banks[key] = (tuple(specs), placed)
+        return placed
+
     def _execute_sharded(self, mesh, jobs: List[_Job], all_jobs: List[_Job]) -> None:
         """Dispatch one batch through the multi-chip sharded serving step.
 
@@ -322,7 +357,9 @@ class DeviceScheduler:
             if shared:
                 h_spec = self._placed_bank(mesh, bank0.h_spec)
             else:
-                h_spec = np.stack([np.asarray(j.bank.h_spec) for j in all_jobs])
+                h_spec = self._placed_bank_stack(
+                    mesh, [j.bank.h_spec for j in all_jobs]
+                )
             idx = np.asarray([s.idx for s in states], dtype=np.int32)
             new_re, new_im, new_tail, new_max, y = step(
                 h_spec,
@@ -361,5 +398,6 @@ class DeviceScheduler:
         if n > 1:
             self.batched_jobs += n
         new_parent = _SlotStates(new_re, new_im, new_tail, new_max)
+        self._last_parent = new_parent
         for idx_i, job in enumerate(jobs):
             job.future.set_result((ShardedStateRef(new_parent, idx_i), y_host[idx_i]))

@@ -400,6 +400,50 @@ class TestCliUtilities:
         with pytest.raises(SystemExit):
             build(7)  # below the 64 KiB floor
 
+    def test_daemon_mode_fails_loudly_before_fork(self, tmp_path):
+        """Without -f, bad dirs/flags must error with nonzero exit
+        BEFORE daemonizing (they previously vanished into /dev/null)."""
+        import subprocess
+        import sys
+
+        fs, src = make_fs(tmp_path)
+        env = {**os.environ, "FOLVE_PLATFORM": "cpu"}
+        r = subprocess.run(
+            [sys.executable, "-m", "folve_tpu", "mount",
+             "-C", str(tmp_path / "filters"), str(src), "/nonexistent-mnt"],
+            capture_output=True, text=True, timeout=120, env=env,
+        )
+        assert r.returncode != 0 and "not a directory" in r.stderr
+        r = subprocess.run(
+            [sys.executable, "-m", "folve_tpu", "mount",
+             "-C", "/nope-dir", str(src), str(tmp_path)],
+            capture_output=True, text=True, timeout=120, env=env,
+        )
+        assert r.returncode != 0 and "not a directory" in r.stderr
+        r = subprocess.run(
+            [sys.executable, "-m", "folve_tpu", "mount", "-b", "7",
+             "-C", str(tmp_path / "filters"), str(src), str(tmp_path)],
+            capture_output=True, text=True, timeout=120, env=env,
+        )
+        assert r.returncode != 0 and "prebuffer" in r.stderr
+
+    def test_option_value_does_not_trigger_mount_rewrite(self, tmp_path):
+        """A subcommand anywhere in argv suppresses the bare-invocation
+        mount rewrite: `--files-port 8080 serve dir` errors loudly
+        instead of silently becoming a mount."""
+        import subprocess
+        import sys
+
+        fs, src = make_fs(tmp_path)
+        r = subprocess.run(
+            [sys.executable, "-m", "folve_tpu",
+             "--files-port", "8080", "serve", str(src)],
+            capture_output=True, text=True, timeout=120,
+            env={**os.environ, "FOLVE_PLATFORM": "cpu"},
+        )
+        assert r.returncode != 0
+        assert "invalid choice" in r.stderr or "error" in r.stderr
+
     def test_reference_style_invocation_means_mount(self, tmp_path):
         """`folve [options] src mnt` with no subcommand is the reference
         binary's command line (folve-main.cc:330-361) — it must route to
