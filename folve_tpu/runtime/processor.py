@@ -158,7 +158,8 @@ class SoundProcessor:
         with self.latency.timer():
             if self.scheduler is not None:
                 fut = self.scheduler.submit(
-                    self.bank, self._state, x, int(self._input_pos)
+                    self.bank, self._state, x, int(self._input_pos),
+                    stream=id(self),
                 )
                 self._state, y = fut.result()
             else:
@@ -195,7 +196,9 @@ class SoundProcessor:
         x = np.ascontiguousarray(padded.reshape(t, b, self.bank.ninp).transpose(0, 2, 1))
         with self.latency.timer():
             if self.scheduler is not None:
-                fut = self.scheduler.submit(self.bank, self._state, x, r)
+                fut = self.scheduler.submit(
+                    self.bank, self._state, x, r, stream=id(self)
+                )
                 self._state, y = fut.result()
             else:
                 self._state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))

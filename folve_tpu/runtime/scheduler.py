@@ -20,6 +20,7 @@ import atexit
 import threading
 import time
 import weakref
+from collections import OrderedDict
 from concurrent.futures import Future
 from typing import Dict, List, Tuple
 
@@ -130,8 +131,18 @@ class DeviceScheduler:
         self._window_s = window_s
         self._mesh = mesh
         self._sharded_steps: Dict[Tuple, object] = {}
-        self._placed_banks: Dict[object, Tuple] = {}
-        self._last_parent: object = None
+        # LRU of device-placed filter spectra (keys: id(h_spec) or an
+        # id-tuple for per-stream stacks).  Bounded; evicted one-by-one.
+        self._placed_banks: "OrderedDict[object, Tuple]" = OrderedDict()
+        # Live device-resident state batch per bank signature (NOT per
+        # chunk length: state shapes depend only on the bank).  Guarded
+        # by _mutex — submit() reads it on caller threads while
+        # _execute_sharded() replaces entries on the scheduler thread.
+        self._parents: Dict[Tuple, object] = {}
+        # Stream tokens recently seen by submit(); used to skip the
+        # coalescing window when provably only one stream is pumping.
+        self._stream_seen: Dict[object, float] = {}
+        self._last_anon = 0.0
         self._mutex = threading.Lock()
         self._cv = threading.Condition(self._mutex)
         self._queues: Dict[Tuple, List[_Job]] = {}
@@ -145,6 +156,7 @@ class DeviceScheduler:
         self.batched_jobs = 0
         self.sharded_steps = 0
         self.sharded_fast_steps = 0  # device-resident-state steps
+        self.coalesce_waits = 0  # times the window was actually paid
         self.total_step_s = 0.0
         self.last_step_s = 0.0
         self.last_batch = 0
@@ -168,27 +180,38 @@ class DeviceScheduler:
             self._thread = None
 
     def submit(
-        self, bank: FilterBank, state: StreamState, x, n_valid
+        self, bank: FilterBank, state: StreamState, x, n_valid, stream=None
     ) -> Future:
-        """Queue one stream's chunk; resolves to (new_state, y)."""
-        if (
-            isinstance(state, ShardedStateRef)
-            and state.parent is not self._last_parent
-        ):
-            # Straggler holding a SUPERSEDED device batch: materialize
-            # to host so old _SlotStates batches are released promptly
-            # (a ref pins the whole padded batch, not just its row).
-            from folve_tpu.engine.stream import StreamState as _SS
+        """Queue one stream's chunk; resolves to (new_state, y).
 
-            state = _SS(
-                hist_re=np.asarray(state.hist_re),
-                hist_im=np.asarray(state.hist_im),
-                tail=np.asarray(state.tail),
-                max_abs=np.asarray(state.max_abs),
-            )
+        ``stream``: optional hashable identity of the submitting stream
+        (the SoundProcessor passes ``id(self)``).  Lets the scheduler
+        skip the coalescing window when only one stream is pumping —
+        the window is pure added latency on a lone blocking read."""
+        if isinstance(state, ShardedStateRef):
+            with self._mutex:
+                live = self._parents.get(_signature(bank))
+            if state.parent is not live:
+                # Straggler holding a SUPERSEDED device batch:
+                # materialize to host so old _SlotStates batches are
+                # released promptly (a ref pins the whole padded batch,
+                # not just its row).
+                from folve_tpu.engine.stream import StreamState as _SS
+
+                state = _SS(
+                    hist_re=np.asarray(state.hist_re),
+                    hist_im=np.asarray(state.hist_im),
+                    tail=np.asarray(state.tail),
+                    max_abs=np.asarray(state.max_abs),
+                )
         job = _Job(bank, state, x, n_valid)
         sig = _signature(bank) + (np.asarray(x).shape[0],)
         with self._cv:
+            now = time.monotonic()
+            if stream is not None:
+                self._stream_seen[stream] = now
+            else:
+                self._last_anon = now
             if self._stop:
                 # Shutdown race (e.g. a prefetch thread still pumping
                 # while atexit stops schedulers): run inline.
@@ -204,6 +227,23 @@ class DeviceScheduler:
         self.start()
         return job.future
 
+    def _coalesce_worthwhile(self, now: float) -> bool:
+        """Called with the lock held: pay the coalescing window unless
+        provably a single known stream is active (then the window is
+        pure latency).  Unknown-identity (anonymous) submitters count
+        as "maybe many" so direct submit() users keep batching."""
+        if sum(len(q) for q in self._queues.values()) > 1:
+            return True  # already multiple queued; may catch more
+        active = 0
+        for tok, ts in list(self._stream_seen.items()):
+            if now - ts > 5.0:
+                del self._stream_seen[tok]
+            elif now - ts < 1.0:
+                active += 1
+        if now - self._last_anon < 1.0:
+            return True
+        return active != 1
+
     # -- scheduler thread --------------------------------------------------
 
     def _run(self) -> None:
@@ -213,8 +253,11 @@ class DeviceScheduler:
                     self._cv.wait()
                 if self._stop:
                     return
-                # Small coalescing window: let concurrent pumps catch up.
-                self._cv.wait(timeout=self._window_s)
+                if self._coalesce_worthwhile(time.monotonic()):
+                    # Small coalescing window: let concurrent pumps
+                    # catch up so their blocks fuse into one step.
+                    self.coalesce_waits += 1
+                    self._cv.wait(timeout=self._window_s)
                 sig, jobs = max(
                     ((s, q) for s, q in self._queues.items() if q),
                     key=lambda kv: len(kv[1]),
@@ -230,6 +273,11 @@ class DeviceScheduler:
 
     def _execute(self, jobs: List[_Job]) -> None:
         n = len(jobs)
+        # Canonical batch order: row order inside a batch is free (each
+        # job resolves its own future), so sort by filter identity —
+        # mixed-filter batches then hit the placed-bank stack cache
+        # regardless of arrival order.
+        jobs = sorted(jobs, key=lambda j: id(j.bank.h_spec))
         bank0 = jobs[0].bank
         mesh = self._mesh
         if mesh is not None:
@@ -288,11 +336,12 @@ class DeviceScheduler:
         key = id(h_spec)
         hit = self._placed_banks.get(key)
         if hit is not None and hit[0] is h_spec:
+            self._placed_banks.move_to_end(key)
             return hit[1]
         placed = jax.device_put(h_spec, NamedSharding(mesh, SPEC_H_SHARED))
-        if len(self._placed_banks) > 16:  # bounded (pool caps configs)
-            self._placed_banks.clear()
         self._placed_banks[key] = (h_spec, placed)
+        while len(self._placed_banks) > 16:  # bounded (pool caps configs)
+            self._placed_banks.popitem(last=False)
         return placed
 
     def _placed_bank_stack(self, mesh, specs):
@@ -306,12 +355,13 @@ class DeviceScheduler:
         key = tuple(id(h) for h in specs)
         hit = self._placed_banks.get(key)
         if hit is not None and all(a is b for a, b in zip(hit[0], specs)):
+            self._placed_banks.move_to_end(key)
             return hit[1]
         stacked = np.stack([np.asarray(h) for h in specs])
         placed = jax.device_put(stacked, NamedSharding(mesh, SPEC_H))
-        if len(self._placed_banks) > 16:
-            self._placed_banks.clear()
         self._placed_banks[key] = (tuple(specs), placed)
+        while len(self._placed_banks) > 16:
+            self._placed_banks.popitem(last=False)
         return placed
 
     def _execute_sharded(self, mesh, jobs: List[_Job], all_jobs: List[_Job]) -> None:
@@ -398,6 +448,7 @@ class DeviceScheduler:
         if n > 1:
             self.batched_jobs += n
         new_parent = _SlotStates(new_re, new_im, new_tail, new_max)
-        self._last_parent = new_parent
+        with self._mutex:
+            self._parents[_signature(bank0)] = new_parent
         for idx_i, job in enumerate(jobs):
             job.future.set_result((ShardedStateRef(new_parent, idx_i), y_host[idx_i]))

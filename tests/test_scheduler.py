@@ -210,6 +210,153 @@ def test_sharded_runtime_end_to_end(tmp_path):
     assert np.max(np.abs(got2 - ref)) < 2.5 / 32768
 
 
+def test_single_stream_skips_coalescing_window(rng):
+    """A lone stream with a known identity must not pay the coalescing
+    window (it is pure latency on the blocking read path); anonymous
+    submitters still coalesce."""
+    size, fragm = 256, 64
+    ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+    bank = compile_filter_bank(ir, fragm=fragm, size=size)
+    sched = DeviceScheduler(max_batch=4, window_s=0.05)
+    sched.start()
+    x = rng.standard_normal((1, 2, fragm)).astype(np.float32)
+    state = init_state(bank)
+    # Several sequential single-stream submits with one identity.
+    for _ in range(4):
+        state, _ = sched.submit(bank, state, x, fragm, stream=42).result(timeout=60)
+    waits_single = sched.coalesce_waits
+    # First submit may pay the window (identity not yet "the only one"
+    # is fine either way); steady state must not.
+    assert waits_single <= 1, f"lone stream paid the window {waits_single}x"
+    # Anonymous submit: conservative, window engages again.
+    sched.submit(bank, init_state(bank), x, fragm).result(timeout=60)
+    assert sched.coalesce_waits >= waits_single
+    sched.stop()
+
+
+def test_mixed_filter_placed_bank_cache_stable_under_reorder(rng):
+    """ADVICE r2: mixed-filter sharded batches must hit the placed-bank
+    stack cache regardless of job arrival order (jobs are canonically
+    sorted), and eviction is LRU — not a full wipe."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from folve_tpu.parallel.serving import make_serving_mesh
+
+    mesh = make_serving_mesh(8, freq_parallel=2)
+    size, fragm, streams, rounds = 512, 128, 4, 4
+    banks = []
+    for i in range(streams):
+        ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+        banks.append(compile_filter_bank(ir, fragm=fragm, size=size))
+    xs = [rng.standard_normal((rounds, 1, 2, fragm)).astype(np.float32)
+          for _ in range(streams)]
+
+    # Wide window: on a loaded 1-CPU box threads can trail the barrier
+    # by >50ms; a split batch would break the canonical-key assertion.
+    sched = DeviceScheduler(max_batch=4, window_s=0.5, mesh=mesh)
+    sched.start()
+    states = [init_state(banks[i]) for i in range(streams)]
+    got = [[] for _ in range(streams)]
+    order = list(range(streams))
+    for r in range(rounds):
+        np.random.default_rng(r + 7).shuffle(order)
+        barrier = threading.Barrier(streams)
+        futs = {}
+
+        def submit(i):
+            barrier.wait()
+            futs[i] = sched.submit(banks[i], states[i], xs[i][r], fragm)
+
+        threads = [threading.Thread(target=submit, args=(i,)) for i in order]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(streams):
+            states[i], y = futs[i].result(timeout=120)
+            got[i].append(np.asarray(y))
+    sched.stop()
+    # Only full batches engage the fast path + stack cache; require the
+    # cache held exactly one canonical stack entry (no per-order dupes).
+    stack_keys = [k for k in sched._placed_banks if isinstance(k, tuple)]
+    assert len(stack_keys) <= 1, f"cache not canonical: {len(stack_keys)} stacks"
+    for i in range(streams):
+        st = init_state(banks[i])
+        for r in range(rounds):
+            st, ref = chunk_step(banks[i], st, xs[i][r], fragm)
+            np.testing.assert_allclose(got[i][r], np.asarray(ref), atol=1e-5)
+
+
+def test_two_bank_signatures_keep_separate_parents(rng):
+    """ADVICE r2 (medium): with two concurrently active bank
+    signatures, each keeps its own live device-resident parent — the
+    gather fast path engages for both instead of thrashing a single
+    _last_parent slot."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from folve_tpu.parallel.serving import make_serving_mesh
+    from folve_tpu.runtime.scheduler import ShardedStateRef
+
+    mesh = make_serving_mesh(8, freq_parallel=2)
+    fragm, rounds = 128, 4
+    cfgs = [(512, 4), (1024, 4)]  # two signatures (different partitions)
+    banks, xs, states, got = [], [], [], []
+    for size, s in cfgs:
+        ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+        bank = compile_filter_bank(ir, fragm=fragm, size=size)
+        banks.append((bank, s))
+        xs.append(rng.standard_normal((rounds, s, 1, 2, fragm)).astype(np.float32))
+        states.append([init_state(bank) for _ in range(s)])
+        got.append([[] for _ in range(s)])
+
+    sched = DeviceScheduler(max_batch=4, window_s=0.5, mesh=mesh)
+    sched.start()
+    for r in range(rounds):
+        # Interleave submissions of both signatures each round.
+        futs = {}
+        n_all = sum(s for _, s in banks)
+        barrier = threading.Barrier(n_all)
+
+        def submit(g, i):
+            barrier.wait()
+            futs[(g, i)] = sched.submit(
+                banks[g][0], states[g][i], xs[g][r][i], fragm
+            )
+
+        threads = [
+            threading.Thread(target=submit, args=(g, i))
+            for g, (_, s) in enumerate(banks)
+            for i in range(s)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for g, (_, s) in enumerate(banks):
+            for i in range(s):
+                states[g][i], y = futs[(g, i)].result(timeout=120)
+                got[g][i].append(np.asarray(y))
+                if r > 0:
+                    assert isinstance(states[g][i], ShardedStateRef), (
+                        f"group {g} stream {i} fell off the device at round {r}"
+                    )
+    assert sched.sharded_fast_steps >= 2 * (rounds - 1), (
+        "both signatures should ride the gather fast path every round"
+    )
+    sched.stop()
+    for g, (bank_s, s) in enumerate(banks):
+        bank = bank_s
+        for i in range(s):
+            st = init_state(bank)
+            for r in range(rounds):
+                st, ref = chunk_step(bank, st, xs[g][r][i], fragm)
+                np.testing.assert_allclose(got[g][i][r], np.asarray(ref), atol=1e-5)
+
+
 def test_runtime_uses_scheduler(tmp_path):
     """End-to-end through the filesystem: outputs identical with the
     scheduler active (it is on by default)."""
