@@ -256,8 +256,21 @@ class DeviceScheduler:
                 if self._coalesce_worthwhile(time.monotonic()):
                     # Small coalescing window: let concurrent pumps
                     # catch up so their blocks fuse into one step.
+                    # Each submit() notifies the cv, so a single wait()
+                    # would be cut short by the second arrival — hold
+                    # until the deadline or a full batch, whichever
+                    # comes first.
                     self.coalesce_waits += 1
-                    self._cv.wait(timeout=self._window_s)
+                    deadline = time.monotonic() + self._window_s
+                    while not self._stop and max(
+                        (len(q) for q in self._queues.values()), default=0
+                    ) < self._max_batch:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cv.wait(timeout=remaining)
+                if self._stop:
+                    return
                 sig, jobs = max(
                     ((s, q) for s, q in self._queues.items() if q),
                     key=lambda kv: len(kv[1]),
