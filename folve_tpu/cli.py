@@ -307,16 +307,14 @@ def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     # Reference-compatible invocation: `folve [options] src mnt` with no
-    # subcommand (folve-main.cc:330-361).  Rewrite to mount only when NO
-    # token names a subcommand anywhere — an option VALUE before a
-    # subcommand (e.g. `--port 8080 serve dir`) must not trigger it, and
-    # ambiguous lines still get argparse's loud error.
+    # subcommand (folve-main.cc:330-361).  The main parser has no
+    # options of its own, so in subcommand form the subcommand is always
+    # the first positional-looking token — decide on that token alone.
+    # (Scanning the whole argv would mis-parse a mount whose directory
+    # happens to be NAMED like a subcommand, e.g. `folve-tpu -f /music
+    # serve`.)
     head = next((a for a in argv if not a.startswith("-")), None)
-    if (
-        argv
-        and head is not None
-        and not set(argv) & set(_SUBCOMMANDS)
-    ):
+    if argv and head is not None and head not in _SUBCOMMANDS:
         argv = ["mount"] + list(argv)
     parser = argparse.ArgumentParser(
         prog="folve-tpu",

@@ -240,17 +240,35 @@ def parse_mount_options(options: str) -> tuple[str, bool]:
     return ",".join(extra), writable
 
 
+# Write end of the daemonize() status pipe, held by the daemon child
+# until mount_and_serve() knows whether the mount succeeded.
+_daemon_status_fd: int | None = None
+
+
 def daemonize() -> None:
     """Classic double-fork daemonization (the reference daemonizes
     inside fuse_main when not -f, folve-main.cc:539).  Must run before
     any threads start (status server, scheduler, prefetcher).  After
     detaching, warnings/errors go to syslog like the reference's
-    (folve-main.cc:273-277) — stdio is /dev/null."""
+    (folve-main.cc:273-277) — stdio is /dev/null.
+
+    The invoking parent does NOT exit immediately: it blocks on a pipe
+    until the daemon reports mount success (exit 0) or failure (exit 1)
+    via :func:`_signal_daemon_status` — so service managers and scripts
+    see a truthful exit code instead of the mount error landing only in
+    syslog."""
+    global _daemon_status_fd
+    rfd, wfd = os.pipe()
     if os.fork() > 0:
-        os._exit(0)
+        # Original invoker: wait for the daemon's one-byte verdict.
+        os.close(wfd)
+        status = os.read(rfd, 1)  # EOF (daemon died early) == failure
+        os._exit(0 if status == b"\x00" else 1)
+    os.close(rfd)
     os.setsid()
     if os.fork() > 0:
-        os._exit(0)
+        os._exit(0)  # intermediate; the verdict travels via the pipe
+    _daemon_status_fd = wfd
     devnull = os.open(os.devnull, os.O_RDWR)
     for fd in (0, 1, 2):
         os.dup2(devnull, fd)
@@ -271,6 +289,20 @@ def daemonize() -> None:
         pass  # no /dev/log (containers): errors are still in the pid file's absence
 
 
+def _signal_daemon_status(ok: bool) -> None:
+    """Report mount success/failure to the parent still blocked in
+    daemonize(); no-op in foreground mode."""
+    global _daemon_status_fd
+    if _daemon_status_fd is None:
+        return
+    try:
+        os.write(_daemon_status_fd, b"\x00" if ok else b"\x01")
+        os.close(_daemon_status_fd)
+    except OSError:
+        pass
+    _daemon_status_fd = None
+
+
 def mount_and_serve(
     vfs: FolveVfs, mountpoint: str, foreground: bool = True, options: str = ""
 ) -> int:
@@ -283,10 +315,13 @@ def mount_and_serve(
         session.mount(mountpoint, options)
     except OSError as e:
         # Reaches the terminal in foreground mode and syslog when
-        # daemonized (daemonize() attached a SysLogHandler).
+        # daemonized (daemonize() attached a SysLogHandler); the
+        # daemonize parent exits 1 so scripted callers see the failure.
         _log.error("FUSE mount failed (%s); is /dev/fuse available?", e)
         print(f"FUSE mount failed ({e}); is /dev/fuse available?")
+        _signal_daemon_status(False)
         return 1
+    _signal_daemon_status(True)
     print(f"mounted on {mountpoint}")
     try:
         session.loop()

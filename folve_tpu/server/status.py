@@ -158,12 +158,21 @@ class StatusServer:
         seconds of serving (xplane/perfetto, viewable in xprof /
         TensorBoard) — the TPU-native analog of the reference's ``-d``
         raw request tracing (SURVEY §5)."""
+        if not self.expensive_details:
+            # Tracing costs device time and disk; gate it behind -D like
+            # the other expensive status features (and keep the
+            # status-port surface inert by default).
+            return 403, {"Content-Type": "text/plain"}, b"enable -D to profile\n"
         q = urllib.parse.parse_qs(query)
         try:
             secs = min(60.0, max(0.1, float(q.get("secs", ["3"])[0])))
         except ValueError:
             return 400, {"Content-Type": "text/plain"}, b"bad secs\n"
-        log_dir = f"/tmp/folve_profile_{int(time.time())}"
+        import tempfile
+
+        # mkdtemp: unpredictable, mode 0700 — immune to /tmp symlink
+        # pre-creation games and collisions, unlike an epoch-named dir.
+        log_dir = tempfile.mkdtemp(prefix="folve_profile_")
 
         def run():
             from folve_tpu.utils.profiling import device_trace

@@ -181,6 +181,10 @@ class TestStatusServer:
     def test_profile_endpoint(self, tmp_path):
         vfs, fs, src = make_vfs(tmp_path)
         status = fs_status(vfs)
+        # Gated behind -D (ADVICE r2): inert on a default status port.
+        code, _, _ = status.handle_http("/profile?secs=0.2")
+        assert code == 403
+        status.expensive_details = True
         code, _, body = status.handle_http("/profile?secs=abc")
         assert code == 400
         code, _, body = status.handle_http("/profile?secs=0.2")
