@@ -611,6 +611,11 @@ class ConvolveFileHandler(FileHandler):
         (convolve-file-handler.cc:504-535)."""
         if self._encoder is None:
             return
+        if self._processor is not None:
+            # A chunk may still sit in the bulk pipeline (eviction /
+            # abort paths); emit it so the encoded stream stays
+            # consistent before finish().
+            self._processor.drain_pipeline()
         with self._stats_lock:
             self._input_frames_left = 0
         self._save_output_values()

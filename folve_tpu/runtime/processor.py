@@ -16,6 +16,7 @@ filter compilation + device upload, cached by the pool.
 from __future__ import annotations
 
 import os
+import time
 from typing import Optional
 
 import jax
@@ -51,6 +52,23 @@ def _mtime(path: str) -> float:
         return 0.0
 
 
+class _Inflight:
+    """One dispatched-but-unemitted bulk chunk (the pipeline depth is 1).
+
+    Either ``future`` (DeviceScheduler path, resolves to (state, y)) or
+    ``y`` (direct-jit path, an async device array whose state was already
+    chained) is set.  ``sink``/``r`` say where and how much to emit."""
+
+    __slots__ = ("future", "y", "r", "qbits", "sink")
+
+    def __init__(self, future, y, r: int, qbits: Optional[int], sink):
+        self.future = future
+        self.y = y
+        self.r = r
+        self.qbits = qbits
+        self.sink = sink
+
+
 class SoundProcessor:
     def __init__(self, compiled: CompiledFilter, config_file: str, scheduler=None):
         self._compiled = compiled
@@ -70,6 +88,14 @@ class SoundProcessor:
         self._out_buf: Optional[np.ndarray] = None  # [fragm, cout] when processed
         self._output_pos = -1  # <0: needs Process()
         self._max_out = 0.0
+        # One-deep bulk-pump pipeline (see pump_chunk): while the device
+        # runs chunk N, the host fetches + encodes chunk N-1.
+        self._inflight: Optional[_Inflight] = None
+        # Wall-time breakdown of the bulk path for the bench/status
+        # (device dispatch+wait / D2H fetch / host encode).
+        self.dispatch_s = 0.0
+        self.fetch_s = 0.0
+        self.encode_s = 0.0
 
     # -- introspection ----------------------------------------------------
 
@@ -96,16 +122,24 @@ class SoundProcessor:
         return self._input_pos == self.fragm
 
     def max_output_value(self) -> float:
-        dev = float(jax.device_get(self._state.max_abs))
+        # Read-only peek: safe from the status thread while the handler
+        # thread pumps.  A pending scheduler step's state is read off
+        # its future without consuming the pipeline.
+        st = self._state
+        fl = self._inflight
+        if fl is not None and fl.future is not None:
+            st = fl.future.result()[0]
+        dev = float(jax.device_get(st.max_abs))
         return max(self._max_out, dev)
 
     def reset_max_values(self) -> None:
         """Clear only the clipping monitor (SoundProcessor::ResetMaxValues);
-        convolution state is untouched."""
+        convolution state is untouched.  Handler-thread only."""
         import jax.numpy as jnp
 
         from folve_tpu.engine.stream import StreamState
 
+        self._resolve_inflight_state()
         self._max_out = 0.0
         self._state = StreamState(
             hist_re=self._state.hist_re,
@@ -135,10 +169,48 @@ class SoundProcessor:
 
     # -- block pump -------------------------------------------------------
 
+    def _resolve_inflight_state(self) -> None:
+        """Fold a pending scheduler step's new state into ``_state``
+        without emitting its audio (the emit stays queued)."""
+        fl = self._inflight
+        if fl is not None and fl.future is not None:
+            state, y = fl.future.result()
+            self._state = state
+            fl.y, fl.future = y, None
+
+    def _emit(self, fl: _Inflight) -> None:
+        """Fetch one pipelined chunk to the host and hand it to its sink."""
+        y = fl.y
+        if fl.future is not None:
+            state, y = fl.future.result()
+            self._state = state
+        if fl.qbits is not None and not isinstance(y, np.ndarray):
+            y = _jitted_quantize(y, fl.qbits)
+        t0 = time.perf_counter()
+        out = np.asarray(y)  # D2H
+        t1 = time.perf_counter()
+        self.fetch_s += t1 - t0
+        tb = out.shape[0]
+        out = out.transpose(0, 2, 1).reshape(tb * self.fragm, -1)
+        fl.sink(out[: fl.r])  # host FLAC/WAV encode
+        self.encode_s += time.perf_counter() - t1
+
+    def drain_pipeline(self) -> None:
+        """Emit the pipelined chunk, if any.  Every non-bulk path that
+        reads or writes convolution state or output order must call this
+        first (fill_buffer does; close does)."""
+        fl = self._inflight
+        if fl is None:
+            return
+        self._inflight = None
+        with self.latency.timer():
+            self._emit(fl)
+
     def fill_buffer(self, source) -> int:
         """Read up to the missing part of the current block from
         ``source.read_float`` (sound-processor.cc:76-84).  Resets any
         processed-but-unwritten output (caller must drain first)."""
+        self.drain_pipeline()
         needed = self.fragm - self._input_pos
         assert needed > 0, "call write_processed() before refilling"
         self._output_pos = -1
@@ -152,6 +224,7 @@ class SoundProcessor:
     def _process(self) -> None:
         """Zero-pad the tail, run the device step, fetch output
         (sound-processor.cc:98-127)."""
+        assert self._inflight is None, "bulk pipeline must be drained first"
         if self._input_pos < self.fragm:
             self._in_buf[self._input_pos :] = 0.0
         x = self._in_buf.T[None]  # [1, Cin, fragm]
@@ -176,36 +249,60 @@ class SoundProcessor:
         reference's one-block pump; used away from stream edges where
         the gapless partial-block semantics cannot trigger).
 
+        Pipelined (depth 1): chunk N is dispatched to the device, then
+        chunk N-1 — dispatched by the previous call — is fetched and
+        encoded while N runs.  The reference's pull pump is strictly
+        serial (convolve-file-handler.cc:370-424: read → convolve →
+        write per block); here the device never idles during the host
+        encode.  Ordering is FIFO: every non-bulk path drains first.
+
         ``quantize_bits``: when set, PCM-quantize on device and hand the
         sink integer frames (int16 for <=16 bits) instead of float32 —
-        same values the encoder would produce, half the transfer.
+        same values the encoder would produce, half the transfer.  The
+        quantize is enqueued BEFORE the next step so its device work
+        doesn't queue behind chunk N's convolution.
 
         Requires a clean block boundary (no partial input, no pending
-        output).  Returns frames consumed (0 = caller should use the
-        single-block path)."""
+        output).  Returns frames consumed from the source (0 = caller
+        should use the single-block path)."""
         assert self._input_pos == 0 and self.pending_writes() == 0
         self._output_pos = -1
         b = self.fragm
         data = source.read_float(max_blocks * b)
         r = data.shape[0]
         if r == 0:
+            self.drain_pipeline()
             return 0
         t = -(-r // b)
         padded = np.zeros((t * b, self.bank.ninp), dtype=np.float32)
         padded[:r] = data
         x = np.ascontiguousarray(padded.reshape(t, b, self.bank.ninp).transpose(0, 2, 1))
         with self.latency.timer():
+            prev = self._inflight
+            t0 = time.perf_counter()
             if self.scheduler is not None:
+                if prev is not None and prev.future is not None:
+                    # Chain the state (resolves once the scheduler
+                    # thread finished chunk N-1) and enqueue its
+                    # quantize ahead of chunk N.
+                    state, y = prev.future.result()
+                    self._state = state
+                    if prev.qbits is not None and not isinstance(y, np.ndarray):
+                        y = _jitted_quantize(y, prev.qbits)
+                    prev.y, prev.future, prev.qbits = y, None, None
                 fut = self.scheduler.submit(
                     self.bank, self._state, x, r, stream=id(self)
                 )
-                self._state, y = fut.result()
+                self._inflight = _Inflight(fut, None, r, quantize_bits, sink)
             else:
-                self._state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))
-            if quantize_bits is not None and not isinstance(y, np.ndarray):
-                y = _jitted_quantize(y, quantize_bits)
-            out = np.asarray(y).transpose(0, 2, 1).reshape(t * b, -1)
-        sink(out[:r])
+                state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))
+                self._state = state  # async: chunk N queues on device
+                if quantize_bits is not None:
+                    y = _jitted_quantize(y, quantize_bits)
+                self._inflight = _Inflight(None, y, r, None, sink)
+            self.dispatch_s += time.perf_counter() - t0
+            if prev is not None:
+                self._emit(prev)  # D2H + encode of N-1 overlap chunk N
         return r
 
     def write_processed(self, sink, sample_count: int) -> None:
@@ -224,7 +321,15 @@ class SoundProcessor:
     def reset(self) -> None:
         """Re-arm for a fresh stream before pooling; clears convolution
         state, the clipping monitor and the latency counters
-        (sound-processor.cc:139-145)."""
+        (sound-processor.cc:139-145).  A still-pipelined chunk belongs
+        to an aborted stream whose buffer died with it — resolve (to
+        release scheduler batch refs) and discard."""
+        fl, self._inflight = self._inflight, None
+        if fl is not None and fl.future is not None:
+            try:
+                fl.future.result()
+            except Exception:
+                pass
         self._state = init_state(self.bank)
         self._max_out = 0.0
         self._input_pos = 0

@@ -528,6 +528,8 @@ class TestChunkedPump:
         got = []
         r = proc.pump_chunk(Src(), lambda f: got.append(f), 4, quantize_bits=16)
         assert r == 256
+        assert got == []  # pipelined: chunk N emits while N+1 runs
+        proc.drain_pipeline()
         out = np.concatenate(got)
         assert out.dtype == np.int16
         ref = np.clip(np.round(x.astype(np.float64) * 0.8 * 32768), -32768, 32767)
