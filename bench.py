@@ -151,6 +151,15 @@ def _engine_configs(out, rng):
     bank1 = compile_filter_bank(ir1)
     out["single_stream_lowpass_x"] = round(run(bank1, 1, 8, 3 if smoke else 30)[0], 1)
 
+    # --- MAXSIZE: 1M-tap batched serving (zita-config.h:61's upper
+    # bound).  S=4 x T=16 — long-reverb mastering at scale.
+    sizem = 65536 if smoke else 1 << 20
+    irm = rng.standard_normal((2, 2, sizem)).astype(np.float32) / np.sqrt(sizem)
+    bankm = compile_filter_bank(irm)
+    out["maxsize_1m_x"] = round(
+        run(bankm, 2 if smoke else 4, 4 if smoke else 16, 2 if smoke else 6)[0], 1
+    )
+
     # --- latency: single-block single-stream step, forced per call.
     st = init_state(bank1)
     x1 = jax.device_put(rng.standard_normal((1, 2, bank1.fragm)).astype(np.float32))
@@ -231,6 +240,15 @@ def _runtime_configs(out, rng):
         h2 = fs.get_or_create_handler("/02-b.flac")
         read_all(h2)
         dt = time.perf_counter() - t0
+        # Where the wall time went (device dispatch+wait / D2H fetch /
+        # host FLAC encode) — proves what the pipelined pump overlaps.
+        bk = [h.get_handler_status() for h in (h1, h2)]
+        out["gapless_breakdown_s"] = {
+            "wall": round(dt, 2),
+            "device_dispatch": round(sum(s.pump_dispatch_s for s in bk), 2),
+            "d2h_fetch": round(sum(s.pump_fetch_s for s in bk), 2),
+            "encode": round(sum(s.pump_encode_s for s in bk), 2),
+        }
         fs.close_handler("/01-a.flac", h1)
         fs.close_handler("/02-b.flac", h2)
         out["gapless_join_x"] = round(2 * seconds / dt, 1)

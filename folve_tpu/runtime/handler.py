@@ -57,6 +57,12 @@ class HandlerStats:
     # only under -D / expensive_details (the reference's show_details,
     # status-server.cc:201-205).
     latency_summary: str = ""
+    # Bulk-pump wall-time breakdown for THIS handler's stream (device
+    # dispatch+wait / D2H fetch / host encode) — where serving time goes
+    # (SURVEY §5 tracing; no reference analog, its pump is serial).
+    pump_dispatch_s: float = 0.0
+    pump_fetch_s: float = 0.0
+    pump_encode_s: float = 0.0
 
 
 @dataclasses.dataclass
@@ -232,6 +238,11 @@ class ConvolveFileHandler(FileHandler):
         self._in_info = source.info
         self._base_stats = stats
         self._processor: Optional["SoundProcessor"] = processor
+        # Pump-breakdown counters are cumulative per processor; snapshot
+        # at acquisition so this handler reports only its own deltas
+        # (matters across a gapless handover).
+        self._pump_base = (processor.dispatch_s, processor.fetch_s,
+                           processor.encode_s)
         self._error = False
         self._stats_lock = threading.Lock()
         self._input_frames_left = self._in_info.frames
@@ -444,6 +455,11 @@ class ConvolveFileHandler(FileHandler):
         stats = dataclasses.replace(self._base_stats)
         if self._processor is not None and self._processor.latency.count:
             stats.latency_summary = self._processor.latency.summary()
+        if self._processor is not None:
+            p, base = self._processor, self._pump_base
+            stats.pump_dispatch_s = p.dispatch_s - base[0]
+            stats.pump_fetch_s = p.fetch_s - base[1]
+            stats.pump_encode_s = p.encode_s - base[2]
         frames_done = self._in_info.frames - self.frames_left()
         if frames_done == 0 or self._in_info.frames == 0 or file_size == 0:
             stats.buffer_progress = 0.0
@@ -478,6 +494,7 @@ class ConvolveFileHandler(FileHandler):
             return False
         self._fs.processor_pool.return_processor(self._processor)
         self._processor = donor
+        self._pump_base = (donor.dispatch_s, donor.fetch_s, donor.encode_s)
         if not donor.is_input_buffer_complete():
             with self._stats_lock:
                 self._input_frames_left -= donor.fill_buffer(self._source)
@@ -511,8 +528,12 @@ class ConvolveFileHandler(FileHandler):
         # the stream edge in one device step (up to CHUNK_BLOCKS).  The
         # gapless partial-block handover can only trigger on the final
         # (possibly partial) block, which this path always leaves for
-        # the single-block pump below.
-        avail = (self._input_frames_left - proc.fragm - 1) // proc.fragm
+        # the single-block pump below: every full block except — when
+        # the file length is an exact block multiple — the last one
+        # (the stream must still end through fill_buffer so EOF /
+        # close() semantics fire).
+        left = self._input_frames_left
+        avail = left // proc.fragm - (0 if left % proc.fragm else 1)
         chunk = min(self.CHUNK_BLOCKS, avail)
         if chunk >= 1:
             # Power-of-two chunks only: bounds distinct jitted shapes to
@@ -551,6 +572,8 @@ class ConvolveFileHandler(FileHandler):
             and self._fs.gapless_processing
         ):
             passed, next_path, next_handler = self._try_gapless_handover(proc)
+            # Split block: may carry the next track's head — stays float
+            # so each side's encoder quantizes at its own bit depth.
             proc.write_processed(self._write_frames, r)
             if passed:
                 self._base_stats.out_gapless = True
@@ -561,7 +584,10 @@ class ConvolveFileHandler(FileHandler):
             if next_handler is not None:
                 self._fs.close_handler(next_path, next_handler)
         else:
-            proc.write_processed(self._write_frames, r)
+            proc.write_processed(
+                self._write_frames, r,
+                quantize_bits=self._out_bits if self._out_bits <= 24 else None,
+            )
         if self._input_frames_left == 0:
             self.close()
         return self._input_frames_left != 0
@@ -604,6 +630,10 @@ class ConvolveFileHandler(FileHandler):
             self._base_stats.max_output_value = self._processor.max_output_value()
             if self._processor.latency.count:
                 self._base_stats.latency_summary = self._processor.latency.summary()
+            p, base = self._processor, self._pump_base
+            self._base_stats.pump_dispatch_s = p.dispatch_s - base[0]
+            self._base_stats.pump_fetch_s = p.fetch_s - base[1]
+            self._base_stats.pump_encode_s = p.encode_s - base[2]
             self._processor.reset_max_values()
 
     def close(self) -> None:

@@ -221,14 +221,21 @@ class SoundProcessor:
         self._input_pos += r
         return r
 
-    def _process(self) -> None:
+    def _process(self, quantize_bits: Optional[int] = None) -> None:
         """Zero-pad the tail, run the device step, fetch output
-        (sound-processor.cc:98-127)."""
+        (sound-processor.cc:98-127).
+
+        ``quantize_bits``: device-quantize like the bulk path (halves
+        the single-block D2H transfer).  Callers must pass None when
+        the block may be split across a gapless handover — the two
+        encoders can have different bit depths, so the split block must
+        stay float."""
         assert self._inflight is None, "bulk pipeline must be drained first"
         if self._input_pos < self.fragm:
             self._in_buf[self._input_pos :] = 0.0
         x = self._in_buf.T[None]  # [1, Cin, fragm]
         with self.latency.timer():
+            t0 = time.perf_counter()
             if self.scheduler is not None:
                 fut = self.scheduler.submit(
                     self.bank, self._state, x, int(self._input_pos),
@@ -239,7 +246,12 @@ class SoundProcessor:
                 self._state, y = _jitted_chunk(
                     self.bank, self._state, x, np.int32(self._input_pos)
                 )
+            if quantize_bits is not None and not isinstance(y, np.ndarray):
+                y = _jitted_quantize(y, quantize_bits)
+            t1 = time.perf_counter()
+            self.dispatch_s += t1 - t0
             self._out_buf = np.asarray(y[0]).T  # [fragm, Cout]
+            self.fetch_s += time.perf_counter() - t1
         self._output_pos = 0
 
     def pump_chunk(self, source, sink, max_blocks: int,
@@ -305,12 +317,14 @@ class SoundProcessor:
                 self._emit(prev)  # D2H + encode of N-1 overlap chunk N
         return r
 
-    def write_processed(self, sink, sample_count: int) -> None:
+    def write_processed(self, sink, sample_count: int,
+                        quantize_bits: Optional[int] = None) -> None:
         """Lazily process, then emit up to sample_count frames to
         ``sink(frames)``; partial writes leave the rest pending
-        (sound-processor.cc:86-96)."""
+        (sound-processor.cc:86-96).  ``quantize_bits`` only applies if
+        this call triggers the processing (see _process)."""
         if self._output_pos < 0:
-            self._process()
+            self._process(quantize_bits)
         assert sample_count <= self.fragm - self._output_pos
         if sample_count > 0:
             sink(self._out_buf[self._output_pos : self._output_pos + sample_count])
@@ -336,3 +350,4 @@ class SoundProcessor:
         self._output_pos = -1
         self._out_buf = None
         self.latency = LatencyStats()
+        self.dispatch_s = self.fetch_s = self.encode_s = 0.0

@@ -305,11 +305,16 @@ class StatusServer:
             )
             name = html.escape(s.filename)
             msg = f" <i>{html.escape(s.message)}</i>" if s.message else ""
-            lat_td = (
-                f"<td>{html.escape(s.latency_summary) or '&nbsp;'}</td>"
-                if details
-                else ""
-            )
+            lat = html.escape(s.latency_summary)
+            if s.pump_dispatch_s or s.pump_fetch_s or s.pump_encode_s:
+                # Where serving time went for this stream: device
+                # dispatch+wait / D2H fetch / host encode.
+                lat += (
+                    f" [disp={s.pump_dispatch_s:.2f}s"
+                    f" fetch={s.pump_fetch_s:.2f}s"
+                    f" enc={s.pump_encode_s:.2f}s]"
+                )
+            lat_td = f"<td>{lat or '&nbsp;'}</td>" if details else ""
             status_cell = html.escape(s.status)
             if details and s.last_access:
                 # Time since last access (status-server.cc:275-281).

@@ -448,6 +448,50 @@ class TestMultiRate:
 
 
 class TestGaplessEdgeCases:
+    def test_exact_block_multiple_closes_cleanly(self, tmp_path):
+        """A file of exactly N full blocks: the bulk pump must leave the
+        last block for fill_buffer so EOF / close() fires, and no
+        handover happens (there is no partial block to bridge)."""
+        fs, src = make_fs(tmp_path, gapless=True)
+        n = 6 * 512  # exact block multiple (fragm=512)
+        x1 = write_song(src, "t1.flac", n, seed=1)
+        write_song(src, "t2.flac", 700, seed=2)
+        h1 = fs.get_or_create_handler("/t1.flac")
+        out1 = read_all(h1)
+        assert not h1.get_handler_status().out_gapless
+        fs.close_handler("/t1.flac", h1)
+        y1, _ = read_audio_bytes(out1)
+        assert y1.shape[0] == n
+        ref = expected_conv(x1, echo_ir())
+        assert np.max(np.abs(y1 - ref)) < 2.5 / 32768
+
+    def test_mixed_bit_depth_gapless_join(self, tmp_path):
+        """16-bit track into a 24-bit successor: the split block stays
+        float so each side's encoder quantizes at its own depth."""
+        fs, src = make_fs(tmp_path, gapless=True)
+        rng = np.random.default_rng(5)
+        n1, n2 = 2 * 512 + 300, 2 * 512 + 100
+        x1 = np.round(rng.uniform(-0.4, 0.4, (n1, 2)) * 32768) / 32768
+        x2 = np.round(rng.uniform(-0.4, 0.4, (n2, 2)) * (1 << 23)) / (1 << 23)
+        write_flac(str(src / "m1.flac"), x1.astype(np.float32), RATE, bits=16)
+        write_flac(str(src / "m2.flac"), x2.astype(np.float32), RATE, bits=24)
+        h1 = fs.get_or_create_handler("/m1.flac")
+        out1 = read_all(h1)
+        assert h1.get_handler_status().out_gapless
+        fs.close_handler("/m1.flac", h1)
+        h2 = fs.get_or_create_handler("/m2.flac")
+        assert h2.get_handler_status().in_gapless
+        out2 = read_all(h2)
+        fs.close_handler("/m2.flac", h2)
+        y1, info1 = read_audio_bytes(out1)
+        y2, info2 = read_audio_bytes(out2)
+        assert info1.bits_per_sample == 16 and info2.bits_per_sample == 24
+        ref = expected_conv(
+            np.concatenate([x1, x2]).astype(np.float64), echo_ir()
+        )
+        assert np.max(np.abs(y1 - ref[:n1])) < 2.5 / 32768
+        assert np.max(np.abs(y2 - ref[n1:])) < 2.5 / 32768
+
     def test_handover_rejected_after_config_change(self, tmp_path):
         """PassoverProcessor rejects when the filter mtime changed
         (convolve-file-handler.cc:334-341)."""
