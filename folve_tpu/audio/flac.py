@@ -59,8 +59,22 @@ def _get_lib():
         lib.folve_flac_enc_streaminfo.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.folve_flac_enc_copy.argtypes = [ctypes.c_void_p]
         lib.folve_flac_enc_free.argtypes = [ctypes.c_void_p]
+        lib.folve_flac_enc_set_threads.argtypes = [ctypes.c_int]
+        lib.folve_flac_enc_get_threads.restype = ctypes.c_int
         _lib = lib
     return _lib
+
+
+def set_encoder_threads(n: int) -> None:
+    """Process-wide parallel frame-encode worker count (0 = auto:
+    hardware_concurrency capped at 8; 1 = serial).  Output bytes are
+    identical at any setting — frames are independent and counters fold
+    in frame order."""
+    _get_lib().folve_flac_enc_set_threads(int(n))
+
+
+def get_encoder_threads() -> int:
+    return int(_get_lib().folve_flac_enc_get_threads())
 
 
 def _fetch(lib, nbytes: int) -> bytes:

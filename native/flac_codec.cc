@@ -11,16 +11,135 @@
 // reference does with SFC_UPDATE_HEADER_NOW, convolve-file-handler.cc:281-317).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "flac_bits.h"
 #include "md5.h"
 
 namespace folve {
+
+// ---------------------------------------------------------------------------
+// Frame-encode worker pool
+// ---------------------------------------------------------------------------
+// FLAC frames are independent; one Write() call carrying several blocks
+// (the runtime's bulk pump hands 8 engine blocks = 16 FLAC blocks at a
+// time) fans them across cores and joins before returning, so the API
+// stays synchronous and the byte stream is identical to serial encode.
+// Shared across all encoders in the process; sized by
+// folve_flac_enc_set_threads() or hardware_concurrency (capped).
+class FramePool {
+ public:
+  static FramePool& Instance() {
+    // Intentionally leaked: joining workers from a static destructor
+    // races interpreter/library teardown (Python atexit, dlclose
+    // order).  Idle workers cost nothing and die with the process.
+    static FramePool* pool = new FramePool();
+    return *pool;
+  }
+
+  // 0 = auto.  Takes effect at next Run(); shrinking joins idle workers.
+  void SetThreads(int n) {
+    std::lock_guard<std::mutex> lock(config_mutex_);
+    configured_ = n;
+  }
+
+  int EffectiveThreads() {
+    std::lock_guard<std::mutex> lock(config_mutex_);
+    if (configured_ > 0) return std::min(configured_, 64);
+    unsigned hw = std::thread::hardware_concurrency();
+    return (int)std::min(8u, hw ? hw : 1u);
+  }
+
+  // Run tasks[0..count); returns false if pooling is pointless (one
+  // worker) and the caller should run serially.
+  bool Run(const std::function<void(size_t)>& task, size_t count) {
+    int want = EffectiveThreads();
+    if (want <= 1 || count < 2) return false;
+    std::lock_guard<std::mutex> run_lock(run_mutex_);  // one batch at a time
+    EnsureWorkers((size_t)std::min<size_t>((size_t)want, count) - 1);
+    {
+      std::lock_guard<std::mutex> lock(mutex_);
+      task_ = &task;
+      count_ = count;
+      next_.store(0, std::memory_order_relaxed);
+      done_.store(0, std::memory_order_relaxed);
+      generation_++;
+    }
+    cv_.notify_all();
+    Drain();  // the calling thread is worker 0
+    std::unique_lock<std::mutex> lock(mutex_);
+    finished_cv_.wait(lock, [&] { return done_.load() == count_; });
+    task_ = nullptr;
+    return true;
+  }
+
+ private:
+  FramePool() = default;
+  ~FramePool() = delete;  // see Instance()
+
+  void EnsureWorkers(size_t n) {
+    std::lock_guard<std::mutex> lock(mutex_);
+    while (workers_.size() < n) {
+      workers_.emplace_back([this] { WorkerLoop(); });
+      workers_.back().detach();
+    }
+  }
+
+  void Drain() {
+    const std::function<void(size_t)>* task;
+    {
+      std::lock_guard<std::mutex> lock(mutex_);
+      task = task_;
+    }
+    if (!task) return;
+    for (;;) {
+      size_t i = next_.fetch_add(1, std::memory_order_relaxed);
+      if (i >= count_) break;
+      (*task)(i);
+      if (done_.fetch_add(1, std::memory_order_acq_rel) + 1 == count_) {
+        std::lock_guard<std::mutex> lock(mutex_);
+        finished_cv_.notify_all();
+      }
+    }
+  }
+
+  void WorkerLoop() {
+    uint64_t seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lock(mutex_);
+        cv_.wait(lock, [&] { return stop_ || generation_ != seen; });
+        seen = generation_;
+        if (stop_) return;
+      }
+      Drain();
+    }
+  }
+
+  std::mutex config_mutex_;
+  int configured_ = 0;
+
+  std::mutex run_mutex_;
+  std::mutex mutex_;
+  std::condition_variable cv_;
+  std::condition_variable finished_cv_;
+  std::vector<std::thread> workers_;
+  const std::function<void(size_t)>* task_ = nullptr;
+  size_t count_ = 0;
+  std::atomic<size_t> next_{0};
+  std::atomic<size_t> done_{0};
+  uint64_t generation_ = 0;
+  bool stop_ = false;
+};
 
 uint8_t Crc8(const uint8_t* data, size_t len) {
   static uint8_t table[256];
@@ -470,20 +589,39 @@ class Encoder {
     UpdateMd5(interleaved, n);
     const size_t stride = (size_t)blocksize_ * channels_;
     size_t pos = 0;  // samples (not frames) consumed from the input
+    // Gather every complete block available this call, then encode them
+    // concurrently (frames are independent; see FramePool).  Counters
+    // fold in frame order afterwards, so the byte stream and STREAMINFO
+    // are bit-identical to the serial path.
+    std::vector<const int32_t*> blocks;
+    bool carry_completed = false;
     if (!carry_.empty()) {
       size_t need = stride - carry_.size();
       size_t take = std::min(need, (size_t)n * channels_);
       carry_.insert(carry_.end(), interleaved, interleaved + take);
       pos = take;
       if (carry_.size() == stride) {
-        EncodeBlock(carry_.data(), blocksize_, &out);
-        carry_.clear();
+        blocks.push_back(carry_.data());
+        carry_completed = true;
       }
     }
     const size_t total = (size_t)n * channels_;
     while (total - pos >= stride) {
-      EncodeBlock(interleaved + pos, blocksize_, &out);
+      blocks.push_back(interleaved + pos);
       pos += stride;
+    }
+    if (!blocks.empty()) {
+      std::vector<std::vector<uint8_t>> frames(blocks.size());
+      auto encode_one = [&](size_t i) {
+        EncodeFrame(blocks[i], blocksize_, frame_index_ + i, &frames[i]);
+      };
+      if (!FramePool::Instance().Run(encode_one, blocks.size()))
+        for (size_t i = 0; i < blocks.size(); i++) encode_one(i);
+      for (auto& f : frames) {
+        NoteFrame(f, blocksize_);
+        out.insert(out.end(), f.begin(), f.end());
+      }
+      if (carry_completed) carry_.clear();
     }
     if (pos < total) carry_.insert(carry_.end(), interleaved + pos, interleaved + total);
     return out;
@@ -593,7 +731,7 @@ class Encoder {
   // Encode a rice-partitioned residual; returns encoded bit cost if
   // dry_run, else writes to bw.
   void WriteResidual(BitWriter& bw, const int64_t* res, uint32_t n, uint32_t order,
-                     uint32_t blocksize) {
+                     uint32_t blocksize) const {
     // Choose a partition order that divides the blocksize; cap 2^po <= 64.
     uint32_t porder = 0;
     while (porder < 6 && (blocksize % (1u << (porder + 1))) == 0 &&
@@ -726,7 +864,8 @@ class Encoder {
   }
 
   // Encode one channel's subframe (LPC, FIXED, CONSTANT or VERBATIM).
-  void EncodeSubframe(BitWriter& bw, const int32_t* x, uint32_t n, uint32_t bps) {
+  void EncodeSubframe(BitWriter& bw, const int32_t* x, uint32_t n,
+                      uint32_t bps) const {
     bw.WriteBits(0, 1);  // pad
     bool constant = true;
     for (uint32_t i = 1; i < n; i++)
@@ -799,8 +938,13 @@ class Encoder {
     WriteResidual(bw, res.data(), n - best_order, best_order, n);
   }
 
-  void EncodeBlock(const int32_t* interleaved, uint32_t n, std::vector<uint8_t>* out) {
-    std::vector<uint8_t> frame;
+  // One frame is a pure function of (samples, index, stream params) —
+  // no encoder state is touched, so frames encode concurrently (the
+  // reference's libsndfile/libFLAC encode is strictly serial,
+  // convolve-file-handler.cc:86-96 write path).
+  void EncodeFrame(const int32_t* interleaved, uint32_t n, uint64_t frame_index,
+                   std::vector<uint8_t>* frame_out) const {
+    std::vector<uint8_t>& frame = *frame_out;
     BitWriter bw(&frame);
     // --- frame header
     bw.WriteBits(0x3FFE, 14);  // sync
@@ -867,7 +1011,7 @@ class Encoder {
     bw.WriteBits(ss_code, 3);
     bw.WriteBits(0, 1);
     // Coded frame number (fixed-blocksize stream => frame index).
-    WriteCodedNumber(bw, frame_index_);
+    WriteCodedNumber(bw, frame_index);
     if (bs_extra >= 0) bw.WriteBits((uint32_t)bs_extra, bs_code == 6 ? 8 : 16);
     bw.WriteBits(Crc8(frame.data(), frame.size()), 8);
 
@@ -882,15 +1026,25 @@ class Encoder {
     bw.AlignToByte();
     uint16_t crc16 = Crc16(frame.data(), frame.size());
     bw.WriteBits(crc16, 16);
+  }
 
+  // Fold one finished frame into the stream counters (kept in frame
+  // order so STREAMINFO matches the serial encoder bit-for-bit).
+  void NoteFrame(const std::vector<uint8_t>& frame, uint32_t n) {
     if (frame.size() < min_framesize_) min_framesize_ = (uint32_t)frame.size();
     if (frame.size() > max_framesize_) max_framesize_ = (uint32_t)frame.size();
     frame_index_++;
     frames_written_ += n;
+  }
+
+  void EncodeBlock(const int32_t* interleaved, uint32_t n, std::vector<uint8_t>* out) {
+    std::vector<uint8_t> frame;
+    EncodeFrame(interleaved, n, frame_index_, &frame);
+    NoteFrame(frame, n);
     out->insert(out->end(), frame.begin(), frame.end());
   }
 
-  void WriteCodedNumber(BitWriter& bw, uint64_t v) {
+  static void WriteCodedNumber(BitWriter& bw, uint64_t v) {
     if (v < 0x80) {
       bw.WriteBits((uint32_t)v, 8);
       return;
@@ -912,7 +1066,7 @@ class Encoder {
 
   void DecorrelateAndChoose(const int32_t* x, uint32_t n,
                             std::vector<std::vector<int32_t>>* chans,
-                            uint32_t* ch_code) {
+                            uint32_t* ch_code) const {
     uint32_t nch = channels_;
     chans->assign(nch, std::vector<int32_t>(n));
     for (uint32_t i = 0; i < n; i++)
@@ -1051,5 +1205,15 @@ void folve_flac_enc_copy(uint8_t* dst) {
 }
 
 void folve_flac_enc_free(void* h) { delete (folve::Encoder*)h; }
+
+// Parallel frame-encode worker count for the whole process (0 = auto:
+// hardware_concurrency capped at 8, 1 = serial).
+void folve_flac_enc_set_threads(int n) {
+  folve::FramePool::Instance().SetThreads(n);
+}
+
+int folve_flac_enc_get_threads(void) {
+  return folve::FramePool::Instance().EffectiveThreads();
+}
 
 }  // extern "C"

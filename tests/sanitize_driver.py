@@ -70,6 +70,42 @@ def check_flac() -> None:
         read_flac(garbage)
     except Exception:
         pass
+
+    # Parallel frame-encode pool under the sanitizer: multi-block writes
+    # fan frames across workers; several encoders pound the shared pool
+    # from python threads; output must equal the serial encode.
+    from folve_tpu.audio.flac import set_encoder_threads
+
+    def enc_bytes(x):
+        buf = io.BytesIO()
+        write_flac(buf, x, 44100, bits=16)
+        return buf.getvalue()
+
+    material = [
+        np.round(rng.uniform(-0.8, 0.8, (4096 * 5 + 333, 2)) * 32768).astype(
+            np.float32
+        )
+        / 32768
+        for _ in range(4)
+    ]
+    set_encoder_threads(1)
+    refs = [enc_bytes(x) for x in material]
+    set_encoder_threads(4)
+    got = [None] * len(material)
+
+    def enc_worker(i):
+        got[i] = enc_bytes(material[i])
+
+    threads = [
+        threading.Thread(target=enc_worker, args=(i,))
+        for i in range(len(material))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert got == refs, "parallel encode diverged from serial"
+    set_encoder_threads(0)
     print("flac: ok")
 
 

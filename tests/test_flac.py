@@ -212,6 +212,88 @@ def test_write_flac_file(tmp_path, rng):
     np.testing.assert_allclose(got, x, atol=1.5 / (1 << 23))
 
 
+class TestParallelEncode:
+    """The frame worker pool must be a pure speedup: byte-identical
+    output at any thread count (frames are independent; counters fold
+    in frame order).  This box has 1 CPU, so these prove correctness;
+    the throughput win shows on real hosts."""
+
+    @pytest.fixture(autouse=True)
+    def _restore_threads(self):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        yield
+        set_encoder_threads(0)
+
+    def _material(self, rng):
+        n = 4096 * 7 + 913  # 8 blocks incl. odd final
+        tone = np.round(
+            20000 * np.sin(np.arange(n) * 0.03)[:, None] * [1.0, 0.7]
+        ).astype(np.int32)
+        noise = rng.integers(-30000, 30000, (n, 2), dtype=np.int64).astype(np.int32)
+        mixed = tone.copy()
+        mixed[1000:3000] = 0  # constant runs
+        mixed[n // 2 :] += noise[n // 2 :] // 8
+        return [tone, noise, mixed]
+
+    def test_bit_identical_to_serial(self, rng):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        for x in self._material(rng):
+            set_encoder_threads(1)
+            serial = encode_to_bytes(x, 44100)
+            set_encoder_threads(4)
+            parallel = encode_to_bytes(x, 44100)
+            assert serial == parallel
+
+    def test_bit_identical_across_split_writes(self, rng):
+        """Multi-call writes with carry blocks: pool engages on the
+        bulk middle writes, carry completion frames stay in order."""
+        from folve_tpu.audio.flac import FlacEncoder, set_encoder_threads
+
+        x = self._material(rng)[2]
+        set_encoder_threads(1)
+        ref = encode_to_bytes(x, 44100)
+
+        set_encoder_threads(4)
+        enc = FlacEncoder(44100, 2, 16, 4096)
+        blob = bytearray(enc.header())
+        cuts = [0, 700, 700 + 4096 * 3 + 11, 700 + 4096 * 5, x.shape[0]]
+        for a, b in zip(cuts, cuts[1:]):
+            blob += enc.write_int(x[a:b])
+        blob += enc.finish()
+        si = enc.streaminfo(with_md5=True)
+        off = FlacEncoder.STREAMINFO_FILE_OFFSET
+        blob[off : off + len(si)] = si
+        enc.close()
+        assert bytes(blob) == ref
+
+    def test_concurrent_encoders_share_the_pool(self, rng):
+        """Several encoder objects on several Python threads all routing
+        through one process-wide pool."""
+        import threading
+
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        material = self._material(rng)
+        set_encoder_threads(1)
+        refs = [encode_to_bytes(x, 44100) for x in material]
+        set_encoder_threads(3)
+        got = [None] * len(material)
+
+        def work(i):
+            got[i] = encode_to_bytes(material[i], 44100)
+
+        threads = [
+            threading.Thread(target=work, args=(i,)) for i in range(len(material))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert got == refs
+
+
 class TestFuzz:
     """The native decoder must never crash on corrupt input."""
 
