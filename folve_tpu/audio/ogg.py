@@ -1,116 +1,78 @@
-"""Ogg Vorbis decoding via the system's libvorbisfile (ctypes).
+"""Ogg Vorbis decoding via the in-repo native decoder.
 
 The reference consumes Vorbis through libsndfile's libvorbis backend
 (README.md's ogg support; output re-encoded as FLAC because ogg can't
-be streamed out, convolve-file-handler.cc:237-243).  This image ships
-no libsndfile, but libvorbisfile/libvorbis/libogg are present (bundled
-with pygame's SDL stack); we bind them directly.  If no library can be
-found, ogg files simply fall back to pass-through like any other
-undecodable input.
+be streamed out, convolve-file-handler.cc:237-243).  Here the decoder
+is from scratch — ``native/vorbis_codec.cc`` implements Ogg framing,
+codebooks, floors 0/1, residues 0/1/2, coupling and the IMDCT per the
+public Vorbis I specification; no third-party codec library is
+involved (same bar as the FLAC codec, native/flac_codec.cc:1-6).
 """
 
 from __future__ import annotations
 
 import ctypes
-import ctypes.util
-import glob
 import os
-from typing import Optional
 
 import numpy as np
 
 from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
+from folve_tpu.utils.native_build import load_native
 
 
 class OggError(ValueError):
     pass
 
 
-class _VorbisInfo(ctypes.Structure):
+class _FolveVorbisInfo(ctypes.Structure):
     _fields_ = [
-        ("version", ctypes.c_int),
-        ("channels", ctypes.c_int),
-        ("rate", ctypes.c_long),
-        ("bitrate_upper", ctypes.c_long),
-        ("bitrate_nominal", ctypes.c_long),
-        ("bitrate_lower", ctypes.c_long),
-        ("bitrate_window", ctypes.c_long),
-        ("codec_setup", ctypes.c_void_p),
-    ]
-
-
-class _VorbisComment(ctypes.Structure):
-    _fields_ = [
-        ("user_comments", ctypes.POINTER(ctypes.c_char_p)),
-        ("comment_lengths", ctypes.POINTER(ctypes.c_int)),
-        ("comments", ctypes.c_int),
-        ("vendor", ctypes.c_char_p),
+        ("rate", ctypes.c_uint32),
+        ("channels", ctypes.c_uint32),
+        ("frames", ctypes.c_int64),
     ]
 
 
 _lib = None
-_lib_tried = False
-
-
-def _find_vorbisfile() -> Optional[str]:
-    candidates = []
-    for pattern in (
-        "/opt/venv/lib/python*/site-packages/pygame.libs/libvorbisfile*.so*",
-        "/usr/lib/*/libvorbisfile.so*",
-        "/usr/local/lib/libvorbisfile.so*",
-    ):
-        candidates.extend(sorted(glob.glob(pattern)))
-    found = ctypes.util.find_library("vorbisfile")
-    if found:
-        candidates.append(found)
-    return candidates[0] if candidates else None
 
 
 def _get_lib():
-    global _lib, _lib_tried
-    if _lib is None and not _lib_tried:
-        _lib_tried = True
-        path = _find_vorbisfile()
-        if path is None:
-            return None
-        try:
-            # Preload dependencies living alongside (libogg, libvorbis)
-            # with global visibility so the loader can resolve them.
-            libdir = os.path.dirname(path)
-            for dep_pat in ("libogg*.so*", "libvorbis-*.so*", "libvorbis.so*"):
-                for dep in sorted(glob.glob(os.path.join(libdir, dep_pat))):
-                    try:
-                        ctypes.CDLL(dep, mode=ctypes.RTLD_GLOBAL)
-                    except OSError:
-                        pass
-            lib = ctypes.CDLL(path)
-        except OSError:
-            return None
-        lib.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
-        lib.ov_fopen.restype = ctypes.c_int
-        lib.ov_info.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.ov_info.restype = ctypes.POINTER(_VorbisInfo)
-        lib.ov_pcm_total.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.ov_pcm_total.restype = ctypes.c_int64
-        lib.ov_read_float.argtypes = [
+    global _lib
+    if _lib is None:
+        lib = load_native()
+        lib.folve_vorbis_open.restype = ctypes.c_void_p
+        lib.folve_vorbis_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.folve_vorbis_info.argtypes = [
             ctypes.c_void_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.POINTER(ctypes.c_float))),
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(_FolveVorbisInfo),
         ]
-        lib.ov_read_float.restype = ctypes.c_long
-        lib.ov_clear.argtypes = [ctypes.c_void_p]
-        lib.ov_comment.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.ov_comment.restype = ctypes.POINTER(_VorbisComment)
+        lib.folve_vorbis_read.restype = ctypes.c_int64
+        lib.folve_vorbis_read.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.folve_vorbis_rewind.restype = ctypes.c_int
+        lib.folve_vorbis_rewind.argtypes = [ctypes.c_void_p]
+        lib.folve_vorbis_close.argtypes = [ctypes.c_void_p]
+        lib.folve_vorbis_comments.restype = ctypes.c_uint32
+        lib.folve_vorbis_comments.argtypes = [ctypes.c_void_p]
+        lib.folve_vorbis_comment_len.restype = ctypes.c_uint64
+        lib.folve_vorbis_comment_len.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.folve_vorbis_comment_copy.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+            ctypes.c_void_p,
+        ]
         _lib = lib
     return _lib
 
 
 def vorbis_available() -> bool:
-    return _get_lib() is not None
-
-
-_OV_FILE_SIZE = 2048  # opaque OggVorbis_File; real struct is ~944 bytes
+    """Always true — the decoder ships with the native library."""
+    try:
+        return _get_lib() is not None
+    except Exception:
+        return False
 
 
 class OggSource:
@@ -118,49 +80,57 @@ class OggSource:
 
     def __init__(self, path: str):
         lib = _get_lib()
-        if lib is None:
-            raise OggError("no libvorbisfile available")
         self._lib = lib
-        self._vf = ctypes.create_string_buffer(_OV_FILE_SIZE)
-        r = lib.ov_fopen(path.encode(), self._vf)
-        if r != 0:
-            raise OggError(f"cannot open ogg stream ({r})")
-        vi = lib.ov_info(self._vf, -1)
-        if not vi:
-            lib.ov_clear(self._vf)
+        with open(path, "rb") as f:
+            data = f.read()
+        self._data = data  # the decoder copies, but keep for safety
+        self._h = lib.folve_vorbis_open(data, len(data))
+        if not self._h:
+            raise OggError("cannot open ogg stream")
+        info = _FolveVorbisInfo()
+        lib.folve_vorbis_info(self._h, ctypes.byref(info))
+        if info.channels == 0 or info.rate == 0:
+            lib.folve_vorbis_close(self._h)
+            self._h = None
             raise OggError("no vorbis info")
-        frames = lib.ov_pcm_total(self._vf, -1)
         self.info = AudioInfo(
-            rate=int(vi.contents.rate),
-            channels=int(vi.contents.channels),
-            frames=max(0, int(frames)),
+            rate=int(info.rate),
+            channels=int(info.channels),
+            frames=max(0, int(info.frames)),
             container=Container.OGG,
             codec=SampleCodec.VORBIS,
             bits_per_sample=16,  # nominal; vorbis is float internally
         )
-        self._open = True
 
     def read_float(self, nframes: int) -> np.ndarray:
         ch = self.info.channels
         out = np.empty((nframes, ch), dtype=np.float32)
-        got = 0
-        pcm = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))()
-        bitstream = ctypes.c_int(0)
-        while got < nframes:
-            n = self._lib.ov_read_float(
-                self._vf, ctypes.byref(pcm), nframes - got, ctypes.byref(bitstream)
-            )
-            if n <= 0:
-                break
-            for c in range(ch):
-                out[got : got + n, c] = np.ctypeslib.as_array(pcm[c], shape=(n,))
-            got += n
-        return out[:got]
+        n = self._lib.folve_vorbis_read(self._h, out.ctypes.data, nframes)
+        if n < 0:
+            raise OggError("vorbis decode error")
+        return out[:n]
+
+    def comments(self) -> dict:
+        lib = self._lib
+        out = {}
+        for i in range(lib.folve_vorbis_comments(self._h)):
+            ln = lib.folve_vorbis_comment_len(self._h, i)
+            buf = ctypes.create_string_buffer(int(ln))
+            lib.folve_vorbis_comment_copy(self._h, i, buf)
+            item = buf.raw.decode("utf-8", errors="replace")
+            if "=" in item:
+                k, v = item.split("=", 1)
+                out[k.upper()] = v
+        return out
+
+    def rewind(self) -> None:
+        if self._lib.folve_vorbis_rewind(self._h) != 0:
+            raise OggError("rewind failed")
 
     def close(self) -> None:
-        if self._open:
-            self._lib.ov_clear(self._vf)
-            self._open = False
+        if self._h:
+            self._lib.folve_vorbis_close(self._h)
+            self._h = None
 
     def __del__(self):
         try:
@@ -198,24 +168,14 @@ def read_ogg_info(path: str) -> AudioInfo:
 def read_ogg_comments(path: str) -> dict:
     """Vorbis comments as a vorbis-style tag dict (the reference carries
     these into the FLAC output via sf_get_string/sf_set_string,
-    convolve-file-handler.cc:484-495)."""
-    lib = _get_lib()
-    if lib is None:
+    convolve-file-handler.cc:484-495).  {} for unreadable input."""
+    if not os.path.exists(path):
         return {}
-    vf = ctypes.create_string_buffer(_OV_FILE_SIZE)
-    if lib.ov_fopen(path.encode(), vf) != 0:
-        return {}
-    out = {}
     try:
-        vc = lib.ov_comment(vf, -1)
-        if vc:
-            for i in range(vc.contents.comments):
-                ln = vc.contents.comment_lengths[i]
-                raw = ctypes.string_at(vc.contents.user_comments[i], ln)
-                item = raw.decode("utf-8", errors="replace")
-                if "=" in item:
-                    k, v = item.split("=", 1)
-                    out[k.upper()] = v
+        src = OggSource(path)
+    except Exception:
+        return {}
+    try:
+        return src.comments()
     finally:
-        lib.ov_clear(vf)
-    return out
+        src.close()

@@ -66,18 +66,21 @@ class FramePool {
     if (want <= 1 || count < 2) return false;
     std::lock_guard<std::mutex> run_lock(run_mutex_);  // one batch at a time
     EnsureWorkers((size_t)std::min<size_t>((size_t)want, count) - 1);
+    uint64_t gen;
     {
       std::lock_guard<std::mutex> lock(mutex_);
       task_ = &task;
       count_ = count;
-      next_.store(0, std::memory_order_relaxed);
-      done_.store(0, std::memory_order_relaxed);
-      generation_++;
+      next_ = 0;
+      done_ = 0;
+      gen = ++generation_;
     }
     cv_.notify_all();
-    Drain();  // the calling thread is worker 0
+    Drain(gen);  // the calling thread is worker 0
     std::unique_lock<std::mutex> lock(mutex_);
-    finished_cv_.wait(lock, [&] { return done_.load() == count_; });
+    finished_cv_.wait(lock, [&] { return done_ == count_; });
+    // The task reference dies with this frame: detach it under the
+    // lock so a late-waking worker can never touch it.
     task_ = nullptr;
     return true;
   }
@@ -94,20 +97,26 @@ class FramePool {
     }
   }
 
-  void Drain() {
-    const std::function<void(size_t)>* task;
-    {
-      std::lock_guard<std::mutex> lock(mutex_);
-      task = task_;
-    }
-    if (!task) return;
+  // Pull tasks for generation `gen` only.  The handout is under the
+  // mutex, so a worker that observed a stale generation exits without
+  // ever touching the (possibly destroyed) task object, and Run()
+  // cannot return while any handed-out index is still executing
+  // (done_ < count_ keeps it waiting).
+  void Drain(uint64_t gen) {
     for (;;) {
-      size_t i = next_.fetch_add(1, std::memory_order_relaxed);
-      if (i >= count_) break;
-      (*task)(i);
-      if (done_.fetch_add(1, std::memory_order_acq_rel) + 1 == count_) {
+      const std::function<void(size_t)>* task;
+      size_t i;
+      {
         std::lock_guard<std::mutex> lock(mutex_);
-        finished_cv_.notify_all();
+        if (generation_ != gen || task_ == nullptr || next_ >= count_) return;
+        i = next_++;
+        task = task_;
+      }
+      (*task)(i);
+      {
+        std::lock_guard<std::mutex> lock(mutex_);
+        if (generation_ == gen && ++done_ == count_)
+          finished_cv_.notify_all();
       }
     }
   }
@@ -115,13 +124,14 @@ class FramePool {
   void WorkerLoop() {
     uint64_t seen = 0;
     for (;;) {
+      uint64_t gen;
       {
         std::unique_lock<std::mutex> lock(mutex_);
         cv_.wait(lock, [&] { return stop_ || generation_ != seen; });
-        seen = generation_;
         if (stop_) return;
+        seen = gen = generation_;
       }
-      Drain();
+      Drain(gen);
     }
   }
 
@@ -133,11 +143,11 @@ class FramePool {
   std::condition_variable cv_;
   std::condition_variable finished_cv_;
   std::vector<std::thread> workers_;
-  const std::function<void(size_t)>* task_ = nullptr;
-  size_t count_ = 0;
-  std::atomic<size_t> next_{0};
-  std::atomic<size_t> done_{0};
-  uint64_t generation_ = 0;
+  const std::function<void(size_t)>* task_ = nullptr;  // guarded by mutex_
+  size_t count_ = 0;                                   // guarded by mutex_
+  size_t next_ = 0;                                    // guarded by mutex_
+  size_t done_ = 0;                                    // guarded by mutex_
+  uint64_t generation_ = 0;                            // guarded by mutex_
   bool stop_ = false;
 };
 

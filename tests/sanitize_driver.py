@@ -302,7 +302,51 @@ def check_fuse() -> None:
     print("fuse: ok")
 
 
+def check_vorbis() -> None:
+    """From-scratch Vorbis decoder under the sanitizer: decode a real
+    third-party-encoded file, then fuzz it (bitflips + truncations)."""
+    import glob
+
+    from folve_tpu.audio.ogg import read_ogg
+
+    samples = glob.glob(
+        "/opt/venv/lib/python3*/site-packages/pygame/examples/data/*.ogg"
+    )
+    if not samples:
+        print("vorbis: skipped (no sample)")
+        return
+    blob = bytearray(open(samples[0], "rb").read())
+    data, info = read_ogg(samples[0])
+    assert data.shape[0] == info.frames and info.frames > 0
+    rng = np.random.default_rng(23)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "f.ogg")
+        for _ in range(80):
+            fuzz = bytearray(blob)
+            for _ in range(int(rng.integers(1, 6))):
+                fuzz[int(rng.integers(0, len(fuzz)))] ^= 1 << int(
+                    rng.integers(0, 8)
+                )
+            with open(p, "wb") as f:
+                f.write(bytes(fuzz))
+            try:
+                read_ogg(p)
+            except Exception:
+                pass
+        for cut in (0, 5, 100, len(blob) // 2, len(blob) - 1):
+            with open(p, "wb") as f:
+                f.write(bytes(blob[:cut]))
+            try:
+                read_ogg(p)
+            except Exception:
+                pass
+    print("vorbis: ok")
+
+
 if __name__ == "__main__":
     check_flac()
+    check_vorbis()
     check_fuse()
     print("SANITIZE_DRIVER_OK")

@@ -1,9 +1,10 @@
-"""Ogg Vorbis decode tests (libvorbisfile binding).
-
-Oracle: pygame's SDL_mixer (a different binding of the same codec
-family) decoding the same file.
+"""Ogg Vorbis decode tests — the from-scratch native decoder
+(native/vorbis_codec.cc) against two independent oracles: pygame's
+SDL_mixer and (for float precision) the system libvorbisfile, both
+bound test-locally only.
 """
 
+import ctypes
 import glob
 import os
 
@@ -187,6 +188,218 @@ def test_ogg_tags_carried_into_flac(tmp_path):
     got = read_flac_metadata(blob)
     assert got["TITLE"] == "Spliced Song"
     assert got["ARTIST"] == "Test Harness"
+
+
+# ---------------------------------------------------------------------------
+# Test-local third-party oracles (product code no longer binds these).
+# ---------------------------------------------------------------------------
+
+
+def _libsndfile():
+    cands = sorted(
+        glob.glob("/opt/venv/lib/python3*/site-packages/pygame.libs/libsndfile*.so*")
+    )
+    if not cands:
+        return None
+    libdir = os.path.dirname(cands[0])
+    for dep in sorted(glob.glob(os.path.join(libdir, "*.so*"))):
+        if "sndfile" not in dep:
+            try:
+                ctypes.CDLL(dep, mode=ctypes.RTLD_GLOBAL)
+            except OSError:
+                pass
+    lib = ctypes.CDLL(cands[0])
+
+    class SfInfo(ctypes.Structure):
+        _fields_ = [
+            ("frames", ctypes.c_int64),
+            ("samplerate", ctypes.c_int),
+            ("channels", ctypes.c_int),
+            ("format", ctypes.c_int),
+            ("sections", ctypes.c_int),
+            ("seekable", ctypes.c_int),
+        ]
+
+    lib.SfInfo = SfInfo
+    lib.sf_open.restype = ctypes.c_void_p
+    lib.sf_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(SfInfo)]
+    lib.sf_writef_float.restype = ctypes.c_int64
+    lib.sf_writef_float.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.sf_set_string.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+    lib.sf_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _encode_ogg(path, x, rate, title=None):
+    """Encode float PCM to Ogg Vorbis with libsndfile/libvorbisenc (a
+    THIRD-PARTY encoder — exactly what the decoder must interoperate
+    with)."""
+    lib = _libsndfile()
+    if lib is None:
+        pytest.skip("no libsndfile to encode fixtures")
+    SF_FORMAT_OGG, SF_FORMAT_VORBIS, SFM_WRITE, SF_STR_TITLE = (
+        0x200000, 0x0060, 0x20, 0x01,
+    )
+    info = lib.SfInfo(
+        frames=0, samplerate=rate, channels=x.shape[1],
+        format=SF_FORMAT_OGG | SF_FORMAT_VORBIS, sections=0, seekable=0,
+    )
+    snd = lib.sf_open(str(path).encode(), SFM_WRITE, ctypes.byref(info))
+    assert snd, "libsndfile ogg open failed"
+    if title is not None:
+        lib.sf_set_string(snd, SF_STR_TITLE, title.encode())
+    flat = np.ascontiguousarray(x, dtype=np.float32)
+    n = lib.sf_writef_float(snd, flat.ctypes.data, x.shape[0])
+    lib.sf_close(snd)
+    assert n == x.shape[0]
+
+
+def _oracle_decode(path):
+    """Float-precision reference decode via libvorbisfile (test-only)."""
+    cands = sorted(
+        glob.glob(
+            "/opt/venv/lib/python3*/site-packages/pygame.libs/libvorbisfile*.so*"
+        )
+    ) or sorted(glob.glob("/usr/lib/*/libvorbisfile.so*"))
+    if not cands:
+        pytest.skip("no libvorbisfile oracle")
+    libdir = os.path.dirname(cands[0])
+    for pat in ("libogg*.so*", "libvorbis-*.so*", "libvorbis.so*"):
+        for dep in sorted(glob.glob(os.path.join(libdir, pat))):
+            try:
+                ctypes.CDLL(dep, mode=ctypes.RTLD_GLOBAL)
+            except OSError:
+                pass
+    lib = ctypes.CDLL(cands[0])
+
+    class VInfo(ctypes.Structure):
+        _fields_ = [
+            ("version", ctypes.c_int), ("channels", ctypes.c_int),
+            ("rate", ctypes.c_long), ("bu", ctypes.c_long),
+            ("bn", ctypes.c_long), ("bl", ctypes.c_long),
+            ("bw", ctypes.c_long), ("cs", ctypes.c_void_p),
+        ]
+
+    lib.ov_fopen.restype = ctypes.c_int
+    lib.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+    lib.ov_info.restype = ctypes.POINTER(VInfo)
+    lib.ov_info.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ov_read_float.restype = ctypes.c_long
+    lib.ov_read_float.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.POINTER(ctypes.c_float))),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ov_clear.argtypes = [ctypes.c_void_p]
+    vf = ctypes.create_string_buffer(2048)
+    assert lib.ov_fopen(str(path).encode(), vf) == 0
+    vi = lib.ov_info(vf, -1)
+    ch = vi.contents.channels
+    pcm = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))()
+    bs = ctypes.c_int(0)
+    chunks = []
+    while True:
+        n = lib.ov_read_float(vf, ctypes.byref(pcm), 65536, ctypes.byref(bs))
+        if n <= 0:
+            break
+        blk = np.empty((n, ch), np.float32)
+        for c in range(ch):
+            blk[:, c] = np.ctypeslib.as_array(pcm[c], shape=(n,))
+        chunks.append(blk)
+    lib.ov_clear(vf)
+    return np.concatenate(chunks) if chunks else np.zeros((0, ch), np.float32)
+
+
+def _stereo_material(seconds=2.2, rate=44100):
+    """Tonal + transient + noise: exercises coupling, long blocks and
+    long/short switching."""
+    rng = np.random.default_rng(99)
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    left = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 2930 * t)
+    right = 0.5 * np.sin(2 * np.pi * 440 * t + 0.7) + 0.08 * rng.standard_normal(n)
+    x = np.stack([left, right], axis=1).astype(np.float32)
+    # Hard transients force short blocks.
+    for pos in (n // 4, n // 2, 3 * n // 4):
+        x[pos : pos + 64] += rng.uniform(-0.4, 0.4, (64, 2)).astype(np.float32)
+    x[n // 3 : n // 3 + rate // 10] = 0.0  # a silence gap
+    return np.clip(x, -0.98, 0.98)
+
+
+def test_stereo_coupling_matches_reference_decoder(tmp_path):
+    """Stereo 44.1 kHz music-like material through a third-party
+    ENCODER; our decode must match libvorbisfile's float output to
+    float32 precision (coupling, block switching, silence)."""
+    path = tmp_path / "stereo.ogg"
+    _encode_ogg(path, _stereo_material(), 44100)
+    ref = _oracle_decode(path)
+    got, info = read_ogg(str(path))
+    assert info.channels == 2 and info.rate == 44100
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    num = np.sum((got.astype(np.float64) - ref.astype(np.float64)) ** 2)
+    den = max(np.sum(ref.astype(np.float64) ** 2), 1e-30)
+    snr = 10 * np.log10(num / den) if num else -200.0
+    assert snr < -100, f"decode disagrees with reference: {snr:.1f} dB"
+
+
+def test_mono_48k_matches_reference_decoder(tmp_path):
+    path = tmp_path / "mono.ogg"
+    rng = np.random.default_rng(3)
+    n = 48000
+    x = (0.4 * np.sin(2 * np.pi * 600 * np.arange(n) / 48000)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)[:, None]
+    _encode_ogg(path, x, 48000)
+    ref = _oracle_decode(path)
+    got, info = read_ogg(str(path))
+    assert info.channels == 1 and got.shape == ref.shape
+    num = np.sum((got.astype(np.float64) - ref.astype(np.float64)) ** 2)
+    den = max(np.sum(ref.astype(np.float64) ** 2), 1e-30)
+    assert 10 * np.log10(num / den) < -100
+
+
+def test_encoder_tags_read_back(tmp_path):
+    from folve_tpu.audio.ogg import read_ogg_comments
+
+    path = tmp_path / "tagged.ogg"
+    _encode_ogg(path, _stereo_material(0.3), 44100, title="Corpus Title")
+    assert read_ogg_comments(str(path))["TITLE"] == "Corpus Title"
+
+
+def test_rewind_restarts_stream(tmp_path):
+    path = tmp_path / "rw.ogg"
+    _encode_ogg(path, _stereo_material(0.5), 44100)
+    src = OggSource(str(path))
+    a = src.read_float(5000)
+    src.rewind()
+    b = src.read_float(5000)
+    src.close()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fuzz_bitflips_never_crash(tmp_path):
+    """Corrupted streams must fail cleanly (error or truncated/garbage
+    audio), never crash — same bar as the FLAC fuzz suite."""
+    path = tmp_path / "fz.ogg"
+    _encode_ogg(path, _stereo_material(0.4), 44100)
+    blob = bytearray(open(path, "rb").read())
+    rng = np.random.default_rng(17)
+    for trial in range(60):
+        fuzz = bytearray(blob)
+        for _ in range(int(rng.integers(1, 6))):
+            fuzz[int(rng.integers(0, len(fuzz)))] ^= 1 << int(rng.integers(0, 8))
+        p = tmp_path / "fuzzed.ogg"
+        p.write_bytes(bytes(fuzz))
+        try:
+            read_ogg(str(p))
+        except Exception:
+            pass
+    for cut in (0, 3, 57, len(blob) // 3, len(blob) - 2):
+        p = tmp_path / "cut.ogg"
+        p.write_bytes(bytes(blob[:cut]))
+        try:
+            read_ogg(str(p))
+        except Exception:
+            pass
 
 
 def test_comments_binding():

@@ -55,13 +55,28 @@ def _run_driver(lib: str, preload: str, extra_env: dict) -> str:
     return output
 
 
+def _with_stdcpp(preload: str) -> str:
+    # CPython itself doesn't link libstdc++, so the sanitizer runtime's
+    # __cxa_throw interceptor finds no real symbol at startup and
+    # CHECK-fails on the first C++ exception (vorbis_codec throws).
+    # Preloading libstdc++ alongside fixes interception.
+    stdcpp = _runtime_lib("stdc++")
+    if not stdcpp:
+        out = subprocess.run(
+            ["gcc", "-print-file-name=libstdc++.so.6"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        stdcpp = out if os.path.isabs(out) else ""
+    return f"{preload} {stdcpp}".strip()
+
+
 def test_asan_ubsan():
     preload = _runtime_lib("asan")
     if not preload:
         pytest.skip("no libasan runtime")
     lib = _build("libfolve_native_asan.so")
     out = _run_driver(
-        lib, preload,
+        lib, _with_stdcpp(preload),
         {"ASAN_OPTIONS": "detect_leaks=0", "UBSAN_OPTIONS": "print_stacktrace=1"},
     )
     assert "ERROR: AddressSanitizer" not in out
@@ -73,5 +88,5 @@ def test_tsan():
     if not preload:
         pytest.skip("no libtsan runtime")
     lib = _build("libfolve_native_tsan.so")
-    out = _run_driver(lib, preload, {"TSAN_OPTIONS": "halt_on_error=0"})
+    out = _run_driver(lib, _with_stdcpp(preload), {"TSAN_OPTIONS": "halt_on_error=0"})
     assert "WARNING: ThreadSanitizer" not in out
