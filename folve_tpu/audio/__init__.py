@@ -30,6 +30,21 @@ def sniff_container(path: str) -> Optional[Container]:
         return Container.OGG
     if magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
         return Container.AIFF
+    if magic[:4] == b".snd":
+        return Container.AU
+    if magic[:4] == b"riff":  # Wave64's GUID begins with lowercase riff
+        from folve_tpu.audio.w64 import GUID_RIFF
+
+        try:
+            with open(path, "rb") as f:
+                head = f.read(16)
+        except OSError:
+            return None
+        if head == GUID_RIFF:
+            return Container.W64
+        return None
+    if magic[:4] == b"caff":
+        return Container.CAF
     return None
 
 
@@ -50,6 +65,18 @@ def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
         from folve_tpu.audio.ogg import read_ogg
 
         return read_ogg(path)
+    if container == Container.AU:
+        from folve_tpu.audio.au import read_au
+
+        return read_au(path)
+    if container == Container.W64:
+        from folve_tpu.audio.w64 import read_w64
+
+        return read_w64(path)
+    if container == Container.CAF:
+        from folve_tpu.audio.caf import read_caf
+
+        return read_caf(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 
@@ -69,6 +96,18 @@ def read_audio_info(path: str) -> AudioInfo:
         from folve_tpu.audio.ogg import read_ogg_info
 
         return read_ogg_info(path)
+    if container == Container.AU:
+        from folve_tpu.audio.au import read_au_info
+
+        return read_au_info(path)
+    if container == Container.W64:
+        from folve_tpu.audio.w64 import read_w64_info
+
+        return read_w64_info(path)
+    if container == Container.CAF:
+        from folve_tpu.audio.caf import read_caf_info
+
+        return read_caf_info(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 

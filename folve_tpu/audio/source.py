@@ -99,7 +99,8 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.FLAC:
             with open(path, "rb") as f:
                 return FlacSource(f.read())
-        if container == Container.AIFF:
+        if container in (Container.AIFF, Container.AU, Container.W64,
+                         Container.CAF):
             return ArraySource(path)
         if container == Container.OGG:
             from folve_tpu.audio.ogg import OggSource

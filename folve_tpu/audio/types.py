@@ -16,6 +16,9 @@ class Container(enum.Enum):
     FLAC = "flac"
     OGG = "ogg"
     AIFF = "aiff"
+    AU = "au"
+    W64 = "w64"
+    CAF = "caf"
     RAW = "raw"
 
 

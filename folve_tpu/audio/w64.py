@@ -1,0 +1,227 @@
+"""Sony Wave64 (.w64) — native reader and streaming encoder.
+
+Wave64 is WAV with 16-byte GUID chunk ids and 64-bit sizes (the RIFF
+4 GiB limit removed); the fmt/data payloads are byte-identical to
+WAV's.  The reference consumes it through libsndfile's probe
+(convolve-file-handler.cc:62-76) and writes the original format back.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
+
+
+class W64Error(ValueError):
+    pass
+
+
+_TAIL = bytes([0xF3, 0xAC, 0xD3, 0x11, 0x8C, 0xD1, 0x00, 0xC0, 0x4F, 0x8E,
+               0xDB, 0x8A])
+GUID_RIFF = b"riff" + bytes([0x2E, 0x91, 0xCF, 0x11, 0xA5, 0xD6, 0x28, 0xDB,
+                             0x04, 0xC1, 0x00, 0x00])
+GUID_WAVE = b"wave" + _TAIL
+GUID_FMT = b"fmt " + _TAIL
+GUID_DATA = b"data" + _TAIL
+
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _align8(n: int) -> int:
+    return (n + 7) & ~7
+
+
+def _parse(blob: bytes):
+    if len(blob) < 40 or blob[:16] != GUID_RIFF or blob[24:40] != GUID_WAVE:
+        raise W64Error("not a Wave64 file")
+    pos = 40
+    fmt = None
+    data_off = data_len = None
+    while pos + 24 <= len(blob):
+        guid = blob[pos : pos + 16]
+        # Chunk size INCLUDES the 24-byte chunk header (Wave64 quirk).
+        (size,) = struct.unpack("<Q", blob[pos + 16 : pos + 24])
+        if size < 24:
+            raise W64Error("bad chunk size")
+        body = blob[pos + 24 : pos + size]
+        if guid == GUID_FMT:
+            fmt = body
+        elif guid == GUID_DATA:
+            data_off, data_len = pos + 24, min(size - 24, len(blob) - pos - 24)
+        pos += _align8(size)
+    if fmt is None or data_off is None:
+        raise W64Error("missing fmt/data chunks")
+    if len(fmt) < 16:
+        raise W64Error("short fmt chunk")
+    tag, channels, rate, _brate, _balign, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
+        (tag,) = struct.unpack("<H", fmt[24:26])  # subformat GUID head
+    if channels == 0 or rate == 0 or bits == 0:
+        raise W64Error("bad fmt fields")
+    return tag, channels, rate, bits, data_off, data_len
+
+
+_CODEC = {
+    (WAVE_FORMAT_PCM, 8): SampleCodec.PCM_U8,
+    (WAVE_FORMAT_PCM, 16): SampleCodec.PCM_16,
+    (WAVE_FORMAT_PCM, 24): SampleCodec.PCM_24,
+    (WAVE_FORMAT_PCM, 32): SampleCodec.PCM_32,
+    (WAVE_FORMAT_IEEE_FLOAT, 32): SampleCodec.FLOAT,
+    (WAVE_FORMAT_IEEE_FLOAT, 64): SampleCodec.DOUBLE,
+}
+
+
+def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
+    with open(path, "rb") as f:
+        blob = f.read()
+    tag, channels, rate, bits, off, length = _parse(blob)
+    codec = _CODEC.get((tag, bits))
+    if codec is None:
+        raise W64Error(f"unsupported format tag={tag} bits={bits}")
+    raw = blob[off : off + length]
+    if codec == SampleCodec.PCM_U8:
+        data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif codec == SampleCodec.PCM_16:
+        data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif codec == SampleCodec.PCM_24:
+        b = np.frombuffer(raw[: (len(raw) // 3) * 3], np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        data = v.astype(np.float32) / float(1 << 23)
+    elif codec == SampleCodec.PCM_32:
+        data = np.frombuffer(raw, "<i4").astype(np.float64) / float(1 << 31)
+    elif codec == SampleCodec.FLOAT:
+        data = np.frombuffer(raw, "<f4").astype(np.float64)
+    else:
+        data = np.frombuffer(raw, "<f8")
+    data = np.asarray(data, np.float32)
+    frames = data.size // channels
+    data = data[: frames * channels].reshape(frames, channels)
+    info = AudioInfo(
+        rate=rate, channels=channels, frames=frames,
+        container=Container.W64, codec=codec, bits_per_sample=bits,
+    )
+    return data, info
+
+
+def read_w64_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        blob = f.read(1 << 16)  # chunk directory fits easily
+        f.seek(0, 2)
+        total = f.tell()
+    # Re-parse against true sizes: only the data chunk can be huge.
+    if len(blob) < 40 or blob[:16] != GUID_RIFF or blob[24:40] != GUID_WAVE:
+        raise W64Error("not a Wave64 file")
+    pos = 40
+    fmt = None
+    data_len = None
+    while pos + 24 <= len(blob):
+        guid = blob[pos : pos + 16]
+        (size,) = struct.unpack("<Q", blob[pos + 16 : pos + 24])
+        if size < 24:
+            raise W64Error("bad chunk size")
+        if guid == GUID_FMT:
+            fmt = blob[pos + 24 : pos + size]
+        elif guid == GUID_DATA:
+            data_len = min(size - 24, total - pos - 24)
+        pos += _align8(size)
+        if fmt is not None and data_len is not None:
+            break
+    if fmt is None or data_len is None or len(fmt) < 16:
+        raise W64Error("missing fmt/data chunks")
+    tag, channels, rate, _brate, _balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
+        (tag,) = struct.unpack("<H", fmt[24:26])
+    codec = _CODEC.get((tag, bits))
+    if codec is None or channels == 0:
+        raise W64Error("unsupported w64 format")
+    frames = int(data_len) // (channels * (bits // 8))
+    return AudioInfo(
+        rate=rate, channels=channels, frames=frames,
+        container=Container.W64, codec=codec, bits_per_sample=bits,
+    )
+
+
+class W64StreamEncoder:
+    """Streaming Wave64 encoder (FlacEncoder interface): exact sizes go
+    in the header up front (frames are known), payload is plain
+    little-endian PCM."""
+
+    def __init__(self, rate: int, channels: int, bits: int, total_frames: int):
+        if bits not in (16, 24):
+            raise W64Error(f"unsupported W64 stream depth {bits}")
+        self.rate = rate
+        self.channels = channels
+        self.bits = bits
+        self.total_frames = total_frames
+        self.blocksize = 0
+        self._scale = float(1 << (bits - 1))
+        self._limit = (1 << (bits - 1)) - 1
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata  # W64 has no standard tag chunk
+        payload = self.total_frames * self.channels * self.bits // 8
+        balign = self.channels * self.bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", WAVE_FORMAT_PCM, self.channels, self.rate,
+            self.rate * balign, balign, self.bits,
+        )
+        fmt_chunk = GUID_FMT + struct.pack("<Q", 24 + len(fmt)) + fmt
+        fmt_chunk += b"\0" * (_align8(len(fmt_chunk)) - len(fmt_chunk))
+        data_hdr = GUID_DATA + struct.pack("<Q", 24 + payload)
+        total = 40 + len(fmt_chunk) + len(data_hdr) + payload
+        return (
+            GUID_RIFF + struct.pack("<Q", total) + GUID_WAVE
+            + fmt_chunk + data_hdr
+        )
+
+    def write_float(self, samples: np.ndarray) -> bytes:
+        v = np.clip(
+            np.round(np.asarray(samples, np.float64) * self._scale),
+            -self._scale, self._limit,
+        ).astype(np.int64)
+        if self.bits == 16:
+            return v.astype("<i2").tobytes()
+        flat = v.reshape(-1)
+        out = np.empty((flat.size, 3), np.uint8)
+        out[:, 0] = flat & 0xFF
+        out[:, 1] = (flat >> 8) & 0xFF
+        out[:, 2] = (flat >> 16) & 0xFF
+        return out.tobytes()
+
+    def write_int(self, samples: np.ndarray) -> bytes:
+        return self.write_float(np.asarray(samples, np.float64) / self._scale)
+
+    def finish(self) -> bytes:
+        return b""
+
+    def streaminfo(self, with_md5: bool = True) -> bytes:
+        return b""
+
+    def close(self) -> None:
+        pass
+
+
+def write_w64(dst, data: np.ndarray, rate: int, bits: int = 16) -> None:
+    """Encode float32 [frames, ch] as little-endian PCM Wave64."""
+    if data.ndim == 1:
+        data = data[:, None]
+    enc = W64StreamEncoder(rate, data.shape[1], bits, data.shape[0])
+    blob = enc.header() + enc.write_float(data)
+    if hasattr(dst, "write"):
+        dst.write(blob)
+    else:
+        with open(dst, "wb") as f:
+            f.write(blob)

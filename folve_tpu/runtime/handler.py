@@ -268,6 +268,12 @@ class ConvolveFileHandler(FileHandler):
             out_bits = self._in_info.bits_per_sample
             if out_bits not in (16, 24, 32):
                 out_bits = 24
+        elif in_container in (Container.AU, Container.W64, Container.CAF):
+            # "else: original format" (convolve-file-handler.cc:249-251)
+            # — these stay in their container at source depth.
+            out_bits = self._in_info.bits_per_sample
+            if out_bits not in (16, 24):
+                out_bits = 24
         else:
             out_bits = min(self._in_info.bits_per_sample, 24)
             if out_bits not in (8, 16, 24):
@@ -278,10 +284,25 @@ class ConvolveFileHandler(FileHandler):
         )
 
         self._buffer = ConversionBuffer(self)
+        _pcm_encoders = {}
         if in_container == Container.AIFF:
             from folve_tpu.audio.aiff import AiffStreamEncoder
 
-            self._encoder = AiffStreamEncoder(
+            _pcm_encoders[Container.AIFF] = AiffStreamEncoder
+        elif in_container == Container.AU:
+            from folve_tpu.audio.au import AuStreamEncoder
+
+            _pcm_encoders[Container.AU] = AuStreamEncoder
+        elif in_container == Container.W64:
+            from folve_tpu.audio.w64 import W64StreamEncoder
+
+            _pcm_encoders[Container.W64] = W64StreamEncoder
+        elif in_container == Container.CAF:
+            from folve_tpu.audio.caf import CafStreamEncoder
+
+            _pcm_encoders[Container.CAF] = CafStreamEncoder
+        if in_container in _pcm_encoders:
+            self._encoder = _pcm_encoders[in_container](
                 rate=self._in_info.rate,
                 channels=processor.output_channels,
                 bits=out_bits,
@@ -328,6 +349,10 @@ class ConvolveFileHandler(FileHandler):
                 from folve_tpu.audio.ogg import read_ogg_comments
 
                 return read_ogg_comments(self._underlying_file) or None
+            if container == Container.CAF:
+                from folve_tpu.audio.caf import read_caf_metadata
+
+                return read_caf_metadata(self._underlying_file) or None
             if container == Container.FLAC:
                 # Reached only in workaround_flac_header_issue mode (the
                 # verbatim copy keeps the original VORBIS_COMMENT block).

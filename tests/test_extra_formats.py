@@ -1,0 +1,180 @@
+"""AU / Wave64 / CAF readers+encoders.
+
+Reference parity: libsndfile-probed inputs get convolved instead of
+falling back to pass-through (convolve-file-handler.cc:62-76), and the
+output keeps the original container ("else: original format",
+convolve-file-handler.cc:249-251).  Cross-validated against files
+written by libsndfile itself (test-only third-party oracle).
+"""
+
+import ctypes
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from folve_tpu.audio import Container, read_audio, read_audio_info, sniff_container
+from folve_tpu.audio.au import read_au, write_au
+from folve_tpu.audio.caf import read_caf, write_caf
+from folve_tpu.audio.w64 import read_w64, write_w64
+
+RATE = 44100
+
+
+def _material(rng, frames=5000, ch=2, grid=32768):
+    x = rng.uniform(-0.5, 0.5, (frames, ch)).astype(np.float32)
+    return np.round(x * grid) / grid
+
+
+@pytest.mark.parametrize("fmt,write,read,container", [
+    ("au", write_au, read_au, Container.AU),
+    ("w64", write_w64, read_w64, Container.W64),
+    ("caf", write_caf, read_caf, Container.CAF),
+])
+@pytest.mark.parametrize("bits", [16, 24])
+def test_roundtrip(tmp_path, rng, fmt, write, read, container, bits):
+    grid = 1 << (bits - 1)
+    x = _material(rng, grid=grid)
+    p = tmp_path / f"t.{fmt}"
+    write(str(p), x, RATE, bits=bits)
+    assert sniff_container(str(p)) == container
+    got, info = read(str(p))
+    assert info.rate == RATE and info.channels == 2
+    assert info.bits_per_sample == bits and info.container == container
+    np.testing.assert_allclose(got, x, atol=0.51 / grid)
+    info2 = read_audio_info(str(p))
+    assert info2.frames == x.shape[0]
+
+
+# --- cross-validation against libsndfile-written files ---------------------
+
+SF_AU, SF_W64, SF_CAF = 0x030000, 0x0B0000, 0x180000
+SF_PCM_16, SF_PCM_24, SF_FLOAT, SF_ULAW = 0x0002, 0x0003, 0x0006, 0x0010
+
+
+def _sf():
+    cands = sorted(
+        glob.glob("/opt/venv/lib/python3*/site-packages/pygame.libs/libsndfile*.so*")
+    )
+    if not cands:
+        pytest.skip("no libsndfile oracle")
+    for dep in sorted(glob.glob(os.path.join(os.path.dirname(cands[0]), "*.so*"))):
+        if "sndfile" not in dep:
+            try:
+                ctypes.CDLL(dep, mode=ctypes.RTLD_GLOBAL)
+            except OSError:
+                pass
+    lib = ctypes.CDLL(cands[0])
+
+    class SfInfo(ctypes.Structure):
+        _fields_ = [
+            ("frames", ctypes.c_int64), ("samplerate", ctypes.c_int),
+            ("channels", ctypes.c_int), ("format", ctypes.c_int),
+            ("sections", ctypes.c_int), ("seekable", ctypes.c_int),
+        ]
+
+    lib.SfInfo = SfInfo
+    lib.sf_open.restype = ctypes.c_void_p
+    lib.sf_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(SfInfo)]
+    lib.sf_writef_float.restype = ctypes.c_int64
+    lib.sf_writef_float.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.sf_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _sf_write(path, x, rate, fmt):
+    lib = _sf()
+    info = lib.SfInfo(frames=0, samplerate=rate, channels=x.shape[1],
+                      format=fmt, sections=0, seekable=0)
+    snd = lib.sf_open(str(path).encode(), 0x20, ctypes.byref(info))
+    assert snd, "sf_open failed"
+    flat = np.ascontiguousarray(x, np.float32)
+    assert lib.sf_writef_float(snd, flat.ctypes.data, x.shape[0]) == x.shape[0]
+    lib.sf_close(snd)
+
+
+@pytest.mark.parametrize("fmt,sub,container,tol", [
+    (SF_AU, SF_PCM_16, Container.AU, 1.0 / 32768),
+    (SF_AU, SF_PCM_24, Container.AU, 1.0 / (1 << 23)),
+    (SF_AU, SF_ULAW, Container.AU, 0.05),  # mu-law is lossy
+    (SF_W64, SF_PCM_16, Container.W64, 1.0 / 32768),
+    (SF_W64, SF_PCM_24, Container.W64, 1.0 / (1 << 23)),
+    (SF_W64, SF_FLOAT, Container.W64, 1e-7),
+    (SF_CAF, SF_PCM_16, Container.CAF, 1.0 / 32768),
+    (SF_CAF, SF_PCM_24, Container.CAF, 1.0 / (1 << 23)),
+    (SF_CAF, SF_FLOAT, Container.CAF, 1e-7),
+])
+def test_decodes_libsndfile_files(tmp_path, rng, fmt, sub, container, tol):
+    x = _material(rng, frames=3001)
+    p = tmp_path / "sf_file"
+    _sf_write(p, x, RATE, fmt | sub)
+    assert sniff_container(str(p)) == container
+    got, info = read_audio(str(p))
+    assert info.container == container
+    assert got.shape == x.shape
+    np.testing.assert_allclose(got, x, atol=tol)
+
+
+def test_mulaw_au_through_filesystem(tmp_path, rng):
+    """A mu-law AU file (pure libsndfile territory in the reference)
+    must convolve — and come back out as AU, not pass-through."""
+    from folve_tpu.audio.au import read_au
+    from tests.test_runtime import make_fs, read_all
+
+    x = _material(rng, frames=3000)
+    src_file = tmp_path / "in.au"
+    _sf_write(src_file, x, RATE, SF_AU | SF_PCM_16)
+
+    conf = (
+        "/convolver/new 2 2 64 512\n"
+        "/impulse/dirac 1 1 0.5 0\n/impulse/dirac 2 2 0.5 0\n"
+    )
+    fs, src = make_fs(tmp_path, conf_text=conf)
+    os.rename(src_file, src / "song.au")
+    h = fs.get_or_create_handler("/song.au")
+    blob = read_all(h)
+    fs.close_handler("/song.au", h)
+    assert blob[:4] == b".snd"
+    out = tmp_path / "out.au"
+    out.write_bytes(blob)
+    got, info = read_au(str(out))
+    assert info.frames == x.shape[0]
+    np.testing.assert_allclose(got, 0.5 * x, atol=2.5 / 32768)
+
+
+@pytest.mark.parametrize("fmt,write,magic", [
+    ("w64", write_w64, b"riff"),
+    ("caf", write_caf, b"caff"),
+])
+def test_w64_caf_through_filesystem(tmp_path, rng, fmt, write, magic):
+    from tests.test_runtime import make_fs, read_all
+
+    x = _material(rng, frames=2800)
+    conf = (
+        "/convolver/new 2 2 64 512\n"
+        "/impulse/dirac 1 1 0.5 0\n/impulse/dirac 2 2 0.5 0\n"
+    )
+    fs, src = make_fs(tmp_path, conf_text=conf)
+    write(str(src / f"song.{fmt}"), x, RATE, bits=16)
+    h = fs.get_or_create_handler(f"/song.{fmt}")
+    blob = read_all(h)
+    fs.close_handler(f"/song.{fmt}", h)
+    assert blob[:4] == magic
+    out = tmp_path / f"out.{fmt}"
+    out.write_bytes(blob)
+    got, info = read_audio(str(out))
+    assert info.frames == x.shape[0]
+    np.testing.assert_allclose(got, 0.5 * x, atol=2.5 / 32768)
+
+
+def test_caf_tags_survive(tmp_path, rng):
+    from folve_tpu.audio.caf import CafStreamEncoder, read_caf_metadata
+
+    enc = CafStreamEncoder(RATE, 2, 16, 100)
+    blob = enc.header({"TITLE": "caf title"}) + enc.write_float(
+        _material(rng, frames=100)
+    )
+    p = tmp_path / "t.caf"
+    p.write_bytes(blob)
+    assert read_caf_metadata(str(p))["TITLE"] == "caf title"

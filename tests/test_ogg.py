@@ -31,17 +31,30 @@ def test_info():
     assert info.frames > 0
 
 
-def test_full_decode_matches_pygame_oracle():
+def test_full_decode_matches_pygame_oracle(tmp_path):
     data, info = read_ogg(SAMPLE)
     assert data.shape[0] == info.frames
-    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
-    pygame = pytest.importorskip("pygame")
-    pygame.mixer.quit()
-    pygame.mixer.init(frequency=info.rate, size=-16, channels=info.channels)
-    ref = np.frombuffer(
-        pygame.mixer.Sound(SAMPLE).get_raw(), dtype=np.int16
-    ).reshape(-1, info.channels).astype(np.float64) / 32768.0
-    pygame.mixer.quit()
+    # pygame/SDL segfaults when initialized inside a process that has
+    # already run heavy jax multi-device work — decode in a subprocess.
+    import subprocess
+    import sys
+
+    raw_path = tmp_path / "ref.raw"
+    script = (
+        "import os; os.environ.setdefault('SDL_AUDIODRIVER', 'dummy')\n"
+        "import pygame\n"
+        f"pygame.mixer.init(frequency={info.rate}, size=-16, "
+        f"channels={info.channels})\n"
+        f"open({str(raw_path)!r}, 'wb').write("
+        f"pygame.mixer.Sound({SAMPLE!r}).get_raw())\n"
+    )
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=120)
+    if r.returncode != 0:
+        pytest.skip(f"pygame oracle unavailable: {r.stderr[-200:]}")
+    ref = np.frombuffer(raw_path.read_bytes(), dtype=np.int16).reshape(
+        -1, info.channels
+    ).astype(np.float64) / 32768.0
     n = min(len(ref), len(data))
     assert abs(len(ref) - len(data)) < 4096  # codec delay conventions
     err = 10 * np.log10(
