@@ -149,7 +149,11 @@ def _engine_configs(out, rng):
     size1 = 16384 if smoke else 65536
     ir1 = rng.standard_normal((2, 2, size1)).astype(np.float32) / 256.0
     bank1 = compile_filter_bank(ir1)
-    out["single_stream_lowpass_x"] = round(run(bank1, 1, 8, 3 if smoke else 30)[0], 1)
+    # 150 iters: single-stream dispatches are tiny (~2 ms), so short
+    # runs are at the mercy of tunnel RTT variance (±40% at 30 iters).
+    out["single_stream_lowpass_x"] = round(
+        run(bank1, 1, 8, 3 if smoke else 150)[0], 1
+    )
 
     # --- MAXSIZE: 1M-tap batched serving (zita-config.h:61's upper
     # bound).  S=4 x T=16 — long-reverb mastering at scale.
