@@ -33,6 +33,11 @@ def _add_common_fs_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-R", "--readdir-dump", default="", help="readdir/stat trace log file")
     p.add_argument("--flac-block-size", type=int, default=4096, help="FLAC encoder block size")
     p.add_argument(
+        "--flac-threads", type=int, default=0,
+        help="parallel FLAC frame-encode workers (0 = auto: cores capped "
+        "at 8, 1 = serial; output is identical at any setting)",
+    )
+    p.add_argument(
         "--workaround-flac-header", action="store_true",
         help="never copy FLAC headers verbatim; always regenerate "
         "(the reference's libsndfile-version workaround, folve-main.cc:295-300)",
@@ -98,6 +103,10 @@ def _build_fs(args, underlying_dir: str):
     fs.pre_buffer_size = prebuffer << 10
     fs.file_oversize_factor = args.oversize_factor
     fs.flac_block_size = args.flac_block_size
+    if getattr(args, "flac_threads", 0):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        set_encoder_threads(args.flac_threads)
     fs.workaround_flac_header_issue = getattr(args, "workaround_flac_header", False)
     if not fs.check_initialized():
         sys.exit("underlying dir or config dir missing / not a directory")

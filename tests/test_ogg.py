@@ -415,6 +415,24 @@ def test_fuzz_bitflips_never_crash(tmp_path):
             pass
 
 
+def test_huge_comment_spans_many_segments(tmp_path):
+    """A ~30 KiB comment header forces >100 lacing segments (255-byte
+    continuation runs) — exercises packet reassembly across segments."""
+    from folve_tpu.audio.ogg import read_ogg, read_ogg_comments
+
+    big = "x" * 30000
+    tagged = _splice_tags(
+        open(SAMPLE, "rb").read(), {"TITLE": "big", "LYRICS": big}
+    )
+    p = tmp_path / "big.ogg"
+    p.write_bytes(tagged)
+    tags = read_ogg_comments(str(p))
+    assert tags["TITLE"] == "big" and tags["LYRICS"] == big
+    data, info = read_ogg(str(p))
+    ref, _ = read_ogg(SAMPLE)
+    np.testing.assert_array_equal(data, ref)
+
+
 def test_comments_binding():
     from folve_tpu.audio.ogg import read_ogg_comments
 
