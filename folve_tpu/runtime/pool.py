@@ -67,7 +67,12 @@ class ProcessorPool:
             compiled = self._bank_cache.get(key)
         if compiled is None:
             try:
-                compiled = compile_config_file(config_path, fsamp=sampling_rate)
+                # Content-addressed persistent spectra cache in front of
+                # the compile (filters/spectra_cache.py): cold mounts
+                # skip the IR decode + device FFT for known filters.
+                from folve_tpu.filters.spectra_cache import compile_with_cache
+
+                compiled = compile_with_cache(config_path, fsamp=sampling_rate)
             except Exception:
                 return None
             with self._lock:

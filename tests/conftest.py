@@ -19,6 +19,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 _platform = os.environ.get("FOLVE_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
 
+# Keep the persistent spectra cache out of ~/.cache during tests (its
+# own tests point FOLVE_SPECTRA_CACHE at per-test tmp dirs).
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "FOLVE_SPECTRA_CACHE", tempfile.mkdtemp(prefix="folve_spectra_test_")
+)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)

@@ -355,13 +355,16 @@ def test_stereo_coupling_matches_reference_decoder(tmp_path):
     assert snr < -100, f"decode disagrees with reference: {snr:.1f} dB"
 
 
-def test_mono_48k_matches_reference_decoder(tmp_path):
+@pytest.mark.parametrize("rate", [8000, 48000])
+def test_mono_matches_reference_decoder(tmp_path, rate):
+    """Mono at 48 kHz and at 8 kHz (low-rate encoder modes use small
+    blocksizes and different codebook sets)."""
     path = tmp_path / "mono.ogg"
     rng = np.random.default_rng(3)
-    n = 48000
-    x = (0.4 * np.sin(2 * np.pi * 600 * np.arange(n) / 48000)
+    n = rate
+    x = (0.4 * np.sin(2 * np.pi * 600 * np.arange(n) / rate)
          + 0.05 * rng.standard_normal(n)).astype(np.float32)[:, None]
-    _encode_ogg(path, x, 48000)
+    _encode_ogg(path, x, rate)
     ref = _oracle_decode(path)
     got, info = read_ogg(str(path))
     assert info.channels == 1 and got.shape == ref.shape
