@@ -257,23 +257,43 @@ def _runtime_configs(out, rng):
         fs.close_handler("/02-b.flac", h2)
         out["gapless_join_x"] = round(2 * seconds / dt, 1)
 
-        # --- config 4: filter switching across rates; pool miss vs hit.
-        fs = make_fs(gapless=False)
-        pool = fs.processor_pool
-        misses, hits = [], []
-        for r in (44100, 48000, 96000):
-            cfg = os.path.join(filters, "lowpass")
+        # --- config 4: filter switching across rates; true-compile pool
+        # miss (persistent spectra cache disabled), disk-cache cold hit
+        # (fresh pool, cache enabled), and in-process pool hit.
+        from folve_tpu.runtime.pool import ProcessorPool
+
+        cache_dir = os.path.join(tmp, "spectra_cache")
+        saved_env = os.environ.get("FOLVE_SPECTRA_CACHE")
+        cfg = os.path.join(filters, "lowpass")
+        try:
+            os.environ["FOLVE_SPECTRA_CACHE"] = "0"
+            pool = ProcessorPool()
+            misses, hits = [], []
+            for r in (44100, 48000, 96000):
+                t0 = time.perf_counter()
+                proc, err = pool.get_or_create(cfg, r, 2, 16)
+                misses.append(time.perf_counter() - t0)
+                assert proc is not None, err
+                pool.return_processor(proc)
+                t0 = time.perf_counter()
+                proc, err = pool.get_or_create(cfg, r, 2, 16)
+                hits.append(time.perf_counter() - t0)
+                assert proc is not None, err
+                pool.return_processor(proc)
+            os.environ["FOLVE_SPECTRA_CACHE"] = cache_dir
+            ProcessorPool().get_or_create(cfg, 44100, 2, 16)  # populate
+            pool2 = ProcessorPool()  # fresh daemon start
             t0 = time.perf_counter()
-            proc, err = pool.get_or_create(cfg, r, 2, 16)
-            misses.append(time.perf_counter() - t0)
+            proc, err = pool2.get_or_create(cfg, 44100, 2, 16)
+            disk_hit = time.perf_counter() - t0
             assert proc is not None, err
-            pool.return_processor(proc)
-            t0 = time.perf_counter()
-            proc, err = pool.get_or_create(cfg, r, 2, 16)
-            hits.append(time.perf_counter() - t0)
-            assert proc is not None, err
-            pool.return_processor(proc)
+        finally:
+            if saved_env is None:
+                os.environ.pop("FOLVE_SPECTRA_CACHE", None)
+            else:
+                os.environ["FOLVE_SPECTRA_CACHE"] = saved_env
         out["filter_switch_pool_miss_ms"] = round(1000 * max(misses), 1)
+        out["filter_switch_disk_cache_ms"] = round(1000 * disk_hit, 1)
         out["filter_switch_pool_hit_ms"] = round(1000 * max(hits), 2)
         out["filter_switch_rates"] = [44100, 48000, 96000]
     return out

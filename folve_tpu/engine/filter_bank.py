@@ -85,6 +85,20 @@ def compile_filter_bank(
     half-spectrum rectangle (halves MAC traffic; see engine.rfft);
     "full" keeps all bins (required by the freq-sharded serving path).
     """
+    planes, fragm, size = compute_spectra_planes(ir, fragm, size, layout)
+    return FilterBank(h_spec=jnp.asarray(planes), fragm=fragm, size=size)
+
+
+def compute_spectra_planes(
+    ir: np.ndarray,
+    fragm: Optional[int] = None,
+    size: Optional[int] = None,
+    layout: str = "half",
+):
+    """Host-side spectra computation behind :func:`compile_filter_bank`;
+    returns ``(planes, fragm, size)`` with ``planes`` still a numpy
+    array (callers that persist spectra use this to avoid fetching them
+    back off the device)."""
     ir = np.asarray(ir, dtype=np.float32)
     if ir.ndim != 3:
         raise ValueError(f"ir must be [Cin, Cout, L], got shape {ir.shape}")
@@ -113,4 +127,4 @@ def compile_filter_bank(
     # [Cin, Cout, P, K] -> [P, Cin, Cout, 2, K] real/imag planes.
     spec = np.transpose(spec, (2, 0, 1, 3))
     planes = np.stack([spec.real, spec.imag], axis=3).astype(np.float32)
-    return FilterBank(h_spec=jnp.asarray(planes), fragm=fragm, size=size)
+    return planes, fragm, size

@@ -16,7 +16,7 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-from folve_tpu.engine.filter_bank import FilterBank, compile_filter_bank
+from folve_tpu.engine.filter_bank import FilterBank, compute_spectra_planes
 from folve_tpu.filters.zita_parser import (
     CopyOp,
     DiracOp,
@@ -40,6 +40,9 @@ class CompiledFilter:
     bank: FilterBank
     fsamp: int
     warnings: List[str]
+    # Host copy of bank.h_spec (persisting spectra must not fetch them
+    # back over a slow device link); None when unavailable.
+    host_spec: Optional[np.ndarray] = None
 
     @property
     def fragm(self) -> int:
@@ -96,8 +99,14 @@ def compile_spec(
         # filter still compiles (zita-config.cc:306,345).
         pass
 
-    bank = compile_filter_bank(ir.astype(np.float32), size=size)
-    return CompiledFilter(ir=ir.astype(np.float32), bank=bank, fsamp=fsamp, warnings=warnings)
+    import jax.numpy as jnp
+
+    planes, fragm, size = compute_spectra_planes(ir.astype(np.float32), size=size)
+    bank = FilterBank(h_spec=jnp.asarray(planes), fragm=fragm, size=size)
+    return CompiledFilter(
+        ir=ir.astype(np.float32), bank=bank, fsamp=fsamp, warnings=warnings,
+        host_spec=planes,
+    )
 
 
 def compile_config_file(

@@ -73,6 +73,7 @@ def _load(path: str):
             bank=bank,
             fsamp=int(z["fsamp"]),
             warnings=[str(w) for w in z["warnings"]],
+            host_spec=z["h_spec"],
         )
 
 
@@ -84,7 +85,11 @@ def _store(path: str, compiled) -> None:
             np.savez(
                 f,
                 version=np.int64(_VERSION),
-                h_spec=np.asarray(compiled.bank.h_spec),
+                # host_spec avoids a device->host fetch of the spectra
+                # (painfully slow on remote-attached devices).
+                h_spec=compiled.host_spec
+                if compiled.host_spec is not None
+                else np.asarray(compiled.bank.h_spec),
                 fragm=np.int64(compiled.bank.fragm),
                 size=np.int64(compiled.bank.size),
                 ir=compiled.ir,
