@@ -246,6 +246,30 @@ class BitReader {
     return b;
   }
 
+  // The next `n` stream bits packed FIRST-BIT-AS-MSB (i.e. as a
+  // huffman walk would accumulate them), zero-padded past the end, no
+  // consumption.  Used by the codebook prefix table.
+  uint32_t PeekCode(uint32_t n) const {
+    uint32_t v = 0;
+    size_t p = pos_;
+    size_t end = len_ * 8;
+    for (uint32_t i = 0; i < n; i++, p++) {
+      uint32_t b = p < end ? (data_[p >> 3] >> (p & 7)) & 1 : 0;
+      v = (v << 1) | b;
+    }
+    return v;
+  }
+
+  void Skip(uint32_t n) {
+    pos_ += n;
+    if (pos_ > len_ * 8) {
+      pos_ = len_ * 8;
+      eof_ = true;
+    }
+  }
+
+  size_t bits_left() const { return len_ * 8 - pos_; }
+
   bool eof() const { return eof_; }
 
  private:
@@ -295,6 +319,7 @@ class Codebook {
     if (br->eof()) throw ParseError("codebook truncated");
     AssignCodewords();
     BuildTree();
+    BuildFastTable();
 
     // VQ lookup table.
     lookup_type_ = br->Read(4);
@@ -350,8 +375,19 @@ class Codebook {
 
   // Scalar context: one codeword -> entry number.  -1 on end-of-packet.
   int32_t DecodeScalar(BitReader* br) const {
+    // Fast path: one table lookup resolves any codeword of <= kFastBits
+    // bits (the overwhelming majority — residue classbooks and VQ books
+    // are built short by encoders).
+    if (br->bits_left() >= kFastBits) {
+      uint32_t idx = br->PeekCode(kFastBits);
+      int32_t e = fast_entry_[idx];
+      if (e >= 0) {
+        br->Skip(fast_len_[idx]);
+        return e;
+      }
+    }
     int32_t node = 0;
-    // Tree walk: first bit read is the root branch.
+    // Slow path: tree walk, first bit read is the root branch.
     for (int depth = 0; depth < 33; depth++) {
       if (tree_[node].entry >= 0) return tree_[node].entry;
       int bit = br->ReadBit();
@@ -435,12 +471,31 @@ class Codebook {
     }
   }
 
+  static constexpr uint32_t kFastBits = 10;
+
+  void BuildFastTable() {
+    fast_entry_.assign(1u << kFastBits, -1);
+    fast_len_.assign(1u << kFastBits, 0);
+    for (uint32_t i = 0; i < entries_; i++) {
+      uint32_t len = lengths_[i];
+      if (!len || len > kFastBits) continue;
+      uint32_t base = codewords_[i] << (kFastBits - len);
+      uint32_t count = 1u << (kFastBits - len);
+      for (uint32_t s = 0; s < count; s++) {
+        fast_entry_[base + s] = (int32_t)i;
+        fast_len_[base + s] = (uint8_t)len;
+      }
+    }
+  }
+
   uint32_t dims_ = 0;
   uint32_t entries_ = 0;
   uint32_t lookup_type_ = 0;
   std::vector<uint8_t> lengths_;
   std::vector<uint32_t> codewords_;
   std::vector<Node> tree_;
+  std::vector<int32_t> fast_entry_;
+  std::vector<uint8_t> fast_len_;
   std::vector<float> vectors_;  // [entries x dims]
 };
 
@@ -608,21 +663,19 @@ class Imdct {
   void Run(const float* X, float* y, uint32_t N) {
     uint32_t M = N / 2;
     EnsureSize(2 * M);
+    const PrePost& pp = PrePostFor(M);
     // g[k] = X[k] * e^{-i pi k / (2M)}, zero-padded to 2M.
     for (uint32_t k = 0; k < M; k++) {
-      double ang = -M_PI * k / (2.0 * M);
-      re_[k] = X[k] * std::cos(ang);
-      im_[k] = X[k] * std::sin(ang);
+      re_[k] = X[k] * pp.pre_re[k];
+      im_[k] = X[k] * pp.pre_im[k];
     }
     std::fill(re_.begin() + M, re_.begin() + 2 * M, 0.0f);
     std::fill(im_.begin() + M, im_.begin() + 2 * M, 0.0f);
     Fft(2 * M);
     // c[m] = Re{ e^{-i pi (m+1/2)/(2M)} * G[m] }, m < M.
     c_.resize(M);
-    for (uint32_t m = 0; m < M; m++) {
-      double ang = -M_PI * (m + 0.5) / (2.0 * M);
-      c_[m] = (float)(re_[m] * std::cos(ang) - im_[m] * std::sin(ang));
-    }
+    for (uint32_t m = 0; m < M; m++)
+      c_[m] = re_[m] * pp.post_re[m] - im_[m] * pp.post_im[m];
     uint32_t M2 = M / 2;
     for (uint32_t n = 0; n < M2; n++) y[n] = c_[n + M2];
     for (uint32_t n = M2; n < M + M2; n++) y[n] = -c_[M + M2 - 1 - n];
@@ -630,21 +683,48 @@ class Imdct {
   }
 
  private:
+  struct PrePost {
+    std::vector<float> pre_re, pre_im, post_re, post_im;
+  };
+
+  const PrePost& PrePostFor(uint32_t M) {
+    PrePost& pp = prepost_[M];
+    if (pp.pre_re.empty()) {
+      pp.pre_re.resize(M);
+      pp.pre_im.resize(M);
+      pp.post_re.resize(M);
+      pp.post_im.resize(M);
+      for (uint32_t k = 0; k < M; k++) {
+        double a = -M_PI * k / (2.0 * M);
+        pp.pre_re[k] = (float)std::cos(a);
+        pp.pre_im[k] = (float)std::sin(a);
+        double b = -M_PI * (k + 0.5) / (2.0 * M);
+        pp.post_re[k] = (float)std::cos(b);
+        pp.post_im[k] = (float)std::sin(b);
+      }
+    }
+    return pp;
+  }
+
   void EnsureSize(uint32_t n) {
     if (re_.size() < n) {
       re_.resize(n);
       im_.resize(n);
     }
-    if (tw_n_ != n) {
-      tw_n_ = n;
-      tw_re_.resize(n / 2);
-      tw_im_.resize(n / 2);
+    // Per-size twiddles: long/short block alternation would otherwise
+    // rebuild the table (n/2 trig pairs) every single block.
+    auto& tw = twiddles_[n];
+    if (tw.first.empty()) {
+      tw.first.resize(n / 2);
+      tw.second.resize(n / 2);
       for (uint32_t i = 0; i < n / 2; i++) {
         double ang = -2.0 * M_PI * i / n;
-        tw_re_[i] = (float)std::cos(ang);
-        tw_im_[i] = (float)std::sin(ang);
+        tw.first[i] = (float)std::cos(ang);
+        tw.second[i] = (float)std::sin(ang);
       }
     }
+    tw_re_ = tw.first.data();
+    tw_im_ = tw.second.data();
   }
 
   void Fft(uint32_t n) {
@@ -675,8 +755,12 @@ class Imdct {
     }
   }
 
-  std::vector<float> re_, im_, c_, tw_re_, tw_im_;
-  uint32_t tw_n_ = 0;
+  std::vector<float> re_, im_, c_;
+  std::map<uint32_t, std::pair<std::vector<float>, std::vector<float>>>
+      twiddles_;
+  std::map<uint32_t, PrePost> prepost_;
+  const float* tw_re_ = nullptr;
+  const float* tw_im_ = nullptr;
 };
 
 // ---------------------------------------------------------------------------
