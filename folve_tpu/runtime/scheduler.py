@@ -36,6 +36,9 @@ _batched_step = jax.jit(jax.vmap(chunk_step, in_axes=(0, 0, 0, 0)))
 # avoids stacking S copies of the spectra when all jobs use one filter.
 _shared_step = jax.jit(jax.vmap(chunk_step, in_axes=(None, 0, 0, 0)))
 
+# Lone-stream fast path (no batch dim, no stack/unstack host work).
+_single_step = jax.jit(chunk_step)
+
 
 def _signature(bank: FilterBank) -> Tuple:
     return tuple(bank.h_spec.shape) + (bank.fragm,)
@@ -310,6 +313,25 @@ class DeviceScheduler:
         all_jobs = jobs + [jobs[0]] * (padded - n)
         if mesh is not None:
             self._execute_sharded(mesh, jobs, all_jobs)
+            return
+        if n == 1 and padded == 1:
+            # Lone stream: run the plain engine step — no stack/unstack
+            # host work, no batch dim (same math as the vmapped path,
+            # bit-identity covered by test_scheduler).
+            job = jobs[0]
+            t0 = time.perf_counter()
+            state, y = _single_step(
+                job.bank, job.state, jnp.asarray(job.x),
+                jnp.int32(int(job.n_valid)),
+            )
+            jax.block_until_ready(y)
+            dt = time.perf_counter() - t0
+            self.steps += 1
+            self.total_step_s += dt
+            self.last_step_s = dt
+            self.last_batch = 1
+            self.latency.record(dt)
+            job.future.set_result((state, y))
             return
         states = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[j.state for j in all_jobs]
