@@ -45,6 +45,10 @@ def _quantize(y, bits: int):
 _jitted_quantize = jax.jit(_quantize, static_argnames=("bits",))
 
 
+def _is_quantized(y) -> bool:
+    return np.issubdtype(np.dtype(y.dtype), np.integer)
+
+
 def _mtime(path: str) -> float:
     try:
         return os.stat(path).st_mtime
@@ -184,7 +188,7 @@ class SoundProcessor:
         if fl.future is not None:
             state, y = fl.future.result()
             self._state = state
-        if fl.qbits is not None and not isinstance(y, np.ndarray):
+        if fl.qbits is not None and not _is_quantized(y):
             y = _jitted_quantize(y, fl.qbits)
         t0 = time.perf_counter()
         out = np.asarray(y)  # D2H
@@ -239,14 +243,14 @@ class SoundProcessor:
             if self.scheduler is not None:
                 fut = self.scheduler.submit(
                     self.bank, self._state, x, int(self._input_pos),
-                    stream=id(self),
+                    stream=id(self), quantize_bits=quantize_bits,
                 )
                 self._state, y = fut.result()
             else:
                 self._state, y = _jitted_chunk(
                     self.bank, self._state, x, np.int32(self._input_pos)
                 )
-            if quantize_bits is not None and not isinstance(y, np.ndarray):
+            if quantize_bits is not None and not _is_quantized(y):
                 y = _jitted_quantize(y, quantize_bits)
             t1 = time.perf_counter()
             self.dispatch_s += t1 - t0
@@ -296,14 +300,16 @@ class SoundProcessor:
                 if prev is not None and prev.future is not None:
                     # Chain the state (resolves once the scheduler
                     # thread finished chunk N-1) and enqueue its
-                    # quantize ahead of chunk N.
+                    # quantize ahead of chunk N (no-op when the
+                    # scheduler's lone-stream path already fused it).
                     state, y = prev.future.result()
                     self._state = state
-                    if prev.qbits is not None and not isinstance(y, np.ndarray):
+                    if prev.qbits is not None and not _is_quantized(y):
                         y = _jitted_quantize(y, prev.qbits)
                     prev.y, prev.future, prev.qbits = y, None, None
                 fut = self.scheduler.submit(
-                    self.bank, self._state, x, r, stream=id(self)
+                    self.bank, self._state, x, r, stream=id(self),
+                    quantize_bits=quantize_bits,
                 )
                 self._inflight = _Inflight(fut, None, r, quantize_bits, sink)
             else:

@@ -40,6 +40,18 @@ _shared_step = jax.jit(jax.vmap(chunk_step, in_axes=(None, 0, 0, 0)))
 _single_step = jax.jit(chunk_step)
 
 
+def _single_step_quantized(bank, state, x, n_valid, bits):
+    from folve_tpu.runtime.processor import _quantize
+
+    state, y = chunk_step(bank, state, x, n_valid)
+    return state, _quantize(y, bits)
+
+
+# One compile per bit depth (16/24); fusing the quantize saves a whole
+# dispatch round-trip per chunk on the blocking single-stream path.
+_single_step_q = jax.jit(_single_step_quantized, static_argnames=("bits",))
+
+
 def _signature(bank: FilterBank) -> Tuple:
     return tuple(bank.h_spec.shape) + (bank.fragm,)
 
@@ -52,13 +64,17 @@ def _bucket(n: int, max_batch: int) -> int:
 
 
 class _Job:
-    __slots__ = ("bank", "state", "x", "n_valid", "future")
+    __slots__ = ("bank", "state", "x", "n_valid", "quantize_bits", "future")
 
-    def __init__(self, bank, state, x, n_valid):
+    def __init__(self, bank, state, x, n_valid, quantize_bits=None):
         self.bank = bank
         self.state = state
         self.x = x
         self.n_valid = n_valid
+        # Best-effort: the lone-stream path folds PCM quantization into
+        # the step (one dispatch instead of two); batched paths ignore
+        # it and resolve with float audio (callers check y.dtype).
+        self.quantize_bits = quantize_bits
         self.future: Future = Future()
 
 
@@ -183,7 +199,8 @@ class DeviceScheduler:
             self._thread = None
 
     def submit(
-        self, bank: FilterBank, state: StreamState, x, n_valid, stream=None
+        self, bank: FilterBank, state: StreamState, x, n_valid, stream=None,
+        quantize_bits=None,
     ) -> Future:
         """Queue one stream's chunk; resolves to (new_state, y).
 
@@ -207,7 +224,7 @@ class DeviceScheduler:
                     tail=np.asarray(state.tail),
                     max_abs=np.asarray(state.max_abs),
                 )
-        job = _Job(bank, state, x, n_valid)
+        job = _Job(bank, state, x, n_valid, quantize_bits)
         sig = _signature(bank) + (np.asarray(x).shape[0],)
         with self._cv:
             now = time.monotonic()
@@ -320,10 +337,16 @@ class DeviceScheduler:
             # bit-identity covered by test_scheduler).
             job = jobs[0]
             t0 = time.perf_counter()
-            state, y = _single_step(
-                job.bank, job.state, jnp.asarray(job.x),
-                jnp.int32(int(job.n_valid)),
-            )
+            if job.quantize_bits is not None:
+                state, y = _single_step_q(
+                    job.bank, job.state, jnp.asarray(job.x),
+                    jnp.int32(int(job.n_valid)), bits=job.quantize_bits,
+                )
+            else:
+                state, y = _single_step(
+                    job.bank, job.state, jnp.asarray(job.x),
+                    jnp.int32(int(job.n_valid)),
+                )
             jax.block_until_ready(y)
             dt = time.perf_counter() - t0
             self.steps += 1
