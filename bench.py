@@ -156,12 +156,13 @@ def _engine_configs(out, rng):
     )
 
     # --- MAXSIZE: 1M-tap batched serving (zita-config.h:61's upper
-    # bound).  S=4 x T=16 — long-reverb mastering at scale.
+    # bound).  S=4 x T=32 — long-reverb mastering at scale (T=16 was
+    # dispatch-amortization-bound: 1.7k vs 2.7k, fresh-process sweep).
     sizem = 65536 if smoke else 1 << 20
     irm = rng.standard_normal((2, 2, sizem)).astype(np.float32) / np.sqrt(sizem)
     bankm = compile_filter_bank(irm)
     out["maxsize_1m_x"] = round(
-        run(bankm, 2 if smoke else 4, 4 if smoke else 16, 2 if smoke else 6)[0], 1
+        run(bankm, 2 if smoke else 4, 4 if smoke else 32, 2 if smoke else 6)[0], 1
     )
 
     # --- latency: single-block single-stream step, forced per call.
