@@ -155,6 +155,11 @@ class AuStreamEncoder:
         ann = b""
         for k, v in (metadata or {}).items():
             ann += f"{k}={v}\n".encode()
+        if not ann:
+            # The Sun spec's annotation field is minimum 4 bytes (the
+            # canonical minimal header is 28 bytes); strict readers
+            # reject offset 24.
+            ann = b"\0" * 4
         if len(ann) % 8:
             ann += b"\0" * (8 - len(ann) % 8)
         size = self.total_frames * self.channels * self.bits // 8

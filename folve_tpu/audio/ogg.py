@@ -83,7 +83,8 @@ class OggSource:
         self._lib = lib
         with open(path, "rb") as f:
             data = f.read()
-        self._data = data  # the decoder copies, but keep for safety
+        # folve_vorbis_open copies the bytes; do not retain them here
+        # (a second copy per open stream adds up on large files).
         self._h = lib.folve_vorbis_open(data, len(data))
         if not self._h:
             raise OggError("cannot open ogg stream")

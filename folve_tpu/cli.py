@@ -244,9 +244,11 @@ def cmd_convolve(args) -> int:
         write_flac(out, y, info.rate, bits=bits)
     dt = time.time() - t0
     audio_sec = n / info.rate
+    ratio = audio_sec / dt if dt > 0 else 0.0
+    speed = f"{ratio:.1f}" if ratio < 10 else f"{ratio:.0f}"
     print(
         f"convolved {audio_sec:.1f}s of audio in {dt:.2f}s "
-        f"({audio_sec / dt:.0f}x realtime) -> {out}"
+        f"({speed}x realtime) -> {out}"
     )
     return 0
 

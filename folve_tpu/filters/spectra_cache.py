@@ -63,8 +63,11 @@ def _load(path: str):
     with np.load(path, allow_pickle=False) as z:
         if int(z["version"]) != _VERSION:
             return None
+        # NpzFile re-reads the zip member on every subscript; decompress
+        # the (large) spectra exactly once for both fields.
+        spec = z["h_spec"]
         bank = FilterBank(
-            h_spec=jnp.asarray(z["h_spec"]),
+            h_spec=jnp.asarray(spec),
             fragm=int(z["fragm"]),
             size=int(z["size"]),
         )
@@ -73,7 +76,7 @@ def _load(path: str):
             bank=bank,
             fsamp=int(z["fsamp"]),
             warnings=[str(w) for w in z["warnings"]],
-            host_spec=z["h_spec"],
+            host_spec=spec,
         )
 
 

@@ -260,8 +260,22 @@ def daemonize() -> None:
     global _daemon_status_fd
     rfd, wfd = os.pipe()
     if os.fork() > 0:
-        # Original invoker: wait for the daemon's one-byte verdict.
+        # Original invoker: wait for the daemon's one-byte verdict, but
+        # bounded — if device init wedges before mount_and_serve() ever
+        # reports (e.g. a stalled accelerator transport), detach like
+        # the pre-pipe behavior did instead of hanging the invoker.
         os.close(wfd)
+        import select
+
+        timeout = float(os.environ.get("FOLVE_DAEMON_WAIT_SECS", "120"))
+        ready, _, _ = select.select([rfd], [], [], timeout)
+        if not ready:
+            os.write(
+                2,
+                b"folve-tpu: daemon still starting after %ds; "
+                b"detaching (check syslog)\n" % int(timeout),
+            )
+            os._exit(0)
         status = os.read(rfd, 1)  # EOF (daemon died early) == failure
         os._exit(0 if status == b"\x00" else 1)
     os.close(rfd)

@@ -200,12 +200,10 @@ class SlotServer:
     def reset_slot(self, row: int) -> None:
         """Zero one slot's convolution state (a new stream claims it).
         Host-side scatter of a zero row; cheap at slot-churn rates."""
-        z = jnp.zeros_like
         self._hist_re = self._hist_re.at[row].set(0.0)
         self._hist_im = self._hist_im.at[row].set(0.0)
         self._tail = self._tail.at[row].set(0.0)
         self._max = self._max.at[row].set(0.0)
-        del z
 
     def tick(self, x_blocks: Dict[int, np.ndarray],
              n_valid: Optional[Dict[int, int]] = None) -> Dict[int, np.ndarray]:

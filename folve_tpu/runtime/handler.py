@@ -284,25 +284,17 @@ class ConvolveFileHandler(FileHandler):
         )
 
         self._buffer = ConversionBuffer(self)
-        _pcm_encoders = {}
+        encoder_cls = None
         if in_container == Container.AIFF:
-            from folve_tpu.audio.aiff import AiffStreamEncoder
-
-            _pcm_encoders[Container.AIFF] = AiffStreamEncoder
+            from folve_tpu.audio.aiff import AiffStreamEncoder as encoder_cls
         elif in_container == Container.AU:
-            from folve_tpu.audio.au import AuStreamEncoder
-
-            _pcm_encoders[Container.AU] = AuStreamEncoder
+            from folve_tpu.audio.au import AuStreamEncoder as encoder_cls
         elif in_container == Container.W64:
-            from folve_tpu.audio.w64 import W64StreamEncoder
-
-            _pcm_encoders[Container.W64] = W64StreamEncoder
+            from folve_tpu.audio.w64 import W64StreamEncoder as encoder_cls
         elif in_container == Container.CAF:
-            from folve_tpu.audio.caf import CafStreamEncoder
-
-            _pcm_encoders[Container.CAF] = CafStreamEncoder
-        if in_container in _pcm_encoders:
-            self._encoder = _pcm_encoders[in_container](
+            from folve_tpu.audio.caf import CafStreamEncoder as encoder_cls
+        if encoder_cls is not None:
+            self._encoder = encoder_cls(
                 rate=self._in_info.rate,
                 channels=processor.output_channels,
                 bits=out_bits,

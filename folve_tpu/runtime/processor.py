@@ -131,8 +131,11 @@ class SoundProcessor:
         # its future without consuming the pipeline.
         st = self._state
         fl = self._inflight
-        if fl is not None and fl.future is not None:
-            st = fl.future.result()[0]
+        # Snapshot the future once: the handler thread may null fl.future
+        # concurrently (pump_chunk / _resolve_inflight_state).
+        fut = fl.future if fl is not None else None
+        if fut is not None:
+            st = fut.result()[0]
         dev = float(jax.device_get(st.max_abs))
         return max(self._max_out, dev)
 

@@ -11,6 +11,7 @@
 // reference does with SFC_UPDATE_HEADER_NOW, convolve-file-handler.cc:281-317).
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -46,7 +47,9 @@ class FramePool {
     return *pool;
   }
 
-  // 0 = auto.  Takes effect at next Run(); shrinking joins idle workers.
+  // 0 = auto.  Takes effect at next Run(); after a shrink, surplus
+  // workers stay alive but sit out batches (participation is capped
+  // per generation below), so the effective width really drops.
   void SetThreads(int n) {
     std::lock_guard<std::mutex> lock(config_mutex_);
     configured_ = n;
@@ -73,6 +76,8 @@ class FramePool {
       count_ = count;
       next_ = 0;
       done_ = 0;
+      active_ = std::min<size_t>((size_t)want, count) - 1;
+      claimed_ = 0;
       gen = ++generation_;
     }
     cv_.notify_all();
@@ -125,13 +130,19 @@ class FramePool {
     uint64_t seen = 0;
     for (;;) {
       uint64_t gen;
+      bool participate;
       {
         std::unique_lock<std::mutex> lock(mutex_);
         cv_.wait(lock, [&] { return stop_ || generation_ != seen; });
         if (stop_) return;
         seen = gen = generation_;
+        // Cap the batch's width at the currently configured thread
+        // count even when more workers exist from an earlier, larger
+        // configuration.
+        participate = claimed_ < active_;
+        if (participate) ++claimed_;
       }
-      Drain(gen);
+      if (participate) Drain(gen);
     }
   }
 
@@ -147,37 +158,39 @@ class FramePool {
   size_t count_ = 0;                                   // guarded by mutex_
   size_t next_ = 0;                                    // guarded by mutex_
   size_t done_ = 0;                                    // guarded by mutex_
+  size_t active_ = 0;                                  // guarded by mutex_
+  size_t claimed_ = 0;                                 // guarded by mutex_
   uint64_t generation_ = 0;                            // guarded by mutex_
   bool stop_ = false;
 };
 
 uint8_t Crc8(const uint8_t* data, size_t len) {
-  static uint8_t table[256];
-  static bool init = false;
-  if (!init) {
+  // Magic-static init: FramePool workers call this concurrently, so the
+  // table build needs the C++11 thread-safe local-static guarantee.
+  static const std::array<uint8_t, 256>& table = *[] {
+    static std::array<uint8_t, 256> t;
     for (int i = 0; i < 256; i++) {
       uint8_t c = (uint8_t)i;
       for (int k = 0; k < 8; k++) c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
-      table[i] = c;
+      t[i] = c;
     }
-    init = true;
-  }
+    return &t;
+  }();
   uint8_t crc = 0;
   for (size_t i = 0; i < len; i++) crc = table[crc ^ data[i]];
   return crc;
 }
 
 uint16_t Crc16(const uint8_t* data, size_t len) {
-  static uint16_t table[256];
-  static bool init = false;
-  if (!init) {
+  static const std::array<uint16_t, 256>& table = *[] {
+    static std::array<uint16_t, 256> t;
     for (int i = 0; i < 256; i++) {
       uint16_t c = (uint16_t)(i << 8);
       for (int k = 0; k < 8; k++) c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
-      table[i] = c;
+      t[i] = c;
     }
-    init = true;
-  }
+    return &t;
+  }();
   uint16_t crc = 0;
   for (size_t i = 0; i < len; i++) crc = (uint16_t)((crc << 8) ^ table[(crc >> 8) ^ data[i]]);
   return crc;

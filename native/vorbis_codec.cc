@@ -13,6 +13,7 @@
 // a NULL handle / negative return through the C ABI (fuzz-safe).
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -52,17 +53,18 @@ static float float32_unpack(uint32_t x) {
 
 static uint32_t OggCrc(const uint8_t* data, size_t len) {
   // CRC-32, polynomial 0x04c11db7, no reflection, init/xorout 0.
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+  // Magic-static init: concurrent opens from FUSE handler threads may
+  // race the first call, so rely on the C++11 local-static guarantee.
+  static const std::array<uint32_t, 256>& table = *[] {
+    static std::array<uint32_t, 256> t;
     for (uint32_t i = 0; i < 256; i++) {
       uint32_t r = i << 24;
       for (int j = 0; j < 8; j++)
         r = (r << 1) ^ ((r & 0x80000000u) ? 0x04c11db7u : 0);
-      table[i] = r;
+      t[i] = r;
     }
-    init = true;
-  }
+    return &t;
+  }();
   uint32_t crc = 0;
   for (size_t i = 0; i < len; i++)
     crc = (crc << 8) ^ table[((crc >> 24) ^ data[i]) & 0xff];
