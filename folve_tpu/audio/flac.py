@@ -61,6 +61,7 @@ def _get_lib():
         lib.folve_flac_enc_free.argtypes = [ctypes.c_void_p]
         lib.folve_flac_enc_set_threads.argtypes = [ctypes.c_int]
         lib.folve_flac_enc_get_threads.restype = ctypes.c_int
+        lib.folve_flac_enc_last_width.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -75,6 +76,12 @@ def set_encoder_threads(n: int) -> None:
 
 def get_encoder_threads() -> int:
     return int(_get_lib().folve_flac_enc_get_threads())
+
+
+def last_parallel_width() -> int:
+    """Test probe: distinct threads that encoded during the last pooled
+    batch (0 if the last write ran serially)."""
+    return int(_get_lib().folve_flac_enc_last_width())
 
 
 def _fetch(lib, nbytes: int) -> bytes:

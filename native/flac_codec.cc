@@ -62,6 +62,13 @@ class FramePool {
     return (int)std::min(8u, hw ? hw : 1u);
   }
 
+  // Number of distinct threads that encoded during the last completed
+  // Run() — a test probe for the SetThreads width cap.
+  int LastWidth() {
+    std::lock_guard<std::mutex> lock(mutex_);
+    return (int)width_;
+  }
+
   // Run tasks[0..count); returns false if pooling is pointless (one
   // worker) and the caller should run serially.
   bool Run(const std::function<void(size_t)>& task, size_t count) {
@@ -78,6 +85,7 @@ class FramePool {
       done_ = 0;
       active_ = std::min<size_t>((size_t)want, count) - 1;
       claimed_ = 0;
+      width_ = 0;
       gen = ++generation_;
     }
     cv_.notify_all();
@@ -108,6 +116,7 @@ class FramePool {
   // cannot return while any handed-out index is still executing
   // (done_ < count_ keeps it waiting).
   void Drain(uint64_t gen) {
+    bool counted = false;
     for (;;) {
       const std::function<void(size_t)>* task;
       size_t i;
@@ -116,6 +125,10 @@ class FramePool {
         if (generation_ != gen || task_ == nullptr || next_ >= count_) return;
         i = next_++;
         task = task_;
+        if (!counted) {
+          counted = true;
+          ++width_;  // distinct threads that actually encoded this batch
+        }
       }
       (*task)(i);
       {
@@ -160,6 +173,7 @@ class FramePool {
   size_t done_ = 0;                                    // guarded by mutex_
   size_t active_ = 0;                                  // guarded by mutex_
   size_t claimed_ = 0;                                 // guarded by mutex_
+  size_t width_ = 0;                                   // guarded by mutex_
   uint64_t generation_ = 0;                            // guarded by mutex_
   bool stop_ = false;
 };
@@ -1237,6 +1251,12 @@ void folve_flac_enc_set_threads(int n) {
 
 int folve_flac_enc_get_threads(void) {
   return folve::FramePool::Instance().EffectiveThreads();
+}
+
+// Test probe: distinct threads that encoded during the last pooled
+// batch (0 if the last Write ran serially).
+int folve_flac_enc_last_width(void) {
+  return folve::FramePool::Instance().LastWidth();
 }
 
 }  // extern "C"

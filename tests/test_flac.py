@@ -293,6 +293,22 @@ class TestParallelEncode:
             t.join()
         assert got == refs
 
+    def test_shrunk_thread_cap_limits_batch_width(self, rng):
+        """After SetThreads shrinks the pool, surplus workers from an
+        earlier larger configuration must sit out the batch — the
+        effective encode width really drops."""
+        from folve_tpu.audio.flac import last_parallel_width, set_encoder_threads
+
+        x = np.repeat(self._material(rng)[1], 8, axis=0)  # ~57 frames
+        set_encoder_threads(8)
+        wide = encode_to_bytes(x, 44100)
+        grown = last_parallel_width()
+        assert 2 <= grown <= 8
+        set_encoder_threads(2)
+        narrow = encode_to_bytes(x, 44100)
+        assert 1 <= last_parallel_width() <= 2
+        assert narrow == wide  # width never changes bytes
+
 
 class TestFuzz:
     """The native decoder must never crash on corrupt input."""
