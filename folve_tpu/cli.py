@@ -34,8 +34,9 @@ def _add_common_fs_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--flac-block-size", type=int, default=4096, help="FLAC encoder block size")
     p.add_argument(
         "--flac-threads", type=int, default=0,
-        help="parallel FLAC frame-encode workers (0 = auto: cores capped "
-        "at 8, 1 = serial; output is identical at any setting)",
+        help="parallel FLAC codec workers — frame encode AND bulk decode "
+        "(0 = auto: cores capped at 8, 1 = serial; output is identical "
+        "at any setting)",
     )
     p.add_argument(
         "--workaround-flac-header", action="store_true",
@@ -196,6 +197,10 @@ def cmd_convolve(args) -> int:
 
     import jax
 
+    if getattr(args, "flac_threads", 0):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        set_encoder_threads(args.flac_threads)
     t0 = time.time()
     data, info = read_audio(args.input)
     config_dir = os.path.join(args.config_dir, args.initial_filter)
@@ -360,6 +365,10 @@ def main(argv=None) -> int:
     p.add_argument("-C", "--config-dir", required=True)
     p.add_argument("-i", "--initial-filter", default="")
     p.add_argument("--chunk-blocks", type=int, default=32)
+    p.add_argument(
+        "--flac-threads", type=int, default=0,
+        help="parallel FLAC codec workers for decode/encode (0 = auto)",
+    )
     p.add_argument("input")
     p.add_argument("output")
     p.set_defaults(func=cmd_convolve)

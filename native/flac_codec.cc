@@ -296,6 +296,14 @@ class Decoder {
         continue;
       }
       if (eof_) break;
+      // Multi-frame requests (the runtime's bulk pump asks for 8 engine
+      // blocks at once) fan whole FLAC frames across the codec pool and
+      // land straight in `out`; 0 means go frame-at-a-time.
+      int64_t batched = ReadParallelBatch(out + produced * ch, n - produced);
+      if (batched > 0) {
+        produced += batched;
+        continue;
+      }
       if (!DecodeFrame()) {
         eof_ = true;
       }
@@ -310,7 +318,7 @@ class Decoder {
   }
 
   // Coded number: UTF-8-like, up to 36 bits over 7 bytes.
-  bool ReadCodedNumber(BitReader& br, uint64_t* out) {
+  static bool ReadCodedNumber(BitReader& br, uint64_t* out) {
     uint32_t b0 = br.ReadBits(8);
     if (!br.ok()) return false;
     int extra;
@@ -348,7 +356,7 @@ class Decoder {
     return true;
   }
 
-  bool DecodeSubframe(BitReader& br, uint32_t bps, uint32_t n, int32_t* dst) {
+  static bool DecodeSubframe(BitReader& br, uint32_t bps, uint32_t n, int32_t* dst) {
     if (br.ReadBits(1) != 0) return false;  // mandatory zero pad bit
     uint32_t type = br.ReadBits(6);
     uint32_t wasted = 0;
@@ -395,7 +403,7 @@ class Decoder {
   }
 
   // Residual into dst[order..n)
-  bool DecodeResidual(BitReader& br, uint32_t n, uint32_t order, int32_t* dst) {
+  static bool DecodeResidual(BitReader& br, uint32_t n, uint32_t order, int32_t* dst) {
     uint32_t method = br.ReadBits(2);
     if (method > 1) return false;
     uint32_t pbits = method == 0 ? 4 : 5;
@@ -445,85 +453,111 @@ class Decoder {
     }
   }
 
-  bool DecodeFrame() {
-  retry:
-    // Find the next frame sync from pos_.
-    size_t p = pos_;
-    while (p + 2 <= buf_.size() &&
-           !(buf_[p] == 0xFF && (buf_[p + 1] & 0xFC) == 0xF8)) {
-      p++;
-    }
-    // Smallest legal frame (mono constant subframe, 1-byte coded number)
-    // is ~10 bytes; a 16-byte guard here used to reject valid tiny final
-    // frames (e.g. a 1-frame 16-bit stereo stream).  Truncated headers
-    // below this bound fail their CRC via the reader's error flag and
-    // resync until the scan runs out.
+  // Parsed + validated frame header (sync, CRC-8, field sanity).
+  struct FrameHeader {
+    size_t start = 0;        // byte offset of the sync code
+    size_t header_len = 0;   // bytes incl. the CRC-8
+    uint32_t blocksize = 0;
+    uint32_t bps = 0;        // effective bits/sample for this frame
+    bool var_block = false;
+    uint64_t coded_num = 0;  // frame number (fixed) or sample number (var)
+    bool left_side = false, right_side = false, mid_side = false;
+  };
+
+  // Parse a frame header at EXACTLY position p.  True only if the sync
+  // code, reserved bits, field codes and header CRC-8 all check out
+  // against STREAMINFO.  Const: used from worker threads.
+  bool ParseFrameHeader(size_t p, FrameHeader* h) const {
     if (p + 9 > buf_.size()) return false;
+    if (!(buf_[p] == 0xFF && (buf_[p + 1] & 0xFC) == 0xF8)) return false;
     BitReader br(buf_.data(), buf_.size());
     br.SeekByte(p);
-    size_t header_start = p;
     br.ReadBits(14);  // sync
     br.ReadBits(1);   // reserved
-    uint32_t var_block = br.ReadBits(1);
+    h->var_block = br.ReadBits(1) != 0;
     uint32_t bs_code = br.ReadBits(4);
     uint32_t sr_code = br.ReadBits(4);
     uint32_t ch_code = br.ReadBits(4);
     uint32_t ss_code = br.ReadBits(3);
     br.ReadBits(1);  // reserved
-    uint64_t coded_num = 0;
-    if (!ReadCodedNumber(br, &coded_num)) return false;
-    (void)var_block;
-    uint32_t blocksize = 0;
+    if (!ReadCodedNumber(br, &h->coded_num)) return false;
     if (bs_code == 0) return false;
     int bst = kBlockSizeTable[bs_code];
     if (bst == -1)
-      blocksize = br.ReadBits(8) + 1;
+      h->blocksize = br.ReadBits(8) + 1;
     else if (bst == -2)
-      blocksize = br.ReadBits(16) + 1;
+      h->blocksize = br.ReadBits(16) + 1;
     else
-      blocksize = (uint32_t)bst;
+      h->blocksize = (uint32_t)bst;
     if (sr_code == 12)
       br.ReadBits(8);
     else if (sr_code == 13 || sr_code == 14)
       br.ReadBits(16);
     else if (sr_code == 15)
       return false;
-    // CRC-8 over the header bytes.
     size_t crc_pos = br.byte_pos();
     uint8_t hdr_crc = (uint8_t)br.ReadBits(8);
-    if (Crc8(buf_.data() + header_start, crc_pos - header_start) != hdr_crc) {
-      // Bad sync/emulated header — resync one byte later.
-      pos_ = header_start + 1;
-      goto retry;
-    }
+    if (!br.ok()) return false;
+    if (Crc8(buf_.data() + p, crc_pos - p) != hdr_crc) return false;
 
-    uint32_t bps = info_.bits_per_sample;
+    h->bps = info_.bits_per_sample;
     if (ss_code != 0) {
       int t = kSampleSizeTable[ss_code];
       if (t <= 0) return false;
-      bps = (uint32_t)t;
+      h->bps = (uint32_t)t;
     }
     uint32_t nch = info_.channels;
-    bool left_side = false, right_side = false, mid_side = false;
+    h->left_side = h->right_side = h->mid_side = false;
     if (ch_code <= 7) {
       if (ch_code + 1 != nch) return false;
     } else if (ch_code == 8) {
-      left_side = true;
+      h->left_side = true;
       if (nch != 2) return false;
     } else if (ch_code == 9) {
-      right_side = true;
+      h->right_side = true;
       if (nch != 2) return false;
     } else if (ch_code == 10) {
-      mid_side = true;
+      h->mid_side = true;
       if (nch != 2) return false;
     } else {
       return false;
     }
+    h->start = p;
+    h->header_len = crc_pos + 1 - p;
+    return true;
+  }
 
+  // Scan forward from p for the next parseable frame header.  With
+  // have_expect, additionally require the coded number to equal the
+  // chained expectation — this is what lets the parallel batch scanner
+  // find frame BOUNDARIES without decoding the bodies.
+  bool FindFrameHeader(size_t p, bool have_expect, uint64_t expect,
+                       FrameHeader* h) const {
+    while (p + 2 <= buf_.size()) {
+      if (buf_[p] == 0xFF && (buf_[p + 1] & 0xFC) == 0xF8 &&
+          ParseFrameHeader(p, h) &&
+          (!have_expect || h->coded_num == expect)) {
+        return true;
+      }
+      p++;
+    }
+    return false;
+  }
+
+  // Decode the body of a parsed frame into dst (interleaved, blocksize *
+  // channels int32) and report the byte just past the frame CRC-16.
+  // Fails (without touching members) on any decode error or CRC-16
+  // mismatch.  Const: runs on FramePool workers in the parallel path.
+  bool DecodeFrameBody(const FrameHeader& h, int32_t* dst, size_t* end) const {
+    const uint32_t nch = info_.channels;
+    const uint32_t blocksize = h.blocksize;
+    BitReader br(buf_.data(), buf_.size());
+    br.SeekByte(h.start + h.header_len);
     std::vector<std::vector<int32_t>> chan(nch, std::vector<int32_t>(blocksize));
     for (uint32_t c = 0; c < nch; c++) {
-      uint32_t sub_bps = bps;
-      if ((left_side && c == 1) || (right_side && c == 0) || (mid_side && c == 1))
+      uint32_t sub_bps = h.bps;
+      if ((h.left_side && c == 1) || (h.right_side && c == 0) ||
+          (h.mid_side && c == 1))
         sub_bps += 1;  // side channel carries one extra bit
       if (!DecodeSubframe(br, sub_bps, blocksize, chan[c].data())) return false;
     }
@@ -531,19 +565,15 @@ class Decoder {
     size_t frame_end = br.byte_pos();
     uint16_t crc = (uint16_t)br.ReadBits(16);
     if (!br.ok()) return false;
-    if (Crc16(buf_.data() + header_start, frame_end - header_start) != crc) {
-      // Corrupt frame; skip past this header and resync.
-      pos_ = header_start + 1;
-      goto retry;
-    }
-    pos_ = br.byte_pos();
+    if (Crc16(buf_.data() + h.start, frame_end - h.start) != crc) return false;
+    *end = br.byte_pos();
 
     // Undo stereo decorrelation.
-    if (left_side) {
+    if (h.left_side) {
       for (uint32_t i = 0; i < blocksize; i++) chan[1][i] = chan[0][i] - chan[1][i];
-    } else if (right_side) {
+    } else if (h.right_side) {
       for (uint32_t i = 0; i < blocksize; i++) chan[0][i] = chan[1][i] + chan[0][i];
-    } else if (mid_side) {
+    } else if (h.mid_side) {
       for (uint32_t i = 0; i < blocksize; i++) {
         int32_t mid = chan[0][i];
         int32_t side = chan[1][i];
@@ -552,13 +582,82 @@ class Decoder {
         chan[1][i] = (mid - side) >> 1;
       }
     }
-
-    pending_.resize((size_t)blocksize * nch);
-    pending_off_ = 0;
     for (uint32_t i = 0; i < blocksize; i++)
-      for (uint32_t c = 0; c < nch; c++) pending_[(size_t)i * nch + c] = chan[c][i];
+      for (uint32_t c = 0; c < nch; c++) dst[(size_t)i * nch + c] = chan[c][i];
     return true;
   }
+
+  bool DecodeFrame() {
+    size_t p = pos_;
+    FrameHeader h;
+    for (;;) {
+      if (!FindFrameHeader(p, false, 0, &h)) return false;
+      pending_.assign((size_t)h.blocksize * info_.channels, 0);
+      pending_off_ = 0;
+      size_t end = 0;
+      if (DecodeFrameBody(h, pending_.data(), &end)) {
+        pos_ = end;
+        return true;
+      }
+      // Corrupt frame (or emulated sync); resync one byte later —
+      // exactly the serial decoder's historical behavior.
+      p = h.start + 1;
+      pending_.clear();
+    }
+  }
+
+  // Decode up to `want` frames' worth of samples starting at pos_ by
+  // fanning independent FLAC frames across the process FramePool,
+  // writing straight into the caller's buffer.  The frame list comes
+  // from a cheap header scan (sync + CRC-8 + chained frame numbers);
+  // every body decode then validates its CRC-16 and the chain is
+  // checked to be gapless (each frame must END exactly where the next
+  // header was found).  Any anomaly discards the whole batch and lets
+  // the serial path redo it — output is always identical to serial
+  // decode.  Returns samples produced (0 = caller should go serial).
+  int64_t ReadParallelBatch(int32_t* out, int64_t want) {
+    if (FramePool::Instance().EffectiveThreads() <= 1) return 0;
+    const uint32_t ch = info_.channels;
+    std::vector<FrameHeader> hs;
+    std::vector<int64_t> offs;  // cumulative samples before frame i
+    int64_t total = 0;
+    uint64_t expect = 0;
+    bool have_expect = false;
+    size_t p = pos_;
+    while ((int64_t)hs.size() < kMaxParallelFrames) {
+      FrameHeader h;
+      if (!FindFrameHeader(p, have_expect, expect, &h)) break;
+      if (total + (int64_t)h.blocksize > want) break;
+      if (!hs.empty() && h.start == hs.back().start) break;  // no progress
+      hs.push_back(h);
+      offs.push_back(total);
+      total += h.blocksize;
+      p = h.start + h.header_len;
+      expect = h.var_block ? h.coded_num + h.blocksize : h.coded_num + 1;
+      have_expect = true;
+    }
+    if (hs.size() < 2) return 0;
+
+    const size_t k = hs.size();
+    std::vector<size_t> ends(k, 0);
+    std::vector<uint8_t> ok(k, 0);
+    bool pooled = FramePool::Instance().Run(
+        [&](size_t i) {
+          ok[i] = DecodeFrameBody(hs[i], out + offs[i] * ch, &ends[i]) ? 1 : 0;
+        },
+        k);
+    if (!pooled) return 0;  // pool shrank between the check and Run
+    for (size_t i = 0; i < k; i++) {
+      if (!ok[i]) return 0;  // serial path redoes the batch
+      // Gapless chain: a frame that doesn't end exactly at the next
+      // header means the scan hit an emulated sync inside a body.
+      if (i + 1 < k && ends[i] != hs[i + 1].start) return 0;
+    }
+    pos_ = ends[k - 1];
+    return total;
+  }
+
+  static constexpr int kMaxParallelFrames = 64;
 
   std::vector<uint8_t> buf_;
   StreamInfo info_;

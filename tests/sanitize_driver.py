@@ -105,6 +105,46 @@ def check_flac() -> None:
     for t in threads:
         t.join()
     assert got == refs, "parallel encode diverged from serial"
+
+    # Parallel frame DECODE under the sanitizer: multi-frame reads fan
+    # across the pool; several decoders on several Python threads; the
+    # result must equal the serial decode, for clean AND corrupt input.
+    def dec_all(blob):
+        got, _ = read_flac(blob)
+        return got.tobytes()
+
+    set_encoder_threads(1)
+    dec_refs = [dec_all(b) for b in refs]
+    set_encoder_threads(4)
+    dec_got = [None] * len(refs)
+
+    def dec_worker(i):
+        dec_got[i] = dec_all(refs[i])
+
+    threads = [
+        threading.Thread(target=dec_worker, args=(i,)) for i in range(len(refs))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert dec_got == dec_refs, "parallel decode diverged from serial"
+    rng3 = np.random.default_rng(23)
+    for _ in range(60):
+        fuzz = bytearray(refs[0])
+        for _ in range(rng3.integers(1, 6)):
+            fuzz[rng3.integers(0, len(fuzz))] ^= 1 << rng3.integers(0, 8)
+        set_encoder_threads(1)
+        try:
+            a = dec_all(bytes(fuzz))
+        except Exception:
+            a = None
+        set_encoder_threads(4)
+        try:
+            b = dec_all(bytes(fuzz))
+        except Exception:
+            b = None
+        assert a == b, "corrupt-stream decode diverged serial vs parallel"
     set_encoder_threads(0)
     print("flac: ok")
 

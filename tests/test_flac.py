@@ -10,6 +10,7 @@ No third-party FLAC tool exists in this environment, so validation is:
 """
 
 import hashlib
+import os
 import struct
 
 import numpy as np
@@ -351,3 +352,108 @@ class TestFuzz:
                 dec.close()
             except FlacError:
                 pass
+
+
+class TestParallelDecode:
+    """Multi-frame reads fan independent FLAC frames across the codec
+    pool (header scan finds boundaries, every body validates its CRC-16,
+    the chain must be gapless).  Output must be IDENTICAL to serial
+    decode in every case — including corrupt streams, where the batch is
+    discarded and the serial resync logic takes over."""
+
+    @pytest.fixture(autouse=True)
+    def _restore_threads(self):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        yield
+        set_encoder_threads(0)
+
+    def _decode_all(self, blob, chunk=1 << 20):
+        dec = FlacDecoder(blob)
+        parts = []
+        while True:
+            got = dec.read_int(chunk)
+            if got.shape[0] == 0:
+                break
+            parts.append(got)
+        dec.close()
+        if not parts:
+            return np.empty((0, 2), np.int32)
+        return np.concatenate(parts)
+
+    def _serial_vs_parallel(self, blob, chunk=1 << 20):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        set_encoder_threads(1)
+        serial = self._decode_all(blob, chunk)
+        set_encoder_threads(4)
+        parallel = self._decode_all(blob, chunk)
+        np.testing.assert_array_equal(serial, parallel)
+        return serial
+
+    @pytest.mark.parametrize("bits", [8, 16, 24])
+    def test_bit_identical_to_serial(self, rng, bits):
+        lim = 1 << (bits - 1)
+        x = rng.integers(-lim, lim, (4096 * 6 + 1234, 2), dtype=np.int64).astype(
+            np.int32
+        )
+        x[3000:9000] //= 64  # tonal-ish region -> varied predictors
+        blob = encode_to_bytes(x, 44100, bits=bits)
+        got = self._serial_vs_parallel(blob)
+        np.testing.assert_array_equal(got, x)
+
+    def test_odd_chunked_reads(self, rng):
+        x = rng.integers(-30000, 30000, (4096 * 5 + 77, 2), dtype=np.int64).astype(
+            np.int32
+        )
+        blob = encode_to_bytes(x, 44100)
+        # chunk sizes around/below/above one frame, incl. prime sizes
+        for chunk in (1, 1000, 4095, 4096, 4097, 9001, 40961):
+            got = self._serial_vs_parallel(blob, chunk)
+            np.testing.assert_array_equal(got, x)
+
+    def test_third_party_corpus_parallel(self):
+        """The vendored libFLAC/libsndfile corpus (all stereo modes,
+        wasted bits, RICE2, odd tails) through the parallel path."""
+        import json
+
+        corpus = os.path.join(os.path.dirname(__file__), "data", "flac_corpus")
+        with open(os.path.join(corpus, "manifest.json")) as f:
+            manifest = json.load(f)
+        for name in manifest:
+            blob = open(os.path.join(corpus, name), "rb").read()
+            self._serial_vs_parallel(blob)
+
+    def test_corrupt_streams_match_serial(self, rng):
+        """Bitflips anywhere must yield byte-identical results to the
+        serial decoder (the parallel batch discards itself on any
+        anomaly) — and never crash."""
+        x = rng.integers(-20000, 20000, (4096 * 4 + 513, 2), dtype=np.int64).astype(
+            np.int32
+        )
+        blob = bytearray(encode_to_bytes(x, 44100))
+        r = np.random.default_rng(99)
+        for _ in range(40):
+            fuzz = bytearray(blob)
+            for _ in range(int(r.integers(1, 6))):
+                fuzz[int(r.integers(0, len(fuzz)))] ^= 1 << int(r.integers(0, 8))
+            try:
+                self._serial_vs_parallel(bytes(fuzz))
+            except FlacError:
+                pass  # both reject at open; fine
+
+    def test_rewind_then_parallel_again(self, rng):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        x = rng.integers(-20000, 20000, (4096 * 3 + 11, 2), dtype=np.int64).astype(
+            np.int32
+        )
+        blob = encode_to_bytes(x, 44100)
+        set_encoder_threads(4)
+        dec = FlacDecoder(blob)
+        first = dec.read_int(10 ** 9)
+        dec.rewind()
+        second = dec.read_int(10 ** 9)
+        dec.close()
+        np.testing.assert_array_equal(first, x)
+        np.testing.assert_array_equal(second, x)
