@@ -23,6 +23,8 @@
 #include <string>
 #include <vector>
 
+#include "frame_pool.h"
+
 namespace folve_vorbis {
 
 struct ParseError : std::runtime_error {
@@ -816,7 +818,7 @@ class Decoder {
         done += take;
         continue;
       }
-      if (!DecodeNextPacket()) break;
+      if (!DecodeBatch(nframes - done)) break;
     }
     CompactOutput();
     return done;
@@ -1042,12 +1044,12 @@ class Decoder {
   // Decodes one channel's floor; returns false if the floor is unused
   // (channel silent this frame).  Fills curve[0..n2) with linear gains.
   bool DecodeFloor(const FloorConfig& fc, BitReader* br, uint32_t n2,
-                   float* curve) {
+                   float* curve) const {
     if (fc.type == 1) return DecodeFloor1(fc.f1, br, n2, curve);
     return DecodeFloor0(fc.f0, br, n2, curve);
   }
 
-  bool DecodeFloor1(const Floor1& f, BitReader* br, uint32_t n2, float* curve) {
+  bool DecodeFloor1(const Floor1& f, BitReader* br, uint32_t n2, float* curve) const {
     if (!br->Read(1) || br->eof()) return false;
     static const uint32_t kRange[4] = {256, 128, 86, 64};
     uint32_t range = kRange[f.multiplier - 1];
@@ -1173,7 +1175,7 @@ class Decoder {
     }
   }
 
-  bool DecodeFloor0(const Floor0& f, BitReader* br, uint32_t n2, float* curve) {
+  bool DecodeFloor0(const Floor0& f, BitReader* br, uint32_t n2, float* curve) const {
     uint32_t amplitude = br->Read(f.amplitude_bits);
     if (br->eof() || amplitude == 0) return false;
     uint32_t booknum = br->Read(ilog((uint32_t)f.books.size()));
@@ -1249,14 +1251,15 @@ class Decoder {
   // of them participate.
   void DecodeResidue(const Residue& r, BitReader* br,
                      std::vector<float*>& vectors,
-                     const std::vector<bool>& do_not_decode, uint32_t n2) {
+                     const std::vector<bool>& do_not_decode, uint32_t n2,
+                     std::vector<float>& interleave) const {
     if (r.type == 2) {
       bool all_silent = true;
       for (bool d : do_not_decode) all_silent &= d;
       if (all_silent) return;
       uint32_t ch = (uint32_t)vectors.size();
-      interleave_buf_.assign((size_t)n2 * ch, 0.0f);
-      float* v = interleave_buf_.data();
+      interleave.assign((size_t)n2 * ch, 0.0f);
+      float* v = interleave.data();
       std::vector<float*> one{v};
       std::vector<bool> dnd{false};
       DecodeResidueInner(r, br, one, dnd, n2 * ch, /*format1=*/true);
@@ -1270,7 +1273,7 @@ class Decoder {
   void DecodeResidueInner(const Residue& r, BitReader* br,
                           std::vector<float*>& vectors,
                           const std::vector<bool>& do_not_decode, uint32_t n,
-                          bool format1) {
+                          bool format1) const {
     uint32_t limit_begin = std::min(r.begin, n);
     uint32_t limit_end = std::min(r.end, n);
     if (limit_end <= limit_begin) return;
@@ -1337,72 +1340,110 @@ class Decoder {
 
   // ---- audio packet ---------------------------------------------------------
 
-  bool DecodeNextPacket() {
-    if (eos_seen_) return false;
+  // One planned audio packet: the Ogg packet bytes plus everything the
+  // serial placement chain determines up front (mode, window flags,
+  // block length, absolute start position).  Body decodes need nothing
+  // else, which is what makes whole batches of packets independent.
+  struct PacketPlan {
+    Packet pkt;
+    uint32_t mode_idx = 0;
+    bool prev_flag = true, next_flag = true;
+    uint32_t n = 0;
+    int64_t start = 0;
+  };
+
+  // Per-thread decode scratch (the IMDCT carries its twiddle caches).
+  struct Scratch {
+    Imdct imdct;
+    std::vector<float> interleave;
+    std::vector<std::vector<float>> floors, residues;
+  };
+
+  // Pull the next decodable audio packet and resolve its placement:
+  // this block's left-slope center lands on the previous block's
+  // right-slope center, which needs only the block LENGTH — so many
+  // packets can be planned ahead of any body decode.  False = stream
+  // exhausted.
+  bool PlanNextPacket(PacketPlan* plan) {
     Packet pkt;
     for (;;) {
-      if (!ogg_.NextPacket(&pkt)) {
-        FlushTail();
-        return ready_ > consumed_;
-      }
+      if (!ogg_.NextPacket(&pkt)) return false;
       if (pkt.data.empty()) continue;
       if (pkt.data[0] & 1) continue;  // header packet type: skip strays
+      BitReader br(pkt.data.data(), pkt.data.size());
+      if (br.ReadBit() != 0) continue;  // not an audio packet
+      uint32_t mode_idx = br.Read(ilog((uint32_t)modes_.size() - 1));
+      if (mode_idx >= modes_.size()) continue;  // undecodable: skip
+      const Mode& mode = modes_[mode_idx];
+      plan->mode_idx = mode_idx;
+      plan->n = blocksize_[mode.blockflag ? 1 : 0];
+      plan->prev_flag = plan->next_flag = true;
+      if (mode.blockflag) {
+        plan->prev_flag = br.Read(1);
+        plan->next_flag = br.Read(1);
+      }
+      if (br.eof()) continue;
+      plan->pkt = std::move(pkt);
       break;
     }
-    BitReader br(pkt.data.data(), pkt.data.size());
-    if (br.ReadBit() != 0) return true;  // not an audio packet
-    uint32_t mode_idx = br.Read(ilog((uint32_t)modes_.size() - 1));
-    if (mode_idx >= modes_.size()) return true;  // undecodable: skip
-    const Mode& mode = modes_[mode_idx];
-    const Mapping& map = mappings_[mode.mapping];
-    uint32_t n = blocksize_[mode.blockflag ? 1 : 0];
-    bool prev_flag = true, next_flag = true;
-    if (mode.blockflag) {
-      prev_flag = br.Read(1);
-      next_flag = br.Read(1);
-    }
-    if (br.eof()) return true;
-    uint32_t n2 = n / 2;
-    // Place this block: its left-slope center (start + n/4) lands on
-    // the previous block's right-slope center.
     if (cur_start_pending_) {
-      cur_start_ = next_center_ - (int64_t)n / 4;
+      cur_start_ = next_center_ - (int64_t)plan->n / 4;
       cur_start_pending_ = false;
+    }
+    plan->start = cur_start_;
+    next_center_ = cur_start_ + (int64_t)(3 * plan->n) / 4;
+    cur_start_pending_ = true;
+    return true;
+  }
+
+  // Floors, residues, coupling, IMDCT and windowing for one planned
+  // packet -> per-channel windowed block in `win`.  Touches only const
+  // setup state and the caller's scratch: safe on FramePool workers.
+  void DecodePacketBody(const PacketPlan& plan, Scratch* scr,
+                        std::vector<std::vector<float>>* win) const {
+    const Mode& mode = modes_[plan.mode_idx];
+    const Mapping& map = mappings_[mode.mapping];
+    const uint32_t n = plan.n, n2 = n / 2;
+    BitReader br(plan.pkt.data.data(), plan.pkt.data.size());
+    br.ReadBit();  // packet type (re-reading what planning validated)
+    br.Read(ilog((uint32_t)modes_.size() - 1));
+    if (mode.blockflag) {
+      br.Read(1);
+      br.Read(1);
     }
 
     // Floors.
-    floor_curves_.assign(channels_, std::vector<float>(n2, 0.0f));
+    scr->floors.assign(channels_, std::vector<float>(n2, 0.0f));
     std::vector<bool> nonzero(channels_, false);
     for (uint32_t c = 0; c < channels_; c++) {
       const FloorConfig& fc =
           floors_[map.submap_floor[map.mux[c]]];
-      nonzero[c] = DecodeFloor(fc, &br, n2, floor_curves_[c].data());
+      nonzero[c] = DecodeFloor(fc, &br, n2, scr->floors[c].data());
     }
     // Nonzero propagation across coupling.
-    for (size_t s = 0; s < map.coupling_mag.size(); s++)
-      if (nonzero[map.coupling_mag[s]] || nonzero[map.coupling_ang[s]]) {
-        nonzero[map.coupling_mag[s]] = true;
-        nonzero[map.coupling_ang[s]] = true;
+    for (size_t sc = 0; sc < map.coupling_mag.size(); sc++)
+      if (nonzero[map.coupling_mag[sc]] || nonzero[map.coupling_ang[sc]]) {
+        nonzero[map.coupling_mag[sc]] = true;
+        nonzero[map.coupling_ang[sc]] = true;
       }
     // Residues per submap.
-    residue_vecs_.assign(channels_, std::vector<float>(n2, 0.0f));
+    scr->residues.assign(channels_, std::vector<float>(n2, 0.0f));
     uint32_t submaps = (uint32_t)map.submap_floor.size();
-    for (uint32_t s = 0; s < submaps; s++) {
+    for (uint32_t sm = 0; sm < submaps; sm++) {
       std::vector<float*> vecs;
       std::vector<bool> dnd;
-      std::vector<uint32_t> chans;
       for (uint32_t c = 0; c < channels_; c++)
-        if (map.mux[c] == s) {
-          vecs.push_back(residue_vecs_[c].data());
+        if (map.mux[c] == sm) {
+          vecs.push_back(scr->residues[c].data());
           dnd.push_back(!nonzero[c]);
-          chans.push_back(c);
         }
-      DecodeResidue(residues_[map.submap_residue[s]], &br, vecs, dnd, n2);
+      DecodeResidue(residues_[map.submap_residue[sm]], &br, vecs, dnd, n2,
+                    scr->interleave);
     }
     // Inverse coupling (reverse order).
-    for (size_t s = map.coupling_mag.size(); s-- > 0;) {
-      float* m = residue_vecs_[map.coupling_mag[s]].data();
-      float* a = residue_vecs_[map.coupling_ang[s]].data();
+    for (size_t sc = map.coupling_mag.size(); sc-- > 0;) {
+      float* m = scr->residues[map.coupling_mag[sc]].data();
+      float* a = scr->residues[map.coupling_ang[sc]].data();
       for (uint32_t i = 0; i < n2; i++) {
         float M = m[i], A = a[i], nm, na;
         if (M > 0) {
@@ -1427,23 +1468,98 @@ class Decoder {
       }
     }
     // Floor * residue -> spectrum; IMDCT; window.
-    block_.resize(n);
+    win->assign(channels_, std::vector<float>(n));
     for (uint32_t c = 0; c < channels_; c++) {
-      float* spec = residue_vecs_[c].data();
+      float* spec = scr->residues[c].data();
       if (nonzero[c]) {
-        const float* fl = floor_curves_[c].data();
+        const float* fl = scr->floors[c].data();
         for (uint32_t i = 0; i < n2; i++) spec[i] *= fl[i];
       } else {
         std::fill(spec, spec + n2, 0.0f);
       }
-      if (c == 0) EnsureRange(cur_start_, n);
-      imdct_.Run(spec, block_.data(), n);
-      ApplyWindowAndLap(c, block_.data(), n, mode.blockflag, prev_flag,
-                        next_flag);
+      scr->imdct.Run(spec, (*win)[c].data(), n);
+      WindowBlock((*win)[c].data(), n, mode.blockflag, plan.prev_flag,
+                  plan.next_flag);
     }
-    AdvanceLap(n, mode.blockflag, prev_flag, next_flag, pkt);
+  }
+
+  // Serial phase: lap-add one decoded block into the accumulators and
+  // advance the PCM bookkeeping (exactly the old AdvanceLap semantics;
+  // the placement chain itself already advanced during planning).
+  void PlaceBlock(const PacketPlan& plan,
+                  const std::vector<std::vector<float>>& win) {
+    const Mode& mode = modes_[plan.mode_idx];
+    const uint32_t n = plan.n;
+    WindowGeom g = Geometry(n, mode.blockflag, plan.prev_flag, plan.next_flag);
+    EnsureRange(plan.start, n);
+    for (uint32_t c = 0; c < channels_; c++) {
+      auto& out = out_[c];
+      const float* y = win[c].data();
+      size_t base = (size_t)(plan.start - out_base_);
+      for (uint32_t i = 0; i < n; i++) out[base + i] += y[i];
+    }
+    if (prev_block_ < 0) {
+      // First block: primes the lap only; PCM sample 0 corresponds to
+      // the start of its right slope (where the next block laps in).
+      pcm_origin_ = plan.start + g.right_start;
+    } else {
+      ready_ = plan.start + g.right_start - pcm_origin_;
+    }
+    prev_block_ = mode.blockflag ? 1 : 0;
+    // Stream end: the final page's granule position trims (or extends
+    // into the laid-down tail) the total sample count.
+    if (plan.pkt.eos) {
+      eos_seen_ = true;
+      int64_t laid = (int64_t)out_[0].size() + out_base_ - pcm_origin_;
+      int64_t cap = plan.pkt.granule >= 0 ? plan.pkt.granule : laid;
+      ready_ = std::min(cap, laid);
+    }
+  }
+
+  // Plan up to kMaxBatchPackets packets covering ~want frames, decode
+  // the bodies (FramePool-parallel when the codec pool is on — packet
+  // synthesis is independent; only this lap-add phase is sequential),
+  // then place them in stream order.  Output is identical to the
+  // packet-at-a-time path by construction: same packets, same bits,
+  // same placement, same adds in the same order.
+  bool DecodeBatch(int64_t want) {
+    if (eos_seen_) return false;
+    PrewarmSlopes();
+    int pool_w = folve::FramePool::Instance().EffectiveThreads();
+    const size_t cap = pool_w > 1 ? (size_t)kMaxBatchPackets : 1;
+    std::vector<PacketPlan> plans;
+    int64_t est = 0;
+    while (plans.size() < cap &&
+           (plans.empty() || est < want + (int64_t)blocksize_[1])) {
+      PacketPlan plan;
+      if (!PlanNextPacket(&plan)) break;
+      est += (int64_t)plan.n / 2;
+      plans.push_back(std::move(plan));
+      if (plans.back().pkt.eos) break;  // never read past end-of-stream
+    }
+    if (plans.empty()) {
+      FlushTail();
+      return ready_ > consumed_;
+    }
+    std::vector<std::vector<std::vector<float>>> wins(plans.size());
+    bool pooled = false;
+    if (plans.size() >= 2 && pool_w > 1) {
+      pooled = folve::FramePool::Instance().Run(
+          [&](size_t i) {
+            static thread_local Scratch scr;
+            DecodePacketBody(plans[i], &scr, &wins[i]);
+          },
+          plans.size());
+    }
+    if (!pooled) {
+      for (size_t i = 0; i < plans.size(); i++)
+        DecodePacketBody(plans[i], &scratch_, &wins[i]);
+    }
+    for (size_t i = 0; i < plans.size(); i++) PlaceBlock(plans[i], wins[i]);
     return true;
   }
+
+  static constexpr int kMaxBatchPackets = 64;
 
   // Window slopes per spec 4.3.1.  Slope length is short/2 on a long
   // block lapped against a short one.
@@ -1500,49 +1616,26 @@ class Decoder {
         v.resize((size_t)(need_end - out_base_), 0.0f);
   }
 
-  void ApplyWindowAndLap(uint32_t c, float* y, uint32_t n, bool blockflag,
-                         bool prev_flag, bool next_flag) {
+  // Window a raw IMDCT block in place (spec 4.3.1 slopes; zeros outside
+  // the slopes' span, 1 between).  Read-only on the decoder: the slope
+  // tables are pre-warmed before any parallel batch.
+  void WindowBlock(float* y, uint32_t n, bool blockflag, bool prev_flag,
+                   bool next_flag) const {
     WindowGeom g = Geometry(n, blockflag, prev_flag, next_flag);
-    const std::vector<float>& ls = Slope(g.left_n);
-    const std::vector<float>& rs = Slope(g.right_n);
-    // Window in place: zeros outside the slopes' span, 1 between.
+    const std::vector<float>& ls = slopes_.at(g.left_n);
+    const std::vector<float>& rs = slopes_.at(g.right_n);
     for (uint32_t i = 0; i < g.left_start; i++) y[i] = 0.0f;
     for (uint32_t i = 0; i < g.left_n; i++) y[g.left_start + i] *= ls[i];
     for (uint32_t i = 0; i < g.right_n; i++)
       y[g.right_start + i] *= rs[g.right_n - 1 - i];
     for (uint32_t i = g.right_start + g.right_n; i < n; i++) y[i] = 0.0f;
-    // Absolute placement: this block's left-slope center aligns with
-    // the previous block's right-slope center (both are at n/4 resp.
-    // 3n/4 regardless of flags).
-    auto& out = out_[c];
-    for (uint32_t i = 0; i < n; i++)
-      out[(size_t)(cur_start_ - out_base_ + i)] += y[i];
   }
 
-  void AdvanceLap(uint32_t n, bool blockflag, bool prev_flag, bool next_flag,
-                  const Packet& pkt) {
-    WindowGeom g = Geometry(n, blockflag, prev_flag, next_flag);
-    if (prev_block_ < 0) {
-      // First block: primes the lap only; PCM sample 0 corresponds to
-      // the start of its right slope (where the next block laps in).
-      pcm_origin_ = cur_start_ + g.right_start;
-    } else {
-      ready_ = cur_start_ + g.right_start - pcm_origin_;
-    }
-    prev_block_ = blockflag ? 1 : 0;
-    // Next block start: its left-slope center (start + n_next/4) must
-    // land on this block's right-slope center (cur_start_ + 3n/4) —
-    // resolved when the next block's size is known.
-    next_center_ = cur_start_ + (int64_t)(3 * n) / 4;
-    cur_start_pending_ = true;
-    // Stream end: the final page's granule position trims (or extends
-    // into the laid-down tail) the total sample count.
-    if (pkt.eos) {
-      eos_seen_ = true;
-      int64_t laid = (int64_t)out_[0].size() + out_base_ - pcm_origin_;
-      int64_t cap = pkt.granule >= 0 ? pkt.granule : laid;
-      ready_ = std::min(cap, laid);
-    }
+  // The only slope lengths Geometry can produce are short/2 and n/2 for
+  // n in {short, long}; build both up front so workers only read.
+  void PrewarmSlopes() {
+    Slope(blocksize_[0] / 2);
+    Slope(blocksize_[1] / 2);
   }
 
   void FlushTail() {
@@ -1580,9 +1673,7 @@ class Decoder {
   std::vector<Mapping> mappings_;
   std::vector<Mode> modes_;
 
-  Imdct imdct_;
-  std::vector<float> block_, interleave_buf_;
-  std::vector<std::vector<float>> floor_curves_, residue_vecs_;
+  Scratch scratch_;  // serial-path decode scratch
   std::map<uint32_t, std::vector<float>> slopes_;
 
   // Lap/output state (absolute sample positions).

@@ -358,6 +358,25 @@ def check_vorbis() -> None:
     blob = bytearray(open(samples[0], "rb").read())
     data, info = read_ogg(samples[0])
     assert data.shape[0] == info.frames and info.frames > 0
+
+    # Parallel packet decode under the sanitizer: whole-file and from
+    # two Python threads at once; must equal the serial result.
+    from folve_tpu.audio.flac import set_encoder_threads
+
+    set_encoder_threads(4)
+    par = [None, None]
+
+    def vdec(i):
+        par[i] = read_ogg(samples[0])[0].tobytes()
+
+    vts = [threading.Thread(target=vdec, args=(i,)) for i in range(2)]
+    for t in vts:
+        t.start()
+    for t in vts:
+        t.join()
+    assert par[0] == par[1] == data.tobytes(), "parallel vorbis diverged"
+    set_encoder_threads(0)
+
     rng = np.random.default_rng(23)
     import tempfile
 

@@ -479,3 +479,95 @@ def test_ogg_through_filesystem(tmp_path):
     assert n == data.shape[0]
     np.testing.assert_allclose(got, 0.5 * data[:, : got.shape[1]], atol=2.5 / 32768)
     fs.close_handler("/song.ogg", h)
+
+
+class TestParallelPacketDecode:
+    """Multi-packet reads fan Vorbis packet synthesis across the codec
+    pool (floors/residues/coupling/IMDCT/window per packet; only the
+    overlap-add is sequential).  Output must be IDENTICAL to the serial
+    path — same packets, same placement, same adds in the same order —
+    including for corrupted streams."""
+
+    @pytest.fixture(autouse=True)
+    def _restore_threads(self):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        yield
+        set_encoder_threads(0)
+
+    def _ab(self, path, chunk=None):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        def decode(threads):
+            set_encoder_threads(threads)
+            if chunk is None:
+                return read_ogg(path)[0]
+            src = OggSource(path)
+            parts = []
+            while True:
+                got = src.read_float(chunk)
+                if got.shape[0] == 0:
+                    break
+                parts.append(got)
+            src.close()
+            return np.concatenate(parts) if parts else np.empty((0, 2), np.float32)
+
+        serial = decode(1)
+        parallel = decode(4)
+        np.testing.assert_array_equal(serial, parallel)
+        return serial
+
+    def test_bit_identical_to_serial(self, tmp_path):
+        path = tmp_path / "p.ogg"
+        _encode_ogg(path, _stereo_material(4.0), 44100)
+        got = self._ab(str(path))
+        assert got.shape[0] > 0
+
+    def test_pygame_sample_parallel(self):
+        self._ab(SAMPLE)
+
+    def test_odd_chunked_reads(self, tmp_path):
+        path = tmp_path / "p.ogg"
+        _encode_ogg(path, _stereo_material(2.5), 44100)
+        for chunk in (1, 999, 1024, 4097, 30000):
+            self._ab(str(path), chunk=chunk)
+
+    def test_rewind_then_parallel_again(self, tmp_path):
+        from folve_tpu.audio.flac import set_encoder_threads
+
+        path = tmp_path / "p.ogg"
+        _encode_ogg(path, _stereo_material(1.5), 44100)
+        set_encoder_threads(4)
+        src = OggSource(str(path))
+        first = src.read_float(10 ** 9)
+        src.rewind()
+        second = src.read_float(10 ** 9)
+        src.close()
+        np.testing.assert_array_equal(first, second)
+
+    def test_corrupt_streams_match_serial(self, tmp_path):
+        path = tmp_path / "p.ogg"
+        _encode_ogg(path, _stereo_material(1.2), 44100)
+        blob = bytearray(open(path, "rb").read())
+        r = np.random.default_rng(41)
+        for _ in range(30):
+            fuzz = bytearray(blob)
+            for _ in range(int(r.integers(1, 6))):
+                fuzz[int(r.integers(0, len(fuzz)))] ^= 1 << int(r.integers(0, 8))
+            fp = tmp_path / "fz.ogg"
+            fp.write_bytes(bytes(fuzz))
+            from folve_tpu.audio.flac import set_encoder_threads
+            from folve_tpu.audio.ogg import OggError
+
+            def outcome(threads):
+                set_encoder_threads(threads)
+                try:
+                    return read_ogg(str(fp))[0]
+                except OggError:
+                    return None
+
+            a, b = outcome(1), outcome(4)
+            # Reject/accept must agree, and accepted data must match.
+            assert (a is None) == (b is None)
+            if a is not None:
+                np.testing.assert_array_equal(a, b)
