@@ -22,7 +22,11 @@ def sniff_container(path: str) -> Optional[Container]:
             magic = f.read(12)
     except OSError:
         return None
-    if len(magic) >= 12 and magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
+    if (
+        len(magic) >= 12
+        and magic[:4] in (b"RIFF", b"RF64", b"BW64")
+        and magic[8:12] == b"WAVE"
+    ):
         return Container.WAV
     if magic[:4] == b"fLaC":
         return Container.FLAC

@@ -42,8 +42,16 @@ def read_wav_info(src) -> AudioInfo:
 
 def _parse_header(f: BinaryIO):
     riff = f.read(12)
-    if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+    if len(riff) < 12 or riff[8:12] != b"WAVE" or riff[:4] not in (
+        b"RIFF", b"RF64", b"BW64",
+    ):
         raise WavError("not a RIFF/WAVE file")
+    # RF64 (EBU Tech 3306; BW64 is its broadcast successor): the 32-bit
+    # RIFF/data sizes are 0xFFFFFFFF sentinels and the true 64-bit sizes
+    # live in a mandatory leading ds64 chunk — what libsndfile gives the
+    # reference for >4 GB captures (convolve-file-handler.cc:62-76).
+    is_rf64 = riff[:4] != b"RIFF"
+    ds64_data_size = None
     fmt = None
     data_offset = None
     data_size = None
@@ -52,9 +60,18 @@ def _parse_header(f: BinaryIO):
         if len(hdr) < 8:
             break
         cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-        if cid == b"fmt ":
+        if cid == b"ds64":
+            ds64 = f.read(size)
+            if len(ds64) < 16:
+                raise WavError("ds64 chunk too short")
+            ds64_data_size = struct.unpack("<Q", ds64[8:16])[0]
+        elif cid == b"fmt ":
             fmt = f.read(size)
         elif cid == b"data":
+            if size == 0xFFFFFFFF and is_rf64:
+                if ds64_data_size is None:
+                    raise WavError("RF64 data chunk before ds64")
+                size = ds64_data_size
             data_offset = f.tell()
             data_size = size
             f.seek(size + (size & 1), io.SEEK_CUR)

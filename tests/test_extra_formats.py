@@ -178,3 +178,49 @@ def test_caf_tags_survive(tmp_path, rng):
     p = tmp_path / "t.caf"
     p.write_bytes(blob)
     assert read_caf_metadata(str(p))["TITLE"] == "caf title"
+
+
+# --- RF64 (64-bit WAV, EBU 3306) -------------------------------------------
+
+SF_RF64 = 0x220000
+
+
+def test_decodes_libsndfile_rf64(tmp_path, rng):
+    """libsndfile-written RF64 (what the reference would probe for >4 GB
+    captures) decodes through the WAV reader via the ds64 sizes."""
+    from folve_tpu.audio.wav import read_wav
+
+    x = _material(rng, frames=4567)
+    p = tmp_path / "t.rf64"
+    _sf_write(p, x, RATE, SF_RF64 | SF_PCM_24)
+    assert open(p, "rb").read(4) in (b"RF64", b"BW64")
+    assert sniff_container(str(p)) == Container.WAV
+    got, info = read_wav(str(p))
+    assert info.container == Container.WAV
+    assert got.shape == x.shape
+    np.testing.assert_allclose(got, x, atol=1.0 / (1 << 23))
+
+
+def test_rf64_through_filesystem(tmp_path, rng):
+    """RF64 input convolves and, per the wav policy, comes out FLAC24
+    (convolve-file-handler.cc:237-251: wav -> FLAC24)."""
+    from folve_tpu.audio.flac import read_flac
+    from tests.test_runtime import make_fs, read_all
+
+    x = _material(rng, frames=3000)
+    src_file = tmp_path / "in.rf64"
+    _sf_write(src_file, x, RATE, SF_RF64 | SF_PCM_16)
+
+    conf = (
+        "/convolver/new 2 2 64 512\n"
+        "/impulse/dirac 1 1 0.5 0\n/impulse/dirac 2 2 0.5 0\n"
+    )
+    fs, src = make_fs(tmp_path, conf_text=conf)
+    os.rename(src_file, src / "song.wav")
+    h = fs.get_or_create_handler("/song.wav")
+    blob = read_all(h)
+    fs.close_handler("/song.wav", h)
+    assert blob[:4] == b"fLaC"
+    got, info = read_flac(blob)
+    assert info.frames == x.shape[0] and info.bits_per_sample == 24
+    np.testing.assert_allclose(got, 0.5 * x, atol=2.5 / 32768)
