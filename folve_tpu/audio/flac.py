@@ -69,8 +69,9 @@ def _get_lib():
 def set_encoder_threads(n: int) -> None:
     """Process-wide parallel codec worker count (0 = auto:
     hardware_concurrency capped at 8; 1 = serial).  The pool serves
-    both frame ENCODE (multi-block writes) and bulk frame DECODE
-    (multi-frame reads).  Output is identical at any setting — frames
+    FLAC frame ENCODE (multi-block writes), FLAC frame DECODE
+    (multi-frame reads) and Ogg Vorbis packet decode.  Output is
+    identical at any setting — frames
     are independent, counters fold in frame order, and the decoder
     falls back to the serial path on any scan/CRC anomaly."""
     _get_lib().folve_flac_enc_set_threads(int(n))

@@ -164,13 +164,22 @@ def read_wav_metadata(src) -> dict:
     f = _open(src)
     out = {}
     riff = f.read(12)
-    if len(riff) < 12 or riff[:4] != b"RIFF":
+    if len(riff) < 12 or riff[:4] not in (b"RIFF", b"RF64", b"BW64"):
         return out
+    ds64_data_size = None
     while True:
         hdr = f.read(8)
         if len(hdr) < 8:
             break
         cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+        if cid == b"ds64":
+            ds64 = f.read(size + (size & 1))
+            if len(ds64) >= 16:
+                ds64_data_size = struct.unpack("<Q", ds64[8:16])[0]
+            continue
+        if cid == b"data" and size == 0xFFFFFFFF and ds64_data_size is not None:
+            # RF64 sentinel: the real 64-bit size came from ds64.
+            size = ds64_data_size
         if cid == b"LIST":
             body = f.read(size)
             if body[:4] == b"INFO":

@@ -34,9 +34,9 @@ def _add_common_fs_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--flac-block-size", type=int, default=4096, help="FLAC encoder block size")
     p.add_argument(
         "--flac-threads", type=int, default=0,
-        help="parallel FLAC codec workers — frame encode AND bulk decode "
-        "(0 = auto: cores capped at 8, 1 = serial; output is identical "
-        "at any setting)",
+        help="parallel codec workers: FLAC frame encode/decode AND Ogg "
+        "Vorbis packet decode share this pool (0 = auto: cores capped "
+        "at 8, 1 = serial; output is identical at any setting)",
     )
     p.add_argument(
         "--workaround-flac-header", action="store_true",
@@ -367,7 +367,7 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-blocks", type=int, default=32)
     p.add_argument(
         "--flac-threads", type=int, default=0,
-        help="parallel FLAC codec workers for decode/encode (0 = auto)",
+        help="parallel codec workers (FLAC + Vorbis; 0 = auto)",
     )
     p.add_argument("input")
     p.add_argument("output")

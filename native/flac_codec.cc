@@ -382,10 +382,20 @@ class Decoder {
   // Scan forward from p for the next parseable frame header.  With
   // have_expect, additionally require the coded number to equal the
   // chained expectation — this is what lets the parallel batch scanner
-  // find frame BOUNDARIES without decoding the bodies.
+  // find frame BOUNDARIES without decoding the bodies.  The expect-scan
+  // is BOUNDED (max_framesize from STREAMINFO, else a generous cap):
+  // on streams whose numbers do not chain it must give up after one
+  // frame-length's worth of bytes, not rescan to EOF per batch attempt.
   bool FindFrameHeader(size_t p, bool have_expect, uint64_t expect,
                        FrameHeader* h) const {
-    while (p + 2 <= buf_.size()) {
+    size_t limit = buf_.size();
+    if (have_expect) {
+      size_t span = info_.max_framesize
+                        ? (size_t)info_.max_framesize * 2 + 4096
+                        : (size_t)(1 << 22);
+      if (p + span < limit) limit = p + span;
+    }
+    while (p + 2 <= limit) {
       if (buf_[p] == 0xFF && (buf_[p + 1] & 0xFC) == 0xF8 &&
           ParseFrameHeader(p, h) &&
           (!have_expect || h->coded_num == expect)) {
@@ -499,14 +509,18 @@ class Decoder {
         },
         k);
     if (!pooled) return 0;  // pool shrank between the check and Run
-    for (size_t i = 0; i < k; i++) {
-      if (!ok[i]) return 0;  // serial path redoes the batch
-      // Gapless chain: a frame that doesn't end exactly at the next
-      // header means the scan hit an emulated sync inside a body.
-      if (i + 1 < k && ends[i] != hs[i + 1].start) return 0;
-    }
-    pos_ = ends[k - 1];
-    return total;
+    // Accept the longest valid PREFIX: each kept frame must decode
+    // (its CRC-16 is authoritative) and must start exactly where its
+    // predecessor ended (otherwise its header was an emulated sync
+    // inside the predecessor's body and everything after is garbage).
+    // Around a corruption this degrades to "decode up to the bad
+    // frame" and the serial resync path handles the bad spot once —
+    // not a discarded batch per Read call.
+    size_t m = 0;
+    while (m < k && ok[m] && (m == 0 || ends[m - 1] == hs[m].start)) m++;
+    if (m == 0) return 0;  // serial path redoes the first frame
+    pos_ = ends[m - 1];
+    return offs[m - 1] + (int64_t)hs[m - 1].blocksize;
   }
 
   static constexpr int kMaxParallelFrames = 64;

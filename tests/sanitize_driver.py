@@ -356,12 +356,14 @@ def check_vorbis() -> None:
         print("vorbis: skipped (no sample)")
         return
     blob = bytearray(open(samples[0], "rb").read())
+    # Parallel packet decode under the sanitizer: whole-file and from
+    # two Python threads at once; must equal the SERIAL result (force
+    # width 1 for the reference — ambient auto could itself be parallel).
+    from folve_tpu.audio.flac import set_encoder_threads
+
+    set_encoder_threads(1)
     data, info = read_ogg(samples[0])
     assert data.shape[0] == info.frames and info.frames > 0
-
-    # Parallel packet decode under the sanitizer: whole-file and from
-    # two Python threads at once; must equal the serial result.
-    from folve_tpu.audio.flac import set_encoder_threads
 
     set_encoder_threads(4)
     par = [None, None]
