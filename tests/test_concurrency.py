@@ -112,17 +112,33 @@ def test_gapless_album_under_concurrent_readers(tmp_path):
     assert np.max(np.abs(got - ref)) < 2.5 / 32768
 
 
-def test_soak_everything_at_once(tmp_path):
+@pytest.mark.parametrize("codec_threads", [0, 4])
+def test_soak_everything_at_once(tmp_path, codec_threads):
     """Soak: concurrent readers across two filters (via -t-style per-open
     filter keys), mid-run filter switching, cache eviction pressure,
     status-page polling and prebuffer — all at once; every stream's
-    output must match ITS filter's oracle and nothing may raise."""
+    output must match ITS filter's oracle and nothing may raise.
+
+    Runs twice: with the codec worker pool off and ON (handler threads
+    then contend for the shared FramePool while encoding AND decoding
+    in parallel — the production configuration on multi-core hosts)."""
     import numpy as np
     from scipy import signal
 
+    from folve_tpu.audio.flac import set_encoder_threads
     from folve_tpu.server.status import StatusServer
     from tests.test_runtime import RATE, make_fs, read_all, write_song
 
+    set_encoder_threads(codec_threads)
+    try:
+        _soak_everything(tmp_path, np, signal, StatusServer,
+                         RATE, make_fs, read_all, write_song)
+    finally:
+        set_encoder_threads(0)
+
+
+def _soak_everything(tmp_path, np, signal, StatusServer,
+                     RATE, make_fs, read_all, write_song):
     fs, src = make_fs(tmp_path)
     # Second filter with a different echo tap.
     other = tmp_path / "filters" / "other"
