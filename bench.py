@@ -300,6 +300,64 @@ def _runtime_configs(out, rng):
     return out
 
 
+def _codec_configs(out, rng):
+    """Host-side codec throughput (one core on this box; the codec pool
+    scales these near-linearly on real multi-core serving hosts —
+    bit-identity at any width is asserted by the test suite)."""
+    import io
+    import time
+
+    from folve_tpu.audio.flac import read_flac, write_flac
+
+    smoke = bool(os.environ.get("FOLVE_BENCH_SMOKE"))
+    dur = 4 if smoke else 20
+    rate = 44100
+    t = np.arange(rate * dur) / rate
+    x = np.stack(
+        [0.4 * np.sin(2 * np.pi * 440 * t), 0.35 * np.sin(2 * np.pi * 660 * t)],
+        axis=1,
+    ).astype(np.float32)
+    x += (0.02 * rng.standard_normal(x.shape)).astype(np.float32)
+    x = np.round(x * 32768) / 32768
+
+    best_enc = 1e9
+    for _ in range(3):
+        buf = io.BytesIO()
+        t0 = time.perf_counter()
+        write_flac(buf, x, rate)
+        best_enc = min(best_enc, time.perf_counter() - t0)
+    blob = buf.getvalue()
+    best_dec = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        read_flac(blob)
+        best_dec = min(best_dec, time.perf_counter() - t0)
+    out["flac_encode_x"] = round(dur / best_enc, 1)
+    out["flac_decode_x"] = round(dur / best_dec, 1)
+
+    try:  # vorbis needs a third-party-encoded fixture; skip if the
+        # test oracle encoder is absent in this image
+        import glob
+
+        from folve_tpu.audio.ogg import read_ogg
+
+        samples = glob.glob(
+            "/opt/venv/lib/python3*/site-packages/pygame/examples/data/*.ogg"
+        )
+        if samples:
+            info = None
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                data, info = read_ogg(samples[0])
+                best = min(best, time.perf_counter() - t0)
+            out["vorbis_decode_x"] = round(
+                (info.frames / info.rate) / best, 1
+            )
+    except Exception:
+        pass
+
+
 def main():
     import jax
 
@@ -317,6 +375,7 @@ def main():
     out = {}
     _engine_configs(out, rng)
     _runtime_configs(out, rng)
+    _codec_configs(out, rng)
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
 
