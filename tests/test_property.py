@@ -255,3 +255,36 @@ def test_engine_chunking_invariance(splits, seed):
         pos += t
     got = np.concatenate(outs)
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@settings(**COMMON)
+@given(
+    frames=st.integers(0, 20000),
+    channels=st.integers(1, 4),
+    bits=st.sampled_from([8, 16, 24]),
+    blocksize=st.sampled_from([192, 576, 1024, 4096]),
+    threads=st.sampled_from([2, 3, 4, 8]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_parallel_decode_equals_serial(
+    frames, channels, bits, blocksize, threads, seed
+):
+    """For ANY (shape, depth, blocksize, pool width): the batched
+    parallel frame decode must be byte-identical to serial."""
+    from folve_tpu.audio.flac import read_flac, set_encoder_threads, write_flac
+
+    rng = np.random.default_rng(seed)
+    x = _quantized(
+        rng.uniform(-1.0, 0.999, (frames, channels)).astype(np.float64), bits
+    ).astype(np.float32)
+    buf = io.BytesIO()
+    write_flac(buf, x, 44100, bits=bits, blocksize=blocksize)
+    blob = buf.getvalue()
+    try:
+        set_encoder_threads(1)
+        serial, _ = read_flac(blob)
+        set_encoder_threads(threads)
+        parallel, _ = read_flac(blob)
+    finally:
+        set_encoder_threads(0)
+    np.testing.assert_array_equal(serial, parallel)
