@@ -51,9 +51,17 @@ class ConversionBuffer:
     def append(self, data: bytes) -> int:
         if not data:
             return 0
-        n = os.pwrite(self._fd, data, self._total_written)
-        self._total_written += n
-        return n
+        # pwrite may write short (signals, quota edges); dropping the
+        # tail silently would serve a corrupt stream — loop or raise.
+        view = memoryview(data)
+        total = 0
+        while total < len(data):
+            n = os.pwrite(self._fd, view[total:], self._total_written + total)
+            if n <= 0:
+                raise OSError("short write to spill file")
+            total += n
+        self._total_written += total
+        return total
 
     def write_char_at(self, byte: int, offset: int) -> None:
         """Single-byte header surgery (reference WriteCharAt,
@@ -108,8 +116,11 @@ class ConversionBuffer:
         data = os.pread(self._fd, size, offset)
         if data:
             new_max = offset + len(data)
-            if new_max > self._max_accessed:
-                with self._lock:
+            # Compare under the lock: an unlocked check lets a small
+            # racing read store AFTER a big one, moving max_accessed
+            # backwards (and the prefetch goal with it).
+            with self._lock:
+                if new_max > self._max_accessed:
                     self._max_accessed = new_max
         return data
 

@@ -409,6 +409,15 @@ class ConvolveFileHandler(FileHandler):
             | (((bits - 1) & 0x10) >> 4),
             20,
         )
+        # Byte 21: bps-1 low nibble + total-samples top nibble.  The
+        # verbatim-copied source byte is only valid when the output
+        # depth equals the source depth; a 12/20/32-bit source capped
+        # to 24 would otherwise declare a depth the frames don't carry.
+        buf.write_char_at(
+            (((bits - 1) & 0x0F) << 4) | ((self._in_info.frames >> 32) & 0x0F),
+            21,
+        )
+
 
     # ----------------------------------------------------------------- read
 
@@ -458,8 +467,11 @@ class ConvolveFileHandler(FileHandler):
     def get_handler_status(self) -> HandlerStats:
         file_size = self._buffer.file_size()
         max_access = self._buffer.max_accessed()
-        if self._processor is not None:
-            self._base_stats.max_output_value = self._processor.max_output_value()
+        # Snapshot once: close() on the pump thread nulls _processor
+        # concurrently with status polls.
+        p = self._processor
+        if p is not None:
+            self._base_stats.max_output_value = p.max_output_value()
         if self._base_stats.max_output_value > 1.0:
             # (The reference stamps this after taking the snapshot so it
             # only shows on the *next* poll, convolve-file-handler.cc:169-180;
@@ -467,13 +479,13 @@ class ConvolveFileHandler(FileHandler):
             self._base_stats.message = (
                 f"Output clipping! (max={self._base_stats.max_output_value:.3f}; "
                 f"Multiply gain with <= {1.0 / self._base_stats.max_output_value:.5f}"
-                f" in {self._processor.config_file if self._processor else 'filter'})"
+                f" in {p.config_file if p else 'filter'})"
             )
         stats = dataclasses.replace(self._base_stats)
-        if self._processor is not None and self._processor.latency.count:
-            stats.latency_summary = self._processor.latency.summary()
-        if self._processor is not None:
-            p, base = self._processor, self._pump_base
+        if p is not None and p.latency.count:
+            stats.latency_summary = p.latency.summary()
+        if p is not None:
+            base = self._pump_base
             stats.pump_dispatch_s = p.dispatch_s - base[0]
             stats.pump_fetch_s = p.fetch_s - base[1]
             stats.pump_encode_s = p.encode_s - base[2]

@@ -92,10 +92,13 @@ class ProcessorPool:
             return
         if not processor.config_still_up_to_date():
             return  # outdated: don't pool
+        # reset() drains the processor's in-flight device step; doing
+        # that under the pool lock would block every other stream's
+        # checkout on this stream's device latency.
+        processor.reset()
         with self._lock:
             lst = self._pool.setdefault(processor.config_file, [])
             if len(lst) < self._max_per_config:
-                processor.reset()
                 lst.append(processor)
 
     def _check_out_of_pool(self, config_path: str) -> Optional[SoundProcessor]:

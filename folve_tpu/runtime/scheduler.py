@@ -17,6 +17,7 @@ sizes are padded to power-of-two buckets to bound XLA compilations.
 from __future__ import annotations
 
 import atexit
+import weakref
 import threading
 import time
 import weakref
@@ -37,7 +38,7 @@ _batched_step = jax.jit(jax.vmap(chunk_step, in_axes=(0, 0, 0, 0)))
 _shared_step = jax.jit(jax.vmap(chunk_step, in_axes=(None, 0, 0, 0)))
 
 # Lone-stream fast path (no batch dim, no stack/unstack host work).
-_single_step = jax.jit(chunk_step)
+from folve_tpu.runtime.processor import _jitted_chunk as _single_step
 
 
 def _single_step_quantized(bank, state, x, n_valid, bits):
@@ -81,7 +82,7 @@ class _Job:
 class _SlotStates:
     """One sharded step's output states, kept device-resident."""
 
-    __slots__ = ("hist_re", "hist_im", "tail", "max_abs")
+    __slots__ = ("hist_re", "hist_im", "tail", "max_abs", "__weakref__")
 
     def __init__(self, hist_re, hist_im, tail, max_abs):
         self.hist_re = hist_re
@@ -157,7 +158,7 @@ class DeviceScheduler:
         # chunk length: state shapes depend only on the bank).  Guarded
         # by _mutex — submit() reads it on caller threads while
         # _execute_sharded() replaces entries on the scheduler thread.
-        self._parents: Dict[Tuple, object] = {}
+        self._parents: Dict[Tuple, list] = {}  # sig -> [weakref(_SlotStates)]
         # Stream tokens recently seen by submit(); used to skip the
         # coalescing window when provably only one stream is pumping.
         self._stream_seen: Dict[object, float] = {}
@@ -175,6 +176,7 @@ class DeviceScheduler:
         self.batched_jobs = 0
         self.sharded_steps = 0
         self.sharded_fast_steps = 0  # device-resident-state steps
+        self.materialized = 0  # sharded states forced back to host
         self.coalesce_waits = 0  # times the window was actually paid
         self.total_step_s = 0.0
         self.last_step_s = 0.0
@@ -197,6 +199,25 @@ class DeviceScheduler:
         if self._thread:
             self._thread.join(timeout=5)
             self._thread = None
+        # Drain anything still queued: a reader blocked in
+        # future.result() must complete (or see the error), never hang
+        # across shutdown.  Per-signature batches, run on the caller.
+        while True:
+            with self._cv:
+                take = None
+                for sig, q in self._queues.items():
+                    if q:
+                        take = q[: self._max_batch]
+                        self._queues[sig] = q[len(take) :]
+                        break
+            if not take:
+                break
+            try:
+                self._execute(take)
+            except Exception as e:
+                for job in take:
+                    if not job.future.done():
+                        job.future.set_exception(e)
 
     def submit(
         self, bank: FilterBank, state: StreamState, x, n_valid, stream=None,
@@ -210,8 +231,10 @@ class DeviceScheduler:
         the window is pure added latency on a lone blocking read."""
         if isinstance(state, ShardedStateRef):
             with self._mutex:
-                live = self._parents.get(_signature(bank))
-            if state.parent is not live:
+                refs = self._parents.get(_signature(bank), ())
+                live = any(r() is state.parent for r in refs)
+            if not live:
+                self.materialized += 1
                 # Straggler holding a SUPERSEDED device batch:
                 # materialize to host so old _SlotStates batches are
                 # released promptly (a ref pins the whole padded batch,
@@ -507,6 +530,14 @@ class DeviceScheduler:
             self.batched_jobs += n
         new_parent = _SlotStates(new_re, new_im, new_tail, new_max)
         with self._mutex:
-            self._parents[_signature(bank0)] = new_parent
+            # Several batches of the SAME signature can be live at once
+            # (queue overflow splits, bulk vs edge-block chunk shapes):
+            # a single slot would clobber and de-optimize every other
+            # group to host round-trips each step.  Weak refs keep the
+            # dict from pinning superseded batches in HBM — a parent
+            # dies exactly when no stream's state ref holds it.
+            refs = self._parents.setdefault(_signature(bank0), [])
+            refs[:] = [r for r in refs if r() is not None][-7:]
+            refs.append(weakref.ref(new_parent))
         for idx_i, job in enumerate(jobs):
             job.future.set_result((ShardedStateRef(new_parent, idx_i), y_host[idx_i]))

@@ -629,3 +629,96 @@ class TestMultichannel:
         ref = expected_conv(x, echo_ir())
         assert np.max(np.abs(got - ref)) < 2.5 / 32768
         fs.close_handler("/song.flac", h)
+
+
+def test_odd_depth_flac_source_declares_capped_bits(tmp_path, rng):
+    """A 12-bit FLAC source (a depth our encoder cannot emit) caps to
+    24-bit output; the verbatim-copied STREAMINFO must declare 24 in
+    BOTH bytes of the bits-per-sample field (byte 20 bit 0 AND byte
+    21's high nibble — the stale source nibble used to survive),
+    and the stream must decode in a third-party decoder."""
+    import struct
+
+    from folve_tpu.audio.flac import read_flac
+
+    rate, bs, nframes, ch, bits = 44100, 256, 4, 2, 12
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def w(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def bytes(self):
+            while len(self.bits) % 8:
+                self.bits.append(0)
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                b = 0
+                for j in range(8):
+                    b = (b << 1) | self.bits[i + j]
+                out.append(b)
+            return bytes(out)
+
+    total = bs * nframes
+    samples = (
+        rng.integers(-(1 << 11), 1 << 11, (total, ch), dtype=np.int64)
+        .astype(np.int32)
+    )
+
+    si = BW()
+    si.w(bs, 16); si.w(bs, 16)          # min/max blocksize
+    si.w(0, 24); si.w(0, 24)            # min/max framesize unknown
+    si.w(rate, 20); si.w(ch - 1, 3); si.w(bits - 1, 5); si.w(total, 36)
+    si_bytes = si.bytes() + bytes(16)   # md5 zero
+    blob = bytearray(b"fLaC" + bytes([0x80, 0, 0, 34]) + si_bytes)
+
+    from tests.test_flac import _crc8, _crc16
+
+    for f in range(nframes):
+        h = BW()
+        h.w(0b11111111111110, 14); h.w(0, 1); h.w(0, 1)  # sync, res, fixed-bs
+        h.w(8, 4)   # blocksize code 8 = 256
+        h.w(9, 4)   # rate code 9 = 44100
+        h.w(1, 4)   # 2 channels, independent
+        h.w(2, 3)   # sample size code 2 = 12 bit
+        h.w(0, 1)
+        h.w(f, 8)   # coded frame number (f < 128 -> 1 byte)
+        hdr = h.bytes()
+        hdr += bytes([_crc8(hdr)])
+        body = BW()
+        for c in range(ch):
+            body.w(0x02, 8)  # verbatim subframe
+            for i in range(bs):
+                body.w(int(samples[f * bs + i, c]) & 0xFFF, 12)
+        frame = hdr + body.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        blob += frame
+
+    src_file = tmp_path / "twelve.flac"
+    src_file.write_bytes(bytes(blob))
+    # Sanity: our decoder reads the crafted source exactly.
+    got, info = read_flac(str(src_file))
+    assert info.bits_per_sample == 12 and info.frames == total
+    np.testing.assert_array_equal(np.round(got * (1 << 11)).astype(np.int32), samples)
+
+    conf = (
+        "/convolver/new 2 2 64 256\n"
+        "/impulse/dirac 1 1 0.5 0\n/impulse/dirac 2 2 0.5 0\n"
+    )
+    fs, src = make_fs(tmp_path, conf_text=conf)
+    os.rename(src_file, src / "song.flac")
+    h = fs.get_or_create_handler("/song.flac")
+    out = read_all(h)
+    fs.close_handler("/song.flac", h)
+
+    assert out[:4] == b"fLaC"
+    streaminfo = out[8 : 8 + 34]
+    declared = ((streaminfo[12] & 0x01) << 4) | (streaminfo[13] >> 4)
+    assert declared + 1 == 24, f"STREAMINFO declares {declared + 1} bits"
+    got2, info2 = read_flac(out)
+    assert info2.bits_per_sample == 24 and info2.frames == total
+    x = samples.astype(np.float64) / (1 << 11)
+    np.testing.assert_allclose(got2, 0.5 * x, atol=2.5 / (1 << 23) + 1e-7)

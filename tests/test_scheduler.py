@@ -372,3 +372,87 @@ def test_runtime_uses_scheduler(tmp_path):
     assert np.max(np.abs(got - ref)) < 2.5 / 32768
     assert fs.device_scheduler.jobs > 0
     fs.close_handler("/song.flac", h)
+
+
+def test_stop_resolves_queued_jobs(rng):
+    """A job still queued when stop() runs must complete (drained on the
+    stopping thread), never leave a reader hanging in future.result()."""
+    size, fragm = 256, 64
+    ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+    bank = compile_filter_bank(ir, fragm=fragm, size=size)
+    x = rng.standard_normal((1, 2, fragm)).astype(np.float32)
+
+    # A long coalescing window parks the scheduler thread with the job
+    # still queued (anonymous submit => the window is always paid);
+    # stop() arrives inside the window — exactly the shutdown race.
+    sched = DeviceScheduler(max_batch=8, window_s=5.0)
+    fut = sched.submit(bank, init_state(bank), x, fragm)
+    sched.stop()
+    state, y = fut.result(timeout=30)
+    _, ref_y = chunk_step(bank, init_state(bank), x, fragm)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
+
+
+def test_two_groups_same_signature_both_stay_fast(rng):
+    """Two stream groups sharing one bank signature but executing in
+    SEPARATE batches: neither group's device-resident states may be
+    invalidated by the other's step (a single live-parent slot per
+    signature used to clobber, forcing host round-trips every step)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from folve_tpu.parallel.serving import make_serving_mesh
+    from folve_tpu.runtime.scheduler import ShardedStateRef
+
+    mesh = make_serving_mesh(8, freq_parallel=2)
+    size, fragm, per_group = 512, 128, 3
+    ir = rng.standard_normal((2, 2, size)).astype(np.float32) / 16
+    bank = compile_filter_bank(ir, fragm=fragm, size=size)
+    xs = [rng.standard_normal((1, 2, fragm)).astype(np.float32)
+          for _ in range(2 * per_group)]
+
+    sched = DeviceScheduler(max_batch=8, window_s=0.05, mesh=mesh)
+    sched.start()
+
+    def run_group(idxs, states):
+        barrier = threading.Barrier(len(idxs))
+        futs = {}
+
+        def submit(i):
+            barrier.wait()
+            futs[i] = sched.submit(bank, states[i], xs[i], fragm)
+
+        ts = [threading.Thread(target=submit, args=(i,)) for i in idxs]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return {i: futs[i].result(timeout=120) for i in idxs}
+
+    group_a = list(range(per_group))
+    group_b = list(range(per_group, 2 * per_group))
+    states = {i: init_state(bank) for i in range(2 * per_group)}
+
+    # Step 1, group A alone; then group B alone (separate batch, same
+    # signature — this used to supersede A's parent).
+    res_a = run_group(group_a, states)
+    for i, (st, _) in res_a.items():
+        assert isinstance(st, ShardedStateRef)
+        states[i] = st
+    res_b = run_group(group_b, states)
+    for i, (st, _) in res_b.items():
+        states[i] = st
+
+    # Step 2, group A again with its refs: must take the fast path.
+    before = sched.materialized
+    res_a2 = run_group(group_a, states)
+    assert sched.materialized == before, (
+        "group A's device-resident states were invalidated by group B's step"
+    )
+    # And the data must still be right.
+    for i, (_, y) in res_a2.items():
+        ref_s1, _ = chunk_step(bank, init_state(bank), xs[i], fragm)
+        _, ref_y2 = chunk_step(bank, ref_s1, xs[i], fragm)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y2), atol=1e-5)
+    sched.stop()
