@@ -75,6 +75,8 @@ def _parse(f: BinaryIO):
             f.seek(1, io.SEEK_CUR)
     if channels is None or sound_offset is None:
         raise AiffError("missing COMM or SSND chunk")
+    if rate is None or rate <= 0 or channels == 0:
+        raise AiffError("bad COMM rate or channel count")
     comp = compression.lower()
     if comp in (b"none", b"sowt"):
         codec = {8: SampleCodec.PCM_S8, 16: SampleCodec.PCM_16,
@@ -100,16 +102,17 @@ def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
     f = _open(src)
     info, offset, size, comp = _parse(f)
     f.seek(offset)
-    raw = f.read(size)
+    raw = f.read(max(0, size))  # short read on truncated files is fine
     ch = info.channels
     little = comp == b"sowt"
     c = info.codec
     if c == SampleCodec.PCM_16:
+        raw = raw[: len(raw) - len(raw) % 2]
         x = np.frombuffer(raw, dtype="<i2" if little else ">i2").astype(np.float32) / 32768.0
     elif c == SampleCodec.PCM_S8:
         x = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
     elif c == SampleCodec.PCM_24:
-        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        b = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8).reshape(-1, 3)
         if little:
             val = (
                 b[:, 0].astype(np.int32)
@@ -125,8 +128,10 @@ def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
         val = (val << 8) >> 8
         x = val.astype(np.float32) / 8388608.0
     elif c == SampleCodec.PCM_32:
+        raw = raw[: len(raw) - len(raw) % 4]
         x = np.frombuffer(raw, dtype="<i4" if little else ">i4").astype(np.float32) / 2147483648.0
     elif c == SampleCodec.FLOAT:
+        raw = raw[: len(raw) - len(raw) % 4]
         x = np.frombuffer(raw, dtype="<f4" if little else ">f4").astype(np.float32)
     else:
         raise AiffError(f"cannot decode {c}")
@@ -194,6 +199,8 @@ class AiffStreamEncoder:
         self._limit = (1 << (bits - 1)) - 1
 
     def header(self, metadata=None) -> bytes:
+        if self.rate <= 0:
+            raise AiffError(f"bad sample rate {self.rate}")
         mant, exp = self.rate, 16383 + 63
         while mant < (1 << 63):
             mant <<= 1
@@ -271,6 +278,8 @@ def write_aiff(dst, data: np.ndarray, rate: int, bits: int = 16) -> None:
     else:
         raise AiffError(f"unsupported AIFF write depth {bits}")
     # 80-bit extended sample rate.
+    if rate <= 0:
+        raise AiffError(f"bad sample rate {rate}")
     mant = rate
     exp = 16383 + 63
     while mant < (1 << 63):

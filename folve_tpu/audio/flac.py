@@ -112,8 +112,10 @@ class FlacDecoder:
             with open(data, "rb") as f:
                 data = f.read()
         self._lib = _get_lib()
-        self._data = bytes(data)  # keep alive for the native side
-        self._handle = self._lib.folve_flac_open(self._data, len(self._data))
+        data = bytes(data)
+        # folve_flac_open copies into the native decoder; retaining the
+        # Python buffer too would pin 2x the file per open stream.
+        self._handle = self._lib.folve_flac_open(data, len(data))
         if not self._handle:
             raise FlacError("invalid FLAC stream")
         st = _FolveFlacInfo()

@@ -97,8 +97,10 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.WAV:
             return WavSource(path)
         if container == Container.FLAC:
-            with open(path, "rb") as f:
-                return FlacSource(f.read())
+            # Pass the path: FlacDecoder reads it once into the native
+            # side's copy; routing bytes through here would pin a second
+            # whole-file Python buffer per open stream.
+            return FlacSource(path)
         if container in (Container.AIFF, Container.AU, Container.W64,
                          Container.CAF):
             return ArraySource(path)

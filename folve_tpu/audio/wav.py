@@ -83,6 +83,17 @@ def _parse_header(f: BinaryIO):
             f.seek(1, io.SEEK_CUR)
     if fmt is None or data_offset is None:
         raise WavError("missing fmt or data chunk")
+    # Clamp to the actual bytes present: recorders write inflated or
+    # 0xFFFFFFFF "unknown length" data sizes, and truncated files must
+    # short-decode gracefully rather than crash in np.frombuffer.
+    try:
+        file_end = f.seek(0, io.SEEK_END)
+        if data_offset + data_size > file_end or (
+            data_size == 0xFFFFFFFF and not is_rf64
+        ):
+            data_size = max(0, file_end - data_offset)
+    except OSError:
+        pass  # unseekable: trust the header
     if len(fmt) < 16:
         raise WavError("fmt chunk too short")
     tag, channels, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
@@ -119,9 +130,10 @@ def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
     ch = info.channels
     c = info.codec
     if c == SampleCodec.PCM_16:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        x = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.float32) / 32768.0
     elif c == SampleCodec.PCM_24:
-        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        b = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8)
+        b = b.reshape(-1, 3)
         val = (
             b[:, 0].astype(np.int32)
             | (b[:, 1].astype(np.int32) << 8)
@@ -130,13 +142,13 @@ def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
         val = (val << 8) >> 8  # sign-extend 24 -> 32
         x = val.astype(np.float32) / 8388608.0
     elif c == SampleCodec.PCM_32:
-        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        x = np.frombuffer(raw[: len(raw) - len(raw) % 4], dtype="<i4").astype(np.float32) / 2147483648.0
     elif c == SampleCodec.PCM_U8:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif c == SampleCodec.FLOAT:
-        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        x = np.frombuffer(raw[: len(raw) - len(raw) % 4], dtype="<f4").astype(np.float32)
     elif c == SampleCodec.DOUBLE:
-        x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        x = np.frombuffer(raw[: len(raw) - len(raw) % 8], dtype="<f8").astype(np.float32)
     else:
         raise WavError(f"cannot decode codec {c}")
     n = (len(x) // ch) * ch

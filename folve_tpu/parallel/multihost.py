@@ -32,11 +32,14 @@ bit-exactly), and all hosts tick together.  State lives on device
 between ticks; only audio crosses the host boundary, per host.
 
 On real multi-host TPU pods each process calls
-``jax.distributed.initialize`` and passes its process-local inputs; this
-module keeps all host-feeding paths in
-``jax.make_array_from_process_local_data`` form so the same code runs
-single-process (tests: an 8-device virtual mesh split into simulated
-hosts) and multi-process (production) unchanged.
+``jax.distributed.initialize`` and feeds its process-local rows only:
+SlotServer then builds every global array with
+``jax.make_array_from_process_local_data`` and reads back only its own
+addressable shards.  Single-process (tests: an 8-device virtual mesh
+split into simulated hosts) drives all hosts from one instance with
+plain ``device_put``.  The multi-process branches follow the standard
+jax multi-controller recipe but no multi-host pod exists in this
+environment — they are code-reviewed, not hardware-tested.
 """
 
 from __future__ import annotations
@@ -189,17 +192,42 @@ class SlotServer:
         self.cin, self.cout = cin, cout
         self._step = make_multihost_serving_step(mesh, bank.fragm,
                                                  shared_bank=True)
-        put = lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec))
-        self._h = put(np.asarray(bank.h_spec), SPEC_H_SHARED)
-        self._hist_re = put(np.zeros((s, p - 1, cin, k), np.float32), SPEC_HIST)
-        self._hist_im = put(np.zeros((s, p - 1, cin, k), np.float32), SPEC_HIST)
-        self._tail = put(np.zeros((s, cout, bank.fragm), np.float32), SPEC_TAIL)
-        self._max = put(np.zeros((s,), np.float32), SPEC_SCALAR)
+        # Real pods run one process per host: every global array is
+        # built from process-local data (device_put onto a sharding that
+        # spans non-addressable devices is not legal there).  The
+        # single-process virtual mesh (tests) owns everything.
+        self._multiproc = jax.process_count() > 1
+        self.host_index = jax.process_index() if self._multiproc else None
+        if self._multiproc:
+            mk = lambda arr, spec: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), arr
+            )
+            self._h = mk(np.asarray(bank.h_spec), SPEC_H_SHARED)
+            self._hist_re = mk(
+                np.zeros((s_local, p - 1, cin, k), np.float32), SPEC_HIST
+            )
+            self._hist_im = mk(
+                np.zeros((s_local, p - 1, cin, k), np.float32), SPEC_HIST
+            )
+            self._tail = mk(
+                np.zeros((s_local, cout, bank.fragm), np.float32), SPEC_TAIL
+            )
+            self._max = mk(np.zeros((s_local,), np.float32), SPEC_SCALAR)
+        else:
+            put = lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec))
+            self._h = put(np.asarray(bank.h_spec), SPEC_H_SHARED)
+            self._hist_re = put(np.zeros((s, p - 1, cin, k), np.float32), SPEC_HIST)
+            self._hist_im = put(np.zeros((s, p - 1, cin, k), np.float32), SPEC_HIST)
+            self._tail = put(np.zeros((s, cout, bank.fragm), np.float32), SPEC_TAIL)
+            self._max = put(np.zeros((s,), np.float32), SPEC_SCALAR)
         self.ticks = 0
 
     def reset_slot(self, row: int) -> None:
         """Zero one slot's convolution state (a new stream claims it).
-        Host-side scatter of a zero row; cheap at slot-churn rates."""
+        Host-side scatter of a zero row; cheap at slot-churn rates.
+        Multi-process: a global computation — EVERY process must call
+        this with the same row in the same tick gap (lockstep, exactly
+        like tick)."""
         self._hist_re = self._hist_re.at[row].set(0.0)
         self._hist_im = self._hist_im.at[row].set(0.0)
         self._tail = self._tail.at[row].set(0.0)
@@ -214,18 +242,49 @@ class SlotServer:
         own rows; the global array is assembled per-host).  Returns
         row -> [T, Cout, fragm] convolved audio for those rows.
         """
-        s, t, b = self.s_global, self.t, self.bank.fragm
-        x = np.zeros((s, t, self.cin, b), np.float32)
-        nv = np.zeros((s,), np.int32)
-        act = np.zeros((s,), bool)
-        for row, blk in x_blocks.items():
-            x[row] = blk
-            nv[row] = (n_valid or {}).get(row, t * b)
-            act[row] = True
-        put = lambda arr, spec: jax.device_put(arr, NamedSharding(self.mesh, spec))
+        t, b = self.t, self.bank.fragm
+        if self._multiproc:
+            # Process-local feeding: this process assembles ONLY its own
+            # host's row block and reads back only its own shards.
+            lo = host_rows(self.mesh, self.host_index, self.s_local)
+            foreign = [r for r in x_blocks if not lo.start <= r < lo.stop]
+            if foreign:
+                raise ValueError(
+                    f"process {self.host_index} owns rows "
+                    f"[{lo.start},{lo.stop}) but was fed {foreign}"
+                )
+            x = np.zeros((self.s_local, t, self.cin, b), np.float32)
+            nv = np.zeros((self.s_local,), np.int32)
+            act = np.zeros((self.s_local,), bool)
+            for row, blk in x_blocks.items():
+                i = row - lo.start
+                x[i] = blk
+                nv[i] = (n_valid or {}).get(row, t * b)
+                act[i] = True
+            put = lambda arr, spec: jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, spec), arr
+            )
+        else:
+            s = self.s_global
+            x = np.zeros((s, t, self.cin, b), np.float32)
+            nv = np.zeros((s,), np.int32)
+            act = np.zeros((s,), bool)
+            for row, blk in x_blocks.items():
+                x[row] = blk
+                nv[row] = (n_valid or {}).get(row, t * b)
+                act[row] = True
+            put = lambda arr, spec: jax.device_put(
+                arr, NamedSharding(self.mesh, spec)
+            )
         self._hist_re, self._hist_im, self._tail, self._max, y = self._step(
             self._h, self._hist_re, self._hist_im, self._tail, self._max,
             put(x, SPEC_X), put(nv, SPEC_SCALAR), put(act, SPEC_SCALAR),
         )
         self.ticks += 1
+        if self._multiproc:
+            shards = sorted(
+                y.addressable_shards, key=lambda sh: sh.index[0].start or 0
+            )
+            y_local = np.concatenate([np.asarray(sh.data) for sh in shards])
+            return {row: y_local[row - lo.start] for row in x_blocks}
         return {row: np.asarray(y[row]) for row in x_blocks}

@@ -107,7 +107,13 @@ class FolveFilesystem:
         return self.current_config_subdir
 
     def get_underlying_file(self, fs_path: str) -> str:
-        """Mount path -> source-directory path (cc:134-143)."""
+        """Mount path -> source-directory path (cc:134-143).
+
+        Rejects ``..`` segments outright: the kernel resolves them
+        before FUSE ever sees a path, so any occurrence here comes from
+        a non-kernel frontend (HTTP) and must not escape the root."""
+        if "/../" in fs_path or fs_path.endswith("/..") or fs_path == "..":
+            raise OSError(2, "path traversal rejected", fs_path)
         if self.toplevel_dir_is_filter:
             slash = fs_path.find("/", 1)
             fs_path = fs_path[slash:] if slash >= 0 else ""

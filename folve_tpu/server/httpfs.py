@@ -10,17 +10,66 @@ directly by network media players.  Routes:
 
 No peer in the reference (its only HTTP is the status page); this is a
 frontend over the same ``FolveVfs`` operations the FUSE layer uses.
+
+Unlike FUSE, HTTP delivers raw ``..`` segments (the kernel resolves
+them before a filesystem ever sees a path), so every URL path is
+normalized here — anchored normalization collapses any amount of
+``../`` into the VFS root — and the filesystem core additionally
+rejects ``..`` segments outright.
 """
 
 from __future__ import annotations
 
+import posixpath
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
 
 from folve_tpu.server.vfs import FolveVfs
 
 _CHUNK = 64 << 10
+
+
+def _clean_path(raw: str) -> Optional[str]:
+    """Normalize a URL path into a safe absolute VFS path (or None)."""
+    if "\x00" in raw:
+        return None
+    p = posixpath.normpath("/" + raw.lstrip("/"))
+    while p.startswith("//"):
+        p = p[1:]
+    # normpath of an anchored path cannot keep '..' segments, but be
+    # explicit — this is the security boundary.
+    if any(part == ".." for part in p.split("/")):
+        return None
+    return p
+
+
+def _parse_range(rng: Optional[str], size: int) -> Optional[Tuple[int, Optional[int]]]:
+    """RFC 7233 single byte-range -> (start, inclusive_end|None).
+    Returns None for absent/malformed/multi ranges (serve 200 full);
+    suffix ranges (``bytes=-N``) mean the LAST N bytes."""
+    if not rng or not rng.startswith("bytes="):
+        return None
+    spec = rng[6:]
+    if "," in spec:
+        return None  # multipart ranges unsupported: full response
+    parts = spec.split("-", 1)
+    if len(parts) != 2:
+        return None
+    try:
+        if parts[0] == "":
+            n = int(parts[1])
+            if n <= 0:
+                return None
+            return max(0, size - n), None
+        start = int(parts[0])
+        end = int(parts[1]) if parts[1] else None
+    except ValueError:
+        return None
+    if start < 0 or (end is not None and end < start):
+        return None
+    return start, end
 
 
 def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
@@ -30,21 +79,45 @@ def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
         def log_message(self, *a):
             pass
 
-        def do_GET(self):
+        def _dispatch(self, head_only: bool) -> None:
+            self._headers_sent = False  # per-request (keep-alive reuse)
             parsed = urllib.parse.urlparse(self.path)
-            path = urllib.parse.unquote(parsed.path)
+            raw = urllib.parse.unquote(parsed.path)
+            streaming = False
             try:
-                if path.startswith("/files/"):
-                    self._serve_file("/" + path[len("/files/") :])
-                elif path.startswith("/ls"):
-                    self._serve_listing(path[len("/ls") :] or "/")
+                if raw.startswith("/files"):
+                    sub = _clean_path(raw[len("/files") :] or "/")
+                    if sub is None:
+                        self._reply(400, {}, b"bad path")
+                        return
+                    streaming = True
+                    self._serve_file(sub, head_only)
+                elif raw.startswith("/ls"):
+                    sub = _clean_path(raw[len("/ls") :] or "/")
+                    if sub is None:
+                        self._reply(400, {}, b"bad path")
+                        return
+                    self._serve_listing(sub, head_only)
                 elif vfs.status_server is not None:
                     code, headers, body = vfs.status_server.handle_http(self.path)
-                    self._reply(code, headers, body)
+                    self._reply(code, headers, b"" if head_only else body)
                 else:
                     self._reply(404, {}, b"not found")
             except OSError as e:
-                self._reply(404, {}, f"error: {e}".encode())
+                if streaming and self._headers_sent:
+                    # Mid-stream failure: the status line is long gone, a
+                    # second response would corrupt the chunked body.
+                    # Drop the connection; truncation IS the error signal.
+                    self.close_connection = True
+                else:
+                    self._reply(404, {}, f"error: {e}".encode())
+
+        def do_GET(self):
+            self._dispatch(head_only=False)
+
+        def do_HEAD(self):
+            # Players commonly probe with HEAD before streaming.
+            self._dispatch(head_only=True)
 
         def _reply(self, code, headers, body):
             self.send_response(code)
@@ -52,38 +125,48 @@ def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
                 self.send_header(k, v)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
-            self.wfile.write(body)
+            if self.command != "HEAD":
+                self.wfile.write(body)
 
-        def _serve_listing(self, path):
+        def _serve_listing(self, path, head_only=False):
             entries = vfs.readdir(path)
             body = ("\n".join(entries) + "\n").encode()
-            self._reply(200, {"Content-Type": "text/plain"}, body)
+            self._reply(
+                200, {"Content-Type": "text/plain"}, b"" if head_only else body
+            )
 
-        def _serve_file(self, path):
+        _headers_sent = False
+
+        def _serve_file(self, path, head_only=False):
             handler = vfs.open(path)
             try:
                 st = vfs.getattr(path, handler)
-                start, end = 0, None
-                rng = self.headers.get("Range")
-                status = 200
-                if rng and rng.startswith("bytes="):
-                    spec = rng[6:].split("-")
-                    start = int(spec[0]) if spec[0] else 0
-                    end = int(spec[1]) if len(spec) > 1 and spec[1] else None
-                    status = 206
+                span = _parse_range(self.headers.get("Range"), st.st_size)
+                if span is None:
+                    start, end, status = 0, None, 200
+                else:
+                    (start, end), status = span, 206
                 self.send_response(status)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.send_header("Accept-Ranges", "bytes")
                 if status == 206:
                     self.send_header(
                         "Content-Range",
-                        f"bytes {start}-{(end if end is not None else st.st_size - 1)}"
+                        f"bytes {start}-"
+                        f"{(end if end is not None else st.st_size - 1)}"
                         f"/{st.st_size}",
                     )
                 # Sizes are estimates (the reference inflates them too);
                 # stream chunked so we can stop at the true end.
+                if head_only:
+                    # No body: advertise the (estimated, like the
+                    # reference's stat) size instead of a chunked stream.
+                    self.send_header("Content-Length", str(st.st_size))
+                    self.end_headers()
+                    return
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
+                self._headers_sent = True
                 offset = start
                 remaining = None if end is None else end - start + 1
                 while True:

@@ -243,6 +243,103 @@ class TestHttpFrontend:
         finally:
             httpd.shutdown()
 
+    def test_http_traversal_is_rejected(self, tmp_path):
+        """HTTP delivers raw '..' (no kernel resolution like FUSE) — it
+        must never escape the music root."""
+        import http.client
+
+        vfs, fs, src = make_vfs(tmp_path)
+        write_song(src, "a.flac", 400)
+        secret = tmp_path / "secret.txt"
+        secret.write_text("top secret")
+        from folve_tpu.server.httpfs import start_httpfs_thread
+
+        httpd = start_httpfs_thread(vfs, 0)
+        port = httpd.server_address[1]
+        try:
+            for raw in (
+                "/files/../secret.txt",
+                "/files/..%2fsecret.txt",
+                "/files/%2e%2e/secret.txt",
+                "/files/a/../../secret.txt",
+            ):
+                conn = http.client.HTTPConnection("localhost", port)
+                # path sent verbatim (urlopen would normalize client-side)
+                conn.request("GET", raw)
+                resp = conn.getresponse()
+                body = resp.read()
+                assert b"top secret" not in body, raw
+                assert resp.status in (400, 404), (raw, resp.status)
+                conn.close()
+            # Traversal in a listing collapses to the VFS root — never
+            # the parent directory holding secret.txt.
+            conn = http.client.HTTPConnection("localhost", port)
+            conn.request("GET", "/ls/../..")
+            resp = conn.getresponse()
+            body = resp.read().decode()
+            assert resp.status == 200 and "secret.txt" not in body
+            assert "a.flac" in body  # it IS the mount root
+            conn.close()
+            # And the underlying-file API itself refuses '..' paths.
+            with pytest.raises(OSError):
+                fs.get_underlying_file("/../secret.txt")
+        finally:
+            httpd.shutdown()
+
+    def test_http_head_and_suffix_range(self, tmp_path):
+        import http.client
+
+        vfs, fs, src = make_vfs(tmp_path)
+        write_song(src, "a.flac", 1200)
+        from folve_tpu.server.httpfs import start_httpfs_thread
+
+        httpd = start_httpfs_thread(vfs, 0)
+        port = httpd.server_address[1]
+        try:
+            # Full body for comparison.
+            with urllib.request.urlopen(f"http://localhost:{port}/files/a.flac") as r:
+                whole = r.read()
+            # HEAD: headers only, no body, range advertised.
+            conn = http.client.HTTPConnection("localhost", port)
+            conn.request("HEAD", "/files/a.flac")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("Accept-Ranges") == "bytes"
+            assert resp.read() == b""
+            conn.close()
+            # Suffix range = the LAST N bytes of the ADVERTISED size.
+            # Sizes are estimates (the reference inflates stat sizes the
+            # same way), so the bytes must match a VFS read at that
+            # offset — for an inflated size that's the end-skip zeros a
+            # FUSE reader would get, not the real file tail.
+            size = int(resp.getheader("Content-Length"))
+            req = urllib.request.Request(
+                f"http://localhost:{port}/files/a.flac",
+                headers={"Range": "bytes=-100"},
+            )
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 206
+                assert r.getheader("Content-Range").startswith(
+                    f"bytes {size - 100}-"
+                )
+                tail = r.read()
+            h = vfs.open("/a.flac")
+            try:
+                ref = vfs.read(h, 100, size - 100)
+            finally:
+                vfs.release("/a.flac", h)
+            assert tail == ref and len(tail) <= 100
+            # Malformed range: ignored, full 200 response.
+            req = urllib.request.Request(
+                f"http://localhost:{port}/files/a.flac",
+                headers={"Range": "bytes=abc-"},
+            )
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 200
+                assert r.read() == whole
+        finally:
+            httpd.shutdown()
+
 
 class TestCli:
     def test_offline_convolve(self, tmp_path, capsys):
