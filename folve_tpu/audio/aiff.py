@@ -14,6 +14,7 @@ from typing import BinaryIO, Union
 
 import numpy as np
 
+from folve_tpu.audio.pcm_stream import PcmStreamEncoderBase
 from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
 
 
@@ -180,23 +181,13 @@ def read_aiff_metadata(src) -> dict:
     return out
 
 
-class AiffStreamEncoder:
-    """Streaming AIFF encoder with the FlacEncoder interface (header /
-    write_float / finish).  AIFF is uncompressed and the convolved
-    output has exactly the input's frame count (sound-processor.cc
-    writes what it reads), so the header can be emitted up front with
-    the final sizes — no patching needed."""
+class AiffStreamEncoder(PcmStreamEncoderBase):
+    """Streaming AIFF encoder: big-endian PCM behind an exact-size
+    header (sound-processor.cc writes what it reads, so frame counts
+    are known up front)."""
 
-    def __init__(self, rate: int, channels: int, bits: int, total_frames: int):
-        if bits not in (16, 24, 32):
-            raise AiffError(f"unsupported AIFF stream depth {bits}")
-        self.rate = rate
-        self.channels = channels
-        self.bits = bits
-        self.total_frames = total_frames
-        self.blocksize = 0  # no framing
-        self._scale = float(1 << (bits - 1))
-        self._limit = (1 << (bits - 1)) - 1
+    _allowed_bits = (16, 24, 32)
+    _error = AiffError
 
     def header(self, metadata=None) -> bytes:
         if self.rate <= 0:
@@ -226,35 +217,6 @@ class AiffStreamEncoder:
         out += b"COMM" + struct.pack(">I", len(comm)) + comm
         out += b"SSND" + struct.pack(">I", ssnd_len) + struct.pack(">II", 0, 0)
         return out
-
-    def write_float(self, samples: np.ndarray) -> bytes:
-        v = np.clip(
-            np.round(np.asarray(samples, dtype=np.float64) * self._scale),
-            -self._scale,
-            self._limit,
-        ).astype(np.int64)
-        if self.bits == 16:
-            return v.astype(">i2").tobytes()
-        if self.bits == 32:
-            return v.astype(">i4").tobytes()
-        flat = v.reshape(-1)
-        out = np.empty((flat.size, 3), dtype=np.uint8)
-        out[:, 0] = (flat >> 16) & 0xFF
-        out[:, 1] = (flat >> 8) & 0xFF
-        out[:, 2] = flat & 0xFF
-        return out.tobytes()
-
-    def write_int(self, samples: np.ndarray) -> bytes:
-        return self.write_float(np.asarray(samples, np.float64) / self._scale)
-
-    def finish(self) -> bytes:
-        return b""
-
-    def streaminfo(self, with_md5: bool = True) -> bytes:
-        return b""
-
-    def close(self) -> None:
-        pass
 
 
 def write_aiff(dst, data: np.ndarray, rate: int, bits: int = 16) -> None:

@@ -15,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 
+from folve_tpu.audio.pcm_stream import PcmStreamEncoderBase
 from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
 
 
@@ -133,21 +134,11 @@ def read_au(path: str) -> tuple[np.ndarray, AudioInfo]:
     return data, info
 
 
-class AuStreamEncoder:
-    """Streaming AU encoder (FlacEncoder interface).  AU headers carry
-    an exact data size which we know up front (output frames == input
-    frames), and the payload is raw big-endian PCM — ideal streaming."""
+class AuStreamEncoder(PcmStreamEncoderBase):
+    """Streaming AU encoder: raw big-endian PCM behind an exact-size
+    header."""
 
-    def __init__(self, rate: int, channels: int, bits: int, total_frames: int):
-        if bits not in (16, 24):
-            raise AuError(f"unsupported AU stream depth {bits}")
-        self.rate = rate
-        self.channels = channels
-        self.bits = bits
-        self.total_frames = total_frames
-        self.blocksize = 0
-        self._scale = float(1 << (bits - 1))
-        self._limit = (1 << (bits - 1)) - 1
+    _error = AuError
 
     def header(self, metadata: Optional[dict] = None) -> bytes:
         # AU has a free-text annotation field; carry tags as key=value
@@ -170,32 +161,6 @@ class AuStreamEncoder:
                           self.channels)
             + ann
         )
-
-    def write_float(self, samples: np.ndarray) -> bytes:
-        v = np.clip(
-            np.round(np.asarray(samples, np.float64) * self._scale),
-            -self._scale, self._limit,
-        ).astype(np.int64)
-        if self.bits == 16:
-            return v.astype(">i2").tobytes()
-        flat = v.reshape(-1)
-        out = np.empty((flat.size, 3), np.uint8)
-        out[:, 0] = (flat >> 16) & 0xFF
-        out[:, 1] = (flat >> 8) & 0xFF
-        out[:, 2] = flat & 0xFF
-        return out.tobytes()
-
-    def write_int(self, samples: np.ndarray) -> bytes:
-        return self.write_float(np.asarray(samples, np.float64) / self._scale)
-
-    def finish(self) -> bytes:
-        return b""
-
-    def streaminfo(self, with_md5: bool = True) -> bytes:
-        return b""
-
-    def close(self) -> None:
-        pass
 
 
 def write_au(dst, data: np.ndarray, rate: int, bits: int = 16) -> None:

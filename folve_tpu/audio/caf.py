@@ -15,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 
+from folve_tpu.audio.pcm_stream import PcmStreamEncoderBase
 from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
 
 
@@ -158,20 +159,11 @@ def read_caf_info(path: str) -> AudioInfo:
     )
 
 
-class CafStreamEncoder:
-    """Streaming CAF encoder (FlacEncoder interface); exact data size
-    up front, big-endian PCM payload."""
+class CafStreamEncoder(PcmStreamEncoderBase):
+    """Streaming CAF encoder: big-endian PCM behind an exact-size
+    header; tags ride the standard 'info' chunk."""
 
-    def __init__(self, rate: int, channels: int, bits: int, total_frames: int):
-        if bits not in (16, 24):
-            raise CafError(f"unsupported CAF stream depth {bits}")
-        self.rate = rate
-        self.channels = channels
-        self.bits = bits
-        self.total_frames = total_frames
-        self.blocksize = 0
-        self._scale = float(1 << (bits - 1))
-        self._limit = (1 << (bits - 1)) - 1
+    _error = CafError
 
     def header(self, metadata: Optional[dict] = None) -> bytes:
         bpf = self.channels * self.bits // 8
@@ -191,32 +183,6 @@ class CafStreamEncoder:
         payload = self.total_frames * bpf
         out += b"data" + struct.pack(">q", 4 + payload) + struct.pack(">I", 0)
         return out
-
-    def write_float(self, samples: np.ndarray) -> bytes:
-        v = np.clip(
-            np.round(np.asarray(samples, np.float64) * self._scale),
-            -self._scale, self._limit,
-        ).astype(np.int64)
-        if self.bits == 16:
-            return v.astype(">i2").tobytes()
-        flat = v.reshape(-1)
-        out = np.empty((flat.size, 3), np.uint8)
-        out[:, 0] = (flat >> 16) & 0xFF
-        out[:, 1] = (flat >> 8) & 0xFF
-        out[:, 2] = flat & 0xFF
-        return out.tobytes()
-
-    def write_int(self, samples: np.ndarray) -> bytes:
-        return self.write_float(np.asarray(samples, np.float64) / self._scale)
-
-    def finish(self) -> bytes:
-        return b""
-
-    def streaminfo(self, with_md5: bool = True) -> bytes:
-        return b""
-
-    def close(self) -> None:
-        pass
 
 
 def read_caf_metadata(path: str) -> dict:

@@ -13,6 +13,7 @@ from typing import Optional
 
 import numpy as np
 
+from folve_tpu.audio.pcm_stream import PcmStreamEncoderBase
 from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
 
 
@@ -154,21 +155,12 @@ def read_w64_info(path: str) -> AudioInfo:
     )
 
 
-class W64StreamEncoder:
-    """Streaming Wave64 encoder (FlacEncoder interface): exact sizes go
-    in the header up front (frames are known), payload is plain
-    little-endian PCM."""
+class W64StreamEncoder(PcmStreamEncoderBase):
+    """Streaming Wave64 encoder: little-endian PCM behind an exact-size
+    header."""
 
-    def __init__(self, rate: int, channels: int, bits: int, total_frames: int):
-        if bits not in (16, 24):
-            raise W64Error(f"unsupported W64 stream depth {bits}")
-        self.rate = rate
-        self.channels = channels
-        self.bits = bits
-        self.total_frames = total_frames
-        self.blocksize = 0
-        self._scale = float(1 << (bits - 1))
-        self._limit = (1 << (bits - 1)) - 1
+    _little_endian = True
+    _error = W64Error
 
     def header(self, metadata: Optional[dict] = None) -> bytes:
         del metadata  # W64 has no standard tag chunk
@@ -186,32 +178,6 @@ class W64StreamEncoder:
             GUID_RIFF + struct.pack("<Q", total) + GUID_WAVE
             + fmt_chunk + data_hdr
         )
-
-    def write_float(self, samples: np.ndarray) -> bytes:
-        v = np.clip(
-            np.round(np.asarray(samples, np.float64) * self._scale),
-            -self._scale, self._limit,
-        ).astype(np.int64)
-        if self.bits == 16:
-            return v.astype("<i2").tobytes()
-        flat = v.reshape(-1)
-        out = np.empty((flat.size, 3), np.uint8)
-        out[:, 0] = flat & 0xFF
-        out[:, 1] = (flat >> 8) & 0xFF
-        out[:, 2] = (flat >> 16) & 0xFF
-        return out.tobytes()
-
-    def write_int(self, samples: np.ndarray) -> bytes:
-        return self.write_float(np.asarray(samples, np.float64) / self._scale)
-
-    def finish(self) -> bytes:
-        return b""
-
-    def streaminfo(self, with_md5: bool = True) -> bytes:
-        return b""
-
-    def close(self) -> None:
-        pass
 
 
 def write_w64(dst, data: np.ndarray, rate: int, bits: int = 16) -> None:
