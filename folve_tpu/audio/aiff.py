@@ -40,6 +40,8 @@ def _decode_extended(b: bytes) -> float:
     exp = sign_exp & 0x7FFF
     if exp == 0 and mantissa == 0:
         return 0.0
+    if exp >= 16383 + 64:  # inf/NaN encodings and absurd magnitudes
+        raise AiffError("bad extended-float sample rate")
     return sign * mantissa * 2.0 ** (exp - 16383 - 63)
 
 
@@ -78,6 +80,16 @@ def _parse(f: BinaryIO):
         raise AiffError("missing COMM or SSND chunk")
     if rate is None or rate <= 0 or channels == 0:
         raise AiffError("bad COMM rate or channel count")
+    # Clamp the declared frame count to the bytes actually present (the
+    # WAV parser does the same): a truncated SSND must short-decode AND
+    # report the short length, or exact-size output headers over-promise.
+    try:
+        file_end = f.seek(0, io.SEEK_END)
+        sound_size = max(0, min(sound_size, file_end - sound_offset))
+    except OSError:
+        pass
+    if bits and channels:
+        frames = min(frames, sound_size // max(1, channels * (bits // 8)))
     comp = compression.lower()
     if comp in (b"none", b"sowt"):
         codec = {8: SampleCodec.PCM_S8, 16: SampleCodec.PCM_16,

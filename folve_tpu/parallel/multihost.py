@@ -282,9 +282,14 @@ class SlotServer:
         )
         self.ticks += 1
         if self._multiproc:
-            shards = sorted(
-                y.addressable_shards, key=lambda sh: sh.index[0].start or 0
+            # SPEC_X replicates over the freq axis: each row block shows
+            # up once PER FREQ SHARD among the addressable shards —
+            # dedup by row start before reassembly.
+            by_start = {}
+            for sh in y.addressable_shards:
+                by_start.setdefault(sh.index[0].start or 0, sh)
+            y_local = np.concatenate(
+                [np.asarray(by_start[k].data) for k in sorted(by_start)]
             )
-            y_local = np.concatenate([np.asarray(sh.data) for sh in shards])
             return {row: y_local[row - lo.start] for row in x_blocks}
         return {row: np.asarray(y[row]) for row in x_blocks}

@@ -94,7 +94,11 @@ class ProcessorPool:
             return  # outdated: don't pool
         # reset() drains the processor's in-flight device step; doing
         # that under the pool lock would block every other stream's
-        # checkout on this stream's device latency.
+        # checkout on this stream's device latency — and a processor
+        # the full pool is about to discard shouldn't pay it at all.
+        with self._lock:
+            if len(self._pool.get(processor.config_file, ())) >= self._max_per_config:
+                return
         processor.reset()
         with self._lock:
             lst = self._pool.setdefault(processor.config_file, [])

@@ -17,7 +17,6 @@ sizes are padded to power-of-two buckets to bound XLA compilations.
 from __future__ import annotations
 
 import atexit
-import weakref
 import threading
 import time
 import weakref

@@ -85,14 +85,14 @@ def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
             raw = urllib.parse.unquote(parsed.path)
             streaming = False
             try:
-                if raw.startswith("/files"):
+                if raw == "/files" or raw.startswith("/files/"):
                     sub = _clean_path(raw[len("/files") :] or "/")
                     if sub is None:
                         self._reply(400, {}, b"bad path")
                         return
                     streaming = True
                     self._serve_file(sub, head_only)
-                elif raw.startswith("/ls"):
+                elif raw == "/ls" or raw.startswith("/ls/"):
                     sub = _clean_path(raw[len("/ls") :] or "/")
                     if sub is None:
                         self._reply(400, {}, b"bad path")
@@ -100,7 +100,9 @@ def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
                     self._serve_listing(sub, head_only)
                 elif vfs.status_server is not None:
                     code, headers, body = vfs.status_server.handle_http(self.path)
-                    self._reply(code, headers, b"" if head_only else body)
+                    # _reply itself suppresses the body for HEAD, so the
+                    # advertised Content-Length stays truthful.
+                    self._reply(code, headers, body)
                 else:
                     self._reply(404, {}, b"not found")
             except OSError as e:
@@ -129,11 +131,10 @@ def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
                 self.wfile.write(body)
 
         def _serve_listing(self, path, head_only=False):
+            del head_only  # _reply skips the body write for HEAD
             entries = vfs.readdir(path)
             body = ("\n".join(entries) + "\n").encode()
-            self._reply(
-                200, {"Content-Type": "text/plain"}, b"" if head_only else body
-            )
+            self._reply(200, {"Content-Type": "text/plain"}, body)
 
         _headers_sent = False
 
@@ -142,6 +143,14 @@ def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
             try:
                 st = vfs.getattr(path, handler)
                 span = _parse_range(self.headers.get("Range"), st.st_size)
+                if span is not None and span[0] >= st.st_size:
+                    # Range entirely past the (estimated) end: RFC 7233
+                    # 416 with the satisfiable size.
+                    self.send_response(416)
+                    self.send_header("Content-Range", f"bytes */{st.st_size}")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 if span is None:
                     start, end, status = 0, None, 200
                 else:
@@ -160,8 +169,14 @@ def make_httpfs_server(vfs: FolveVfs, port: int) -> ThreadingHTTPServer:
                 # stream chunked so we can stop at the true end.
                 if head_only:
                     # No body: advertise the (estimated, like the
-                    # reference's stat) size instead of a chunked stream.
-                    self.send_header("Content-Length", str(st.st_size))
+                    # reference's stat) length of what the GET would
+                    # serve — range length for 206, full size for 200.
+                    if status == 206:
+                        last = end if end is not None else st.st_size - 1
+                        length = max(0, last - start + 1)
+                    else:
+                        length = st.st_size
+                    self.send_header("Content-Length", str(length))
                     self.end_headers()
                     return
                 self.send_header("Transfer-Encoding", "chunked")
