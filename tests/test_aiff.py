@@ -125,3 +125,51 @@ def test_aiff_through_filesystem(tmp_path, rng):
     ref = expected_conv(x, echo_ir())
     assert np.max(np.abs(got - ref)) < 2.5 / 32768
     fs.close_handler("/song.aiff", h)
+
+
+def test_truncated_aiff_short_decodes_and_reports_short_frames(tmp_path, rng):
+    """A truncated SSND must decode the frames actually present AND
+    report that short count in AudioInfo — exact-size output headers
+    are built from it (the WAV parser clamps the same way)."""
+    from folve_tpu.audio.aiff import read_aiff, read_aiff_info, write_aiff
+
+    x = (np.round(rng.uniform(-0.5, 0.5, (2000, 2)) * 32768) / 32768).astype(
+        np.float32
+    )
+    p = tmp_path / "t.aiff"
+    write_aiff(str(p), x, 44100, bits=16)
+    blob = p.read_bytes()
+    cut = tmp_path / "cut.aiff"
+    cut.write_bytes(blob[: len(blob) - 1000 * 2 * 2 - 1])  # mid-sample cut
+    got, info = read_aiff(str(cut))
+    assert info.frames == got.shape[0] < 2000
+    np.testing.assert_array_equal(got, x[: got.shape[0]])
+    assert read_aiff_info(str(cut)).frames == got.shape[0]
+
+
+def test_zero_rate_aiff_is_rejected_not_hung(tmp_path, rng):
+    """A COMM chunk whose 80-bit rate decodes to 0 (or an inf/NaN
+    encoding) must raise AiffError — the stream encoder used to spin
+    forever normalizing a zero mantissa."""
+    import struct
+
+    from folve_tpu.audio.aiff import AiffError, AiffStreamEncoder, read_aiff_info, write_aiff
+
+    x = np.zeros((64, 2), np.float32)
+    p = tmp_path / "t.aiff"
+    write_aiff(str(p), x, 44100, bits=16)
+    blob = bytearray(p.read_bytes())
+    comm = blob.index(b"COMM")
+    # rate field = COMM body offset 8..18
+    blob[comm + 8 + 8 : comm + 8 + 18] = bytes(10)  # rate := 0
+    zp = tmp_path / "zero.aiff"
+    zp.write_bytes(bytes(blob))
+    with pytest.raises(AiffError):
+        read_aiff_info(str(zp))
+    blob[comm + 8 + 8 : comm + 8 + 18] = struct.pack(">HQ", 0x7FFF, 1 << 63)
+    ip = tmp_path / "inf.aiff"
+    ip.write_bytes(bytes(blob))
+    with pytest.raises(AiffError):
+        read_aiff_info(str(ip))
+    with pytest.raises(AiffError):
+        AiffStreamEncoder(0, 2, 16, 64).header()

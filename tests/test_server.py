@@ -337,6 +337,45 @@ class TestHttpFrontend:
             with urllib.request.urlopen(req) as r:
                 assert r.status == 200
                 assert r.read() == whole
+            # Range entirely past the advertised end: 416 with */size.
+            conn = http.client.HTTPConnection("localhost", port)
+            conn.request(
+                "GET", "/files/a.flac", headers={"Range": f"bytes={size}-"}
+            )
+            resp = conn.getresponse()
+            assert resp.status == 416
+            assert resp.getheader("Content-Range") == f"bytes */{size}"
+            resp.read()
+            conn.close()
+            # HEAD with a range: 206 whose Content-Length is the RANGE
+            # length, matching its Content-Range.
+            conn = http.client.HTTPConnection("localhost", port)
+            conn.request(
+                "HEAD", "/files/a.flac", headers={"Range": "bytes=100-299"}
+            )
+            resp = conn.getresponse()
+            assert resp.status == 206
+            assert resp.getheader("Content-Length") == "200"
+            assert resp.getheader("Content-Range") == f"bytes 100-299/{size}"
+            resp.read()
+            conn.close()
+            # HEAD of a listing advertises the GET body's true length.
+            with urllib.request.urlopen(f"http://localhost:{port}/ls/") as r:
+                ls_len = len(r.read())
+            conn = http.client.HTTPConnection("localhost", port)
+            conn.request("HEAD", "/ls/")
+            resp = conn.getresponse()
+            assert int(resp.getheader("Content-Length")) == ls_len
+            assert resp.read() == b""
+            conn.close()
+            # '/filesystem' must NOT be shadowed by the /files route.
+            conn = http.client.HTTPConnection("localhost", port)
+            conn.request("GET", "/filesystem")
+            resp = conn.getresponse()
+            body = resp.read()
+            # falls through to the status server (serves the page)
+            assert resp.status == 200 and b"Folve-TPU" in body
+            conn.close()
         finally:
             httpd.shutdown()
 
