@@ -37,10 +37,15 @@ class _FolveAttr(ctypes.Structure):
     ]
 
 
-_GETATTR_T = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(_FolveAttr))
+_GETATTR_T = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(_FolveAttr)
+)
 _READDIR_T = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p)
+# The buffer must be c_void_p: c_char_p would hand the callback an
+# immutable COPY of the (uninitialized) C buffer, so the target bytes
+# would never reach the C side.
 _READLINK_T = ctypes.CFUNCTYPE(
-    ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32
+    ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32
 )
 _OPEN_T = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64))
 _READ_T = ctypes.CFUNCTYPE(
@@ -104,11 +109,15 @@ class FuseSession:
 
     # -- callbacks (return 0 / -errno) ------------------------------------
 
-    def _cb_getattr(self, path: bytes, out) -> int:
+    def _cb_getattr(self, path: bytes, fh: int, out) -> int:
         if _log.isEnabledFor(logging.DEBUG):
-            _log.debug("GETATTR %s", path.decode())
+            _log.debug("GETATTR %r fh=%d", path, fh)
         try:
-            st = self.vfs.getattr(path.decode())
+            handler = None
+            if fh:
+                with self._lock:
+                    handler = self._handles.get(fh)
+            st = self.vfs.getattr(os.fsdecode(path), handler)
         except OSError as e:
             return -(e.errno or errno.EIO)
         except Exception:
@@ -126,19 +135,20 @@ class FuseSession:
 
     def _cb_readdir(self, path: bytes, ctx) -> int:
         try:
-            entries = self.vfs.readdir(path.decode())
+            entries = self.vfs.readdir(os.fsdecode(path))
+            encoded = [os.fsencode(name) for name in entries]
         except OSError as e:
             return -(e.errno or errno.EIO)
         except Exception:
             return -errno.EIO
-        for name in entries:
+        for name, raw in zip(entries, encoded):
             dtype = statmod.S_IFDIR >> 12 if name in (".", "..") else 0
-            self._lib.folve_fuse_add_dirent(ctx, name.encode(), 0, dtype)
+            self._lib.folve_fuse_add_dirent(ctx, raw, 0, dtype)
         return 0
 
-    def _cb_readlink(self, path: bytes, buf, bufsize: int) -> int:
+    def _cb_readlink(self, path: bytes, buf: int, bufsize: int) -> int:
         try:
-            target = self.vfs.readlink(path.decode()).encode()
+            target = os.fsencode(self.vfs.readlink(os.fsdecode(path)))
         except OSError as e:
             return -(e.errno or errno.EIO)
         except Exception:
@@ -146,13 +156,13 @@ class FuseSession:
         n = min(len(target), bufsize - 1)
         ctypes.memmove(buf, target, n)
         ctypes.memset(buf + n, 0, 1)
-        return 0
+        return n  # target length; the C side replies exactly n bytes
 
     def _cb_open(self, path: bytes, fh_out) -> int:
         if _log.isEnabledFor(logging.DEBUG):
-            _log.debug("OPEN %s", path.decode())
+            _log.debug("OPEN %r", path)
         try:
-            handler = self.vfs.open(path.decode())
+            handler = self.vfs.open(os.fsdecode(path))
         except OSError as e:
             return -(e.errno or errno.EIO)
         except Exception:
@@ -177,6 +187,7 @@ class FuseSession:
             return -(e.errno or errno.EIO)
         except Exception:
             return -errno.EIO
+        data = data[:size]  # never overflow the kernel-sized C buffer
         ctypes.memmove(buf, data, len(data))
         return len(data)
 
@@ -185,7 +196,7 @@ class FuseSession:
             handler = self._handles.pop(fh, None)
         if handler is not None:
             try:
-                self.vfs.release(path.decode(), handler)
+                self.vfs.release(os.fsdecode(path), handler)
             except Exception:
                 return -errno.EIO
         return 0
@@ -267,7 +278,10 @@ def daemonize() -> None:
         os.close(wfd)
         import select
 
-        timeout = float(os.environ.get("FOLVE_DAEMON_WAIT_SECS", "120"))
+        try:
+            timeout = float(os.environ.get("FOLVE_DAEMON_WAIT_SECS", "120"))
+        except ValueError:
+            timeout = 120.0
         ready, _, _ = select.select([rfd], [], [], timeout)
         if not ready:
             os.write(
@@ -337,11 +351,25 @@ def mount_and_serve(
         return 1
     _signal_daemon_status(True)
     print(f"mounted on {mountpoint}")
+    # Run the request loop on a worker so the main thread stays inside
+    # the interpreter: blocked in the foreign C loop it would never see
+    # SIGINT, making a foreground mount unstoppable with Ctrl-C.
+    looper = threading.Thread(
+        target=session.loop, name="folve-fuse-loop", daemon=True
+    )
+    looper.start()
     try:
-        session.loop()
+        while looper.is_alive():
+            looper.join(timeout=0.5)
     except KeyboardInterrupt:
-        pass
+        print("interrupted; unmounting")
+        session.unmount()
+        looper.join(timeout=10)
     finally:
         session.unmount()
+        if looper.is_alive():
+            # Loop wedged past unmount: leak the session rather than
+            # destroy it under a running thread.
+            return 1
         session.destroy()
     return 0

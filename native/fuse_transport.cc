@@ -44,7 +44,8 @@ struct FolveAttr {
 };
 
 struct FolveFuseOps {
-  int (*getattr)(const char* path, FolveAttr* out);
+  // fh != 0: stat the OPEN handler (exact sizes); 0: by path.
+  int (*getattr)(const char* path, uint64_t fh, FolveAttr* out);
   int (*readdir)(const char* path, void* ctx);
   int (*readlink)(const char* path, char* buf, uint32_t bufsize);
   int (*open_)(const char* path, uint64_t* fh_out);
@@ -75,7 +76,12 @@ class Session {
     fd_ = open("/dev/fuse", O_RDWR | O_CLOEXEC);
     if (fd_ < 0) return -errno;
     struct stat st;
-    if (stat(mountpoint, &st) != 0) return -errno;
+    if (stat(mountpoint, &st) != 0) {
+      int err = -errno;
+      close(fd_);
+      fd_ = -1;
+      return err;
+    }
     char data[512];
     snprintf(data, sizeof(data),
              "fd=%d,rootmode=%o,user_id=%u,group_id=%u,max_read=131072%s%s",
@@ -204,7 +210,7 @@ class Session {
       case FUSE_BATCH_FORGET:
         break;  // no reply, nothing freed (table is bounded by namespace)
       case FUSE_GETATTR:
-        DoGetattr(in);
+        DoGetattr(in, arg, len - sizeof(fuse_in_header));
         break;
       case FUSE_READLINK:
         DoReadlink(in);
@@ -219,7 +225,7 @@ class Session {
         DoReleasedir(in, (const fuse_release_in*)arg);
         break;
       case FUSE_OPEN:
-        DoOpen(in);
+        DoOpen(in, arg, len - sizeof(fuse_in_header));
         break;
       case FUSE_READ:
         DoRead(in, (const fuse_read_in*)arg);
@@ -274,7 +280,7 @@ class Session {
     if (dir.empty()) return ReplyErr(in->unique, ENOENT);
     std::string path = JoinPath(dir, name);
     FolveAttr attr;
-    int r = ops_.getattr(path.c_str(), &attr);
+    int r = ops_.getattr(path.c_str(), 0, &attr);
     if (r != 0) return ReplyErr(in->unique, -r);
     fuse_entry_out out;
     memset(&out, 0, sizeof(out));
@@ -286,11 +292,19 @@ class Session {
     Reply(in->unique, 0, &out, sizeof(out));
   }
 
-  void DoGetattr(const fuse_in_header* in) {
+  void DoGetattr(const fuse_in_header* in, const void* arg, size_t arglen) {
     std::string path = PathOf(in->nodeid);
     if (path.empty()) return ReplyErr(in->unique, ENOENT);
+    // fstat() on an open file carries the handle (proto >= 7.9): stat
+    // the live handler so sizes are exact, not the path-based estimate
+    // (the reference's per-open-handler Stat, folve-main.cc:114-153).
+    uint64_t fh = 0;
+    if (arglen >= sizeof(fuse_getattr_in)) {
+      const fuse_getattr_in* gi = (const fuse_getattr_in*)arg;
+      if (gi->getattr_flags & FUSE_GETATTR_FH) fh = gi->fh;
+    }
     FolveAttr attr;
-    int r = ops_.getattr(path.c_str(), &attr);
+    int r = ops_.getattr(path.c_str(), fh, &attr);
     if (r != 0) return ReplyErr(in->unique, -r);
     fuse_attr_out out;
     memset(&out, 0, sizeof(out));
@@ -305,7 +319,10 @@ class Session {
     char buf[4096];
     int r = ops_.readlink(path.c_str(), buf, sizeof(buf) - 1);
     if (r < 0) return ReplyErr(in->unique, -r);
-    Reply(in->unique, 0, buf, strlen(buf));
+    // r is the target length (the callback contract); never trust the
+    // buffer to be initialized beyond it.
+    if ((size_t)r > sizeof(buf) - 1) return ReplyErr(in->unique, EIO);
+    Reply(in->unique, 0, buf, (size_t)r);
   }
 
   void DoOpendir(const fuse_in_header* in) {
@@ -361,9 +378,17 @@ class Session {
     Reply(in->unique, 0, nullptr, 0);
   }
 
-  void DoOpen(const fuse_in_header* in) {
+  void DoOpen(const fuse_in_header* in, const void* arg, size_t arglen) {
     std::string path = PathOf(in->nodeid);
     if (path.empty()) return ReplyErr(in->unique, ENOENT);
+    // The filesystem is read-only by design (the reference never
+    // supports writes); failing write-access opens up front beats a
+    // confusing ENOSYS at the first FUSE_WRITE.
+    if (arglen >= sizeof(fuse_open_in)) {
+      const fuse_open_in* oi = (const fuse_open_in*)arg;
+      if ((oi->flags & O_ACCMODE) != O_RDONLY)
+        return ReplyErr(in->unique, EROFS);
+    }
     uint64_t fh = 0;
     int r = ops_.open_(path.c_str(), &fh);
     if (r != 0) return ReplyErr(in->unique, -r);

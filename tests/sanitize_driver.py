@@ -180,7 +180,7 @@ class StubStat:
 class StubVfs:
     """Minimal VFS: a handful of readable pseudo-files (no jax)."""
 
-    def getattr(self, path):
+    def getattr(self, path, handler=None):
         if path == "/" :
             st = StubStat()
             st.st_mode = 0o40555

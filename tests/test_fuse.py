@@ -283,3 +283,52 @@ class TestRealMount:
             assert np.max(np.abs(got - ref)) < 2.5 / 32768
         finally:
             session.unmount()
+
+    def test_kernel_mount_symlink_and_odd_names(self, tmp_path):
+        """readlink over a real kernel mount (the c_char_p callback bug
+        made every readlink fail with garbage), plus a non-UTF-8
+        filename surviving listing + open (os.fsencode round-trip)."""
+        fs, src = make_fs(tmp_path)
+        write_song(src, "song.flac", 600)
+        os.symlink("song.flac", src / "link.flac")
+        odd = os.fsdecode(b"caf\xe9.txt")  # latin-1 name, invalid UTF-8
+        with open(src / odd, "wb") as f:
+            f.write(b"odd name payload")
+        status = StatusServer(fs)
+        vfs = FolveVfs(fs, status_server=status)
+        mnt = tmp_path / "mnt"
+        mnt.mkdir()
+        session = FuseSession(vfs)
+        try:
+            session.mount(str(mnt))
+        except OSError as e:
+            pytest.skip(f"mount not permitted here: {e}")
+        t = threading.Thread(target=session.loop, daemon=True)
+        t.start()
+        try:
+            deadline = time.time() + 10
+            names = []
+            while time.time() < deadline:
+                names = os.listdir(mnt)
+                if len(names) >= 3:
+                    break
+                time.sleep(0.1)
+            assert "link.flac" in names
+            assert odd in names, names
+            assert os.readlink(mnt / "link.flac") == "song.flac"
+            with open(mnt / odd, "rb") as f:
+                assert f.read() == b"odd name payload"
+            # Write-access opens fail up front with EROFS.
+            with pytest.raises(OSError) as ei:
+                os.open(mnt / "song.flac", os.O_WRONLY)
+            assert ei.value.errno in (errno.EROFS, errno.EACCES)
+            # fstat() on an OPEN file reports the handler's exact
+            # (current) size, not only the path-based estimate.
+            fd = os.open(mnt / "song.flac", os.O_RDONLY)
+            try:
+                st = os.fstat(fd)
+                assert st.st_size > 0
+            finally:
+                os.close(fd)
+        finally:
+            session.unmount()
