@@ -153,7 +153,9 @@ class FuseSession:
             return -(e.errno or errno.EIO)
         except Exception:
             return -errno.EIO
-        n = min(len(target), bufsize - 1)
+        if len(target) > bufsize - 1:
+            return -errno.ENAMETOOLONG  # never reply a truncated target
+        n = len(target)
         ctypes.memmove(buf, target, n)
         ctypes.memset(buf + n, 0, 1)
         return n  # target length; the C side replies exactly n bytes
@@ -282,6 +284,8 @@ def daemonize() -> None:
             timeout = float(os.environ.get("FOLVE_DAEMON_WAIT_SECS", "120"))
         except ValueError:
             timeout = 120.0
+        if not (0 <= timeout <= 86400):  # also rejects inf/nan
+            timeout = 120.0
         ready, _, _ = select.select([rfd], [], [], timeout)
         if not ready:
             os.write(
@@ -358,6 +362,7 @@ def mount_and_serve(
         target=session.loop, name="folve-fuse-loop", daemon=True
     )
     looper.start()
+    status = 0
     try:
         while looper.is_alive():
             looper.join(timeout=0.5)
@@ -369,7 +374,9 @@ def mount_and_serve(
         session.unmount()
         if looper.is_alive():
             # Loop wedged past unmount: leak the session rather than
-            # destroy it under a running thread.
-            return 1
-        session.destroy()
-    return 0
+            # destroy it under a running thread.  No return here — a
+            # propagating exception must not be swallowed by finally.
+            status = 1
+        else:
+            session.destroy()
+    return status

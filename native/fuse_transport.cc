@@ -12,6 +12,8 @@
 
 #include <errno.h>
 #include <fcntl.h>
+
+#include <algorithm>
 #include <linux/fuse.h>
 #include <poll.h>
 #include <stdio.h>
@@ -89,6 +91,7 @@ class Session {
              (extra_data && extra_data[0]) ? "," : "",
              extra_data ? extra_data : "");
     unsigned long flags = MS_NOSUID | MS_NODEV;
+    writable_ = writable != 0;
     if (!writable) flags |= MS_RDONLY;
     if (mount("folve-tpu", mountpoint, "fuse.folve-tpu", flags, data) != 0) {
       int err = -errno;
@@ -210,7 +213,7 @@ class Session {
       case FUSE_BATCH_FORGET:
         break;  // no reply, nothing freed (table is bounded by namespace)
       case FUSE_GETATTR:
-        DoGetattr(in, arg, len - sizeof(fuse_in_header));
+        DoGetattr(in, arg, std::min((size_t)in->len, len) - sizeof(fuse_in_header));
         break;
       case FUSE_READLINK:
         DoReadlink(in);
@@ -225,7 +228,7 @@ class Session {
         DoReleasedir(in, (const fuse_release_in*)arg);
         break;
       case FUSE_OPEN:
-        DoOpen(in, arg, len - sizeof(fuse_in_header));
+        DoOpen(in, arg, std::min((size_t)in->len, len) - sizeof(fuse_in_header));
         break;
       case FUSE_READ:
         DoRead(in, (const fuse_read_in*)arg);
@@ -383,8 +386,9 @@ class Session {
     if (path.empty()) return ReplyErr(in->unique, ENOENT);
     // The filesystem is read-only by design (the reference never
     // supports writes); failing write-access opens up front beats a
-    // confusing ENOSYS at the first FUSE_WRITE.
-    if (arglen >= sizeof(fuse_open_in)) {
+    // confusing ENOSYS at the first FUSE_WRITE.  An explicit `-o rw`
+    // mount opts back into the reference's deferred-ENOSYS behavior.
+    if (!writable_ && arglen >= sizeof(fuse_open_in)) {
       const fuse_open_in* oi = (const fuse_open_in*)arg;
       if ((oi->flags & O_ACCMODE) != O_RDONLY)
         return ReplyErr(in->unique, EROFS);
@@ -438,6 +442,7 @@ class Session {
   std::map<uint64_t, std::shared_ptr<DirBuffer>> dirs_;
   std::map<uint64_t, std::string> open_paths_;
   uint64_t next_ino_ = FUSE_ROOT_ID + 1;
+  bool writable_ = false;
   uint64_t next_dir_fh_ = 1;
 };
 

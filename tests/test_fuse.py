@@ -88,16 +88,20 @@ class FuseHarness:
         attr = ATTR.unpack_from(body, 40)
         return 0, nodeid, attr
 
-    def getattr(self, nodeid):
-        payload = struct.pack("<QII", 0, 0, 0)
+    def getattr(self, nodeid, fh=None):
+        # fuse_getattr_in: getattr_flags u32, dummy u32, fh u64.
+        FUSE_GETATTR_FH = 1
+        payload = struct.pack(
+            "<IIQ", FUSE_GETATTR_FH if fh is not None else 0, 0, fh or 0
+        )
         err, body = self.request(FUSE_GETATTR, nodeid, payload)
         if err:
             return err, None
         attr = ATTR.unpack_from(body, 16)
         return 0, attr
 
-    def open(self, nodeid):
-        err, body = self.request(FUSE_OPEN, nodeid, struct.pack("<II", os.O_RDONLY, 0))
+    def open(self, nodeid, flags=os.O_RDONLY):
+        err, body = self.request(FUSE_OPEN, nodeid, struct.pack("<II", flags, 0))
         if err:
             return err, None, None
         fh, open_flags, _ = struct.unpack_from("<QII", body)
@@ -200,6 +204,57 @@ class TestProtocol:
 
         got, info = read_flac(blob)
         assert info.frames == 1500
+
+    def test_write_open_fails_erofs(self, harness):
+        """Write-access opens are refused at FUSE_OPEN (read-only by
+        design); this rides the socketpair transport so the kernel's
+        own MS_RDONLY check cannot mask the filesystem's behavior."""
+        h, fs, src = harness
+        err, nodeid, _ = h.lookup(ROOT_ID, "song.flac")
+        assert err == 0
+        for flags in (os.O_WRONLY, os.O_RDWR):
+            err, _, _ = h.open(nodeid, flags)
+            assert err == -errno.EROFS, (flags, err)
+        # read-only still fine afterwards
+        err, fh, _ = h.open(nodeid)
+        assert err == 0
+        h.release(nodeid, fh)
+
+    def test_getattr_fh_uses_open_handler(self, harness):
+        """FUSE_GETATTR with FUSE_GETATTR_FH (fstat on an open file)
+        stats the LIVE handler behind the fh.  Discriminating scenario:
+        after a filter switch the path-based lookup no longer resolves
+        this handler (cache key = filter + path, folve-filesystem.cc:
+        91-94), so only genuine fh plumbing can still return its
+        monotone size estimate."""
+        h, fs, src = harness
+        err, nodeid, _ = h.lookup(ROOT_ID, "song.flac")
+        assert err == 0
+        err, fh, _ = h.open(nodeid)
+        assert err == 0
+        off = 0
+        while True:
+            err, chunk = h.read(nodeid, fh, off, 65536)
+            assert err == 0
+            if not chunk:
+                break
+            off += len(chunk)
+        err, attr_fh = h.getattr(nodeid, fh=fh)
+        assert err == 0
+        # Switch to pass-through: path-based stats now return the RAW
+        # source size, while the open fh must keep reporting the
+        # convolving handler's estimate.
+        fs.switch_current_config_dir("")
+        err, attr_path = h.getattr(nodeid)
+        err2, attr_fh2 = h.getattr(nodeid, fh=fh)
+        assert err == 0 and err2 == 0
+        assert attr_fh2[1] == attr_fh[1]  # still the handler's estimate
+        # path-based: raw source size with the VFS's suffix inflation
+        assert attr_path[1] == int(
+            os.stat(src / "song.flac").st_size * fs.file_oversize_factor
+        )
+        assert attr_fh2[1] != attr_path[1]
+        h.release(nodeid, fh)
 
     def test_status_file_over_protocol(self, harness):
         h, fs, src = harness
