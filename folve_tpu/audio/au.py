@@ -100,6 +100,10 @@ def read_au(path: str) -> tuple[np.ndarray, AudioInfo]:
         blob = f.read()
     offset, size, enc, rate, channels, frames = _parse_header(blob)
     raw = blob[offset : offset + size]
+    # Truncated payloads short-decode (like the WAV/AIFF readers) instead
+    # of raising from np.frombuffer on a partial trailing sample.
+    elem = _ENC_BITS[enc] // 8
+    raw = raw[: (len(raw) // elem) * elem]
     if enc == 1:
         data = _mulaw_table()[np.frombuffer(raw, np.uint8)] / 32768.0
     elif enc == 27:

@@ -49,7 +49,10 @@ def _iter_chunks(blob: bytes):
         body_off = pos + 12
         if size == -1:  # data till EOF
             size = len(blob) - body_off
+        elif size < 0:  # any other negative size: corrupt header
+            raise CafError(f"negative chunk size {size}")
         yield ctype, body_off, int(size)
+        # body_off > pos always, so the walk strictly advances.
         pos = body_off + int(size)
 
 
@@ -75,6 +78,9 @@ def read_caf(path: str) -> tuple[np.ndarray, AudioInfo]:
     rate, flags, channels, bits = desc
     is_float = bool(flags & _FLAG_FLOAT)
     endian = "<" if flags & _FLAG_LITTLE else ">"
+    # Truncated payloads short-decode rather than raising from frombuffer.
+    elem = max(1, bits // 8)
+    data = data[: (len(data) // elem) * elem]
     if is_float and bits == 32:
         x = np.frombuffer(data, endian + "f4").astype(np.float64)
         codec = SampleCodec.FLOAT
@@ -133,7 +139,9 @@ def read_caf_info(path: str) -> AudioInfo:
         ctype = blob[pos : pos + 4]
         (size,) = struct.unpack(">q", blob[pos + 4 : pos + 12])
         body_off = pos + 12
-        real = total - body_off if size == -1 else int(size)
+        if size < -1:
+            raise CafError(f"negative chunk size {size}")
+        real = max(0, total - body_off) if size == -1 else int(size)
         if ctype == b"desc":
             desc = _parse_desc(blob[body_off : body_off + real])
         elif ctype == b"data":

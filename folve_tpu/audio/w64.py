@@ -88,6 +88,9 @@ def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
     if codec is None:
         raise W64Error(f"unsupported format tag={tag} bits={bits}")
     raw = blob[off : off + length]
+    # Truncated payloads short-decode rather than raising from frombuffer.
+    elem = max(1, bits // 8)
+    raw = raw[: (len(raw) // elem) * elem]
     if codec == SampleCodec.PCM_U8:
         data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
     elif codec == SampleCodec.PCM_16:

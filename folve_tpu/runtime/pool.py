@@ -91,14 +91,20 @@ class ProcessorPool:
         if processor is None:
             return
         if not processor.config_still_up_to_date():
-            return  # outdated: don't pool
+            # outdated: don't pool — but release any pipelined batch refs
+            # so the stale processor doesn't pin HBM until GC.
+            processor.drop_inflight()
+            return
         # reset() drains the processor's in-flight device step; doing
         # that under the pool lock would block every other stream's
         # checkout on this stream's device latency — and a processor
-        # the full pool is about to discard shouldn't pay it at all.
+        # the full pool is about to discard shouldn't pay the full
+        # reset.  It must still drop its in-flight future, though.
         with self._lock:
-            if len(self._pool.get(processor.config_file, ())) >= self._max_per_config:
-                return
+            full = len(self._pool.get(processor.config_file, ())) >= self._max_per_config
+        if full:
+            processor.drop_inflight()
+            return
         processor.reset()
         with self._lock:
             lst = self._pool.setdefault(processor.config_file, [])

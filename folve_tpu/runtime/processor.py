@@ -341,18 +341,24 @@ class SoundProcessor:
         if self._output_pos == self.fragm:
             self._input_pos = 0
 
-    def reset(self) -> None:
-        """Re-arm for a fresh stream before pooling; clears convolution
-        state, the clipping monitor and the latency counters
-        (sound-processor.cc:139-145).  A still-pipelined chunk belongs
-        to an aborted stream whose buffer died with it — resolve (to
-        release scheduler batch refs) and discard."""
+    def drop_inflight(self) -> None:
+        """Release a still-pipelined chunk without emitting it.  The
+        chunk belongs to an aborted stream whose buffer died with it —
+        resolving the future releases the scheduler's _SlotStates batch
+        refs (the whole padded device batch) instead of pinning them in
+        HBM until this object is garbage-collected."""
         fl, self._inflight = self._inflight, None
         if fl is not None and fl.future is not None:
             try:
                 fl.future.result()
             except Exception:
                 pass
+
+    def reset(self) -> None:
+        """Re-arm for a fresh stream before pooling; clears convolution
+        state, the clipping monitor and the latency counters
+        (sound-processor.cc:139-145)."""
+        self.drop_inflight()
         self._state = init_state(self.bank)
         self._max_out = 0.0
         self._input_pos = 0

@@ -21,7 +21,9 @@ _SOURCES = [
     "flac_codec.cc",
     "md5.cc",
     "fuse_transport.cc",
+    "vorbis_codec.cc",
     "flac_bits.h",
+    "frame_pool.h",
     "md5.h",
     "Makefile",
 ]

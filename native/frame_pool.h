@@ -61,6 +61,7 @@ class FramePool {
       count_ = count;
       next_ = 0;
       done_ = 0;
+      error_ = nullptr;
       active_ = std::min<size_t>((size_t)want, count) - 1;
       claimed_ = 0;
       width_ = 0;
@@ -68,11 +69,21 @@ class FramePool {
     }
     cv_.notify_all();
     Drain(gen);  // the calling thread is worker 0
-    std::unique_lock<std::mutex> lock(mutex_);
-    finished_cv_.wait(lock, [&] { return done_ == count_; });
-    // The task reference dies with this frame: detach it under the
-    // lock so a late-waking worker can never touch it.
-    task_ = nullptr;
+    std::exception_ptr err;
+    {
+      std::unique_lock<std::mutex> lock(mutex_);
+      finished_cv_.wait(lock, [&] { return done_ == count_; });
+      // The task reference dies with this frame: detach it under the
+      // lock so a late-waking worker can never touch it.
+      task_ = nullptr;
+      err = error_;
+      error_ = nullptr;
+    }
+    // A task that threw (e.g. bad_alloc) is rethrown HERE, on the
+    // calling thread, after every handed-out index has finished — the
+    // caller sees exactly what the serial path would have thrown,
+    // instead of std::terminate on a detached worker.
+    if (err) std::rethrow_exception(err);
     return true;
   }
 
@@ -108,11 +119,18 @@ class FramePool {
           ++width_;  // distinct threads that actually encoded this batch
         }
       }
-      (*task)(i);
+      std::exception_ptr err;
+      try {
+        (*task)(i);
+      } catch (...) {
+        err = std::current_exception();
+      }
       {
         std::lock_guard<std::mutex> lock(mutex_);
-        if (generation_ == gen && ++done_ == count_)
-          finished_cv_.notify_all();
+        if (generation_ == gen) {
+          if (err && !error_) error_ = err;
+          if (++done_ == count_) finished_cv_.notify_all();
+        }
       }
     }
   }
@@ -153,6 +171,7 @@ class FramePool {
   size_t claimed_ = 0;                                 // guarded by mutex_
   size_t width_ = 0;                                   // guarded by mutex_
   uint64_t generation_ = 0;                            // guarded by mutex_
+  std::exception_ptr error_;                           // guarded by mutex_
   bool stop_ = false;
 };
 

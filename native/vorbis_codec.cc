@@ -334,6 +334,12 @@ class Codebook {
       float delta = float32_unpack(br->Read(32));
       uint32_t value_bits = br->Read(4) + 1;
       bool sequence_p = br->Read(1);
+      // entries (24-bit) * dims (16-bit) can reach 2^40: size it in
+      // 64-bit and bound the table before allocating anything, so a
+      // crafted setup header can neither wrap the count nor force a
+      // multi-GB allocation.
+      uint64_t flat = (uint64_t)entries_ * dims_;
+      if (flat > (1u << 26)) throw ParseError("codebook lookup too large");
       uint32_t lookup_values;
       if (lookup_type_ == 1) {
         // Largest integer with pow(lookup_values, dims) <= entries.
@@ -342,7 +348,7 @@ class Codebook {
                (double)entries_)
           lookup_values++;
       } else {
-        lookup_values = entries_ * dims_;
+        lookup_values = (uint32_t)flat;
       }
       std::vector<uint32_t> mult(lookup_values);
       for (uint32_t i = 0; i < lookup_values; i++) mult[i] = br->Read(value_bits);

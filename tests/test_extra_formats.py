@@ -224,3 +224,40 @@ def test_rf64_through_filesystem(tmp_path, rng):
     got, info = read_flac(blob)
     assert info.frames == x.shape[0] and info.bits_per_sample == 24
     np.testing.assert_allclose(got, 0.5 * x, atol=2.5 / 32768)
+
+
+# --- corrupt / truncated input robustness ----------------------------------
+
+
+def test_corrupt_caf_negative_chunk_size_terminates(tmp_path):
+    """A crafted CAF whose chunk size is a negative non-sentinel used to
+    busy-loop the chunk walker forever (advisor round 3); it must raise
+    instead of hanging the serving thread."""
+    from folve_tpu.audio.caf import CafError, read_caf, read_caf_info, read_caf_metadata
+
+    p = tmp_path / "evil.caf"
+    import struct
+
+    # caff header + one chunk header declaring size -12 (walker would
+    # compute pos = body_off - 12 = pos forever).
+    p.write_bytes(b"caff" + struct.pack(">HH", 1, 0) + b"desc" + struct.pack(">q", -12) + b"x")
+    for fn in (read_caf, read_caf_info):
+        with pytest.raises((CafError, ValueError)):
+            fn(str(p))
+    assert read_caf_metadata(str(p)) == {}  # swallows, returns empty
+
+
+@pytest.mark.parametrize("fmt,write", [
+    ("au", write_au), ("w64", write_w64), ("caf", write_caf),
+])
+def test_truncated_payload_short_decodes(tmp_path, rng, fmt, write):
+    """A payload cut mid-sample short-decodes (like WAV/AIFF) instead of
+    raising from np.frombuffer and silently passing through."""
+    x = _material(rng, frames=1000)
+    p = tmp_path / f"t.{fmt}"
+    write(str(p), x, RATE, bits=16)
+    blob = p.read_bytes()
+    p.write_bytes(blob[:-3])  # cut mid-sample
+    got, info = read_audio(str(p))
+    assert got.shape[1] == 2 and 0 < got.shape[0] <= 1000
+    np.testing.assert_allclose(got[:-1], x[: got.shape[0] - 1], atol=1.1 / 32768)
