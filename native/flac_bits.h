@@ -113,21 +113,22 @@ class BitReader {
   bool error_ = false;
 };
 
-// MSB-first bit writer appending to a byte vector.  Uses a 64-bit
-// accumulator so the common case is shift/or plus a bytewise drain —
-// the encoder's hottest loop.
+// MSB-first bit writer appending to a byte vector.  A 64-bit
+// accumulator drains in aligned 32-bit big-endian stores into an
+// oversized buffer (the encoder's hottest loop) — call Sync() before
+// reading the vector mid-stream and Finish() when done; both trim the
+// vector to exactly the bytes written so far.
 class BitWriter {
  public:
-  explicit BitWriter(std::vector<uint8_t>* out) : out_(out) {}
+  explicit BitWriter(std::vector<uint8_t>* out)
+      : out_(out), pos_(out->size()) {}
 
-  void WriteBits(uint32_t v, int n) {
+  // n in [0, 32]; only the low n bits of v are used.
+  inline void WriteBits(uint32_t v, int n) {
     if (n == 0) return;
     acc_ = (acc_ << n) | (uint64_t)(n >= 32 ? v : (v & ((1u << n) - 1)));
     nbits_ += n;
-    while (nbits_ >= 8) {
-      nbits_ -= 8;
-      out_->push_back((uint8_t)(acc_ >> nbits_));
-    }
+    if (nbits_ >= 32) Drain32();
   }
 
   void WriteBits64(uint64_t v, int n) {
@@ -149,14 +150,71 @@ class BitWriter {
     WriteBits(1, (int)q + 1);
   }
 
-  void AlignToByte() {
-    if (nbits_) WriteBits(0, 8 - nbits_);
+  // One Rice codeword: q = folded>>k zero bits, a 1, then the k low
+  // bits — merged into a single accumulator push when it fits (the
+  // overwhelmingly common case), instead of a unary + a bits call.
+  inline void WriteRice(uint64_t folded, uint32_t k) {
+    uint32_t q = (uint32_t)(folded >> k);
+    uint32_t total = q + 1 + k;
+    if (total <= 32) {
+      WriteBits((uint32_t)((1ull << k) | (folded & ((1ull << k) - 1))),
+                (int)total);
+    } else {
+      WriteUnary(q);
+      if (k) WriteBits((uint32_t)(folded & ((1ull << k) - 1)), (int)k);
+    }
   }
 
-  bool aligned() const { return nbits_ == 0; }
+  void AlignToByte() {
+    if (nbits_ & 7) WriteBits(0, 8 - (nbits_ & 7));
+  }
+
+  bool aligned() const { return (nbits_ & 7) == 0; }
+
+  // Pre-size the buffer so the common case never regrows (each grow
+  // zero-fills, which showed up hard in encoder profiles).
+  void Reserve(size_t bytes) { Ensure(bytes); }
+
+  // Drain whole accumulated bytes into the buffer WITHOUT trimming it
+  // (trimming mid-stream would throw away the reserve); after this,
+  // bytes [0, byte_pos()) are valid — e.g. for mid-stream CRCs.
+  void FlushBytes() {
+    while (nbits_ >= 8) {
+      nbits_ -= 8;
+      Ensure(1);
+      (*out_)[pos_++] = (uint8_t)(acc_ >> nbits_);
+    }
+  }
+
+  size_t byte_pos() const { return pos_; }
+
+  // Flush and trim the vector to the exact byte count (partial
+  // trailing bits stay in the accumulator).
+  void Sync() {
+    FlushBytes();
+    out_->resize(pos_);
+  }
+
+  // Final trim; requires byte alignment (AlignToByte first).
+  void Finish() { Sync(); }
 
  private:
+  inline void Drain32() {
+    nbits_ -= 32;
+    uint32_t w = (uint32_t)(acc_ >> nbits_);
+    Ensure(4);
+    uint32_t be = __builtin_bswap32(w);
+    memcpy(out_->data() + pos_, &be, 4);
+    pos_ += 4;
+  }
+
+  inline void Ensure(size_t bytes) {
+    if (pos_ + bytes > out_->size())
+      out_->resize(out_->size() + (out_->size() >> 1) + bytes + 256);
+  }
+
   std::vector<uint8_t>* out_;
+  size_t pos_ = 0;
   uint64_t acc_ = 0;
   int nbits_ = 0;
 };

@@ -48,17 +48,36 @@ uint8_t Crc8(const uint8_t* data, size_t len) {
 }
 
 uint16_t Crc16(const uint8_t* data, size_t len) {
-  static const std::array<uint16_t, 256>& table = *[] {
-    static std::array<uint16_t, 256> t;
-    for (int i = 0; i < 256; i++) {
-      uint16_t c = (uint16_t)(i << 8);
-      for (int k = 0; k < 8; k++) c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
-      t[i] = c;
+  // Slice-by-8: t[0] is the classic byte table; t[j] advances a byte
+  // through j additional zero bytes, so eight input bytes fold in one
+  // table round per iteration.
+  struct Tables {
+    uint16_t t[8][256];
+    Tables() {
+      for (int i = 0; i < 256; i++) {
+        uint16_t c = (uint16_t)(i << 8);
+        for (int k = 0; k < 8; k++)
+          c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+        t[0][i] = c;
+      }
+      for (int j = 1; j < 8; j++)
+        for (int i = 0; i < 256; i++)
+          t[j][i] = (uint16_t)((t[j - 1][i] << 8) ^ t[0][t[j - 1][i] >> 8]);
     }
-    return &t;
-  }();
+  };
+  static const Tables& tb = *new Tables();  // magic-static: thread-safe
   uint16_t crc = 0;
-  for (size_t i = 0; i < len; i++) crc = (uint16_t)((crc << 8) ^ table[(crc >> 8) ^ data[i]]);
+  size_t i = 0;
+  for (; i + 8 <= len; i += 8) {
+    // crc covers the first two of the eight bytes.
+    crc = (uint16_t)(crc ^ (uint16_t)((uint16_t)data[i] << 8 | data[i + 1]));
+    crc = (uint16_t)(tb.t[7][crc >> 8] ^ tb.t[6][crc & 0xFF] ^
+                     tb.t[5][data[i + 2]] ^ tb.t[4][data[i + 3]] ^
+                     tb.t[3][data[i + 4]] ^ tb.t[2][data[i + 5]] ^
+                     tb.t[1][data[i + 6]] ^ tb.t[0][data[i + 7]]);
+  }
+  for (; i < len; i++)
+    crc = (uint16_t)((crc << 8) ^ tb.t[0][(crc >> 8) ^ data[i]]);
   return crc;
 }
 
@@ -664,6 +683,7 @@ class Encoder {
     bw.WriteBits(si.bits_per_sample - 1, 5);
     bw.WriteBits64(si.total_samples, 36);
     for (int i = 0; i < 16; i++) bw.WriteBits(si.md5[i], 8);
+    bw.Finish();
     return out;
   }
 
@@ -681,9 +701,16 @@ class Encoder {
     uint32_t bytes = (bps_ + 7) / 8;
     md5_buf_.resize(count * bytes);
     uint8_t* p = md5_buf_.data();
-    for (size_t i = 0; i < count; i++) {
-      uint32_t v = (uint32_t)x[i];
-      for (uint32_t b = 0; b < bytes; b++) *p++ = (uint8_t)(v >> (8 * b));
+    if (bytes == 2) {  // dominant case: int32 -> little-endian int16 pack
+      int16_t* q = (int16_t*)p;
+      for (size_t i = 0; i < count; i++) q[i] = (int16_t)x[i];
+    } else if (bytes == 4) {
+      memcpy(p, x, count * 4);  // already little-endian int32
+    } else {
+      for (size_t i = 0; i < count; i++) {
+        uint32_t v = (uint32_t)x[i];
+        for (uint32_t b = 0; b < bytes; b++) *p++ = (uint8_t)(v >> (8 * b));
+      }
     }
     md5_.Update(md5_buf_.data(), md5_buf_.size());
   }
@@ -765,11 +792,7 @@ class Encoder {
           bw.WriteSigned((int32_t)res[idx + i], (int)rawbits);
       } else {
         bw.WriteBits(k, 4);
-        for (uint32_t i = 0; i < count; i++) {
-          uint64_t folded = Fold(res[idx + i]);
-          bw.WriteUnary((uint32_t)(folded >> k));
-          if (k) bw.WriteBits((uint32_t)(folded & ((1u << k) - 1)), (int)k);
-        }
+        for (uint32_t i = 0; i < count; i++) bw.WriteRice(Fold(res[idx + i]), k);
       }
       idx += count;
     }
@@ -794,18 +817,33 @@ class Encoder {
                              int* shift_out, double* expected_err) {
     if (n < 64) return 0;
     uint32_t max_order = kMaxLpcOrder;
-    // Windowed copy.
-    std::vector<double> w(n);
+    // Windowed copy (thread-local scratch: this runs once per subframe
+    // on pool workers; a fresh 32 KB vector per call dominated the
+    // analysis cost).
+    static thread_local std::vector<double> w;
+    w.resize(n);
     double half = (n - 1) / 2.0;
-    for (uint32_t i = 0; i < n; i++) {
-      double t = (i - half) / half;
-      w[i] = x[i] * (1.0 - t * t);  // Welch window
+    {
+      double* __restrict__ wp = w.data();
+      const int32_t* __restrict__ xp = x;
+#pragma omp simd
+      for (uint32_t i = 0; i < n; i++) {
+        double t = (i - half) / half;
+        wp[i] = xp[i] * (1.0 - t * t);  // Welch window
+      }
     }
     double autoc[kMaxLpcOrder + 1] = {0};
-    for (uint32_t lag = 0; lag <= max_order; lag++) {
-      double acc = 0;
-      for (uint32_t i = lag; i < n; i++) acc += w[i] * w[i - lag];
-      autoc[lag] = acc;
+    // Per-lag dot products.  The omp-simd reduction pragma grants the
+    // reassociation a strict-FP build refuses, so each loop vectorizes
+    // to wide FMAs (built with -fopenmp-simd: pragma only, no runtime).
+    {
+      const double* wp = w.data();
+      for (uint32_t lag = 0; lag <= max_order; lag++) {
+        double acc = 0;
+#pragma omp simd reduction(+ : acc)
+        for (uint32_t i = lag; i < n; i++) acc += wp[i] * wp[i - lag];
+        autoc[lag] = acc;
+      }
     }
     if (autoc[0] <= 0) return 0;
     // Levinson-Durbin, tracking error per order.
@@ -887,16 +925,36 @@ class Encoder {
     uint32_t max_order = std::min<uint32_t>(4, n > 4 ? 4 : n - 1);
     uint32_t best_order = 0;
     uint64_t best_sum = UINT64_MAX;
-    std::vector<int64_t> res(n);
-    for (uint32_t i = 0; i < n; i++) res[i] = x[i];
-    for (uint32_t o = 0;; o++) {
-      uint64_t s = SumAbs(res.data() + o, n - o);
+    // Ping-pong forward diffs: order o's residual is the first
+    // difference of order o-1's.  Forward src->dst loops with the sum
+    // fused in vectorize; the old in-place backward walk did not.
+    static thread_local std::vector<int64_t> res, nxt;
+    res.resize(n);
+    nxt.resize(n);
+    {
+      uint64_t s = 0;
+      for (uint32_t i = 0; i < n; i++) {
+        res[i] = x[i];
+        s += (uint64_t)(x[i] < 0 ? -(int64_t)x[i] : (int64_t)x[i]);
+      }
+      best_sum = s;
+    }
+    for (uint32_t o = 1; o <= max_order; o++) {
+      const int64_t* __restrict__ src = res.data();
+      int64_t* __restrict__ dst = nxt.data();
+      uint64_t s = 0;
+      uint32_t cnt = n - o;
+#pragma omp simd reduction(+ : s)
+      for (uint32_t i = 0; i < cnt; i++) {
+        int64_t v = src[i + 1] - src[i];
+        dst[i] = v;
+        s += (uint64_t)(v < 0 ? -v : v);
+      }
+      res.swap(nxt);
       if (s < best_sum) {
         best_sum = s;
         best_order = o;
       }
-      if (o == max_order) break;
-      for (uint32_t i = n - 1; i > o; i--) res[i] = res[i] - res[i - 1];
     }
 
     // Try LPC and take it when its residual actually beats FIXED's.
@@ -905,12 +963,31 @@ class Encoder {
     double exp_err = 0;
     uint32_t lpc_order = AnalyzeLpc(x, n, qcoef, &shift, &exp_err);
     if (lpc_order > 0) {
-      std::vector<int64_t> lres(n);
-      for (uint32_t i = lpc_order; i < n; i++) {
-        int64_t acc = 0;
-        for (uint32_t j = 0; j < lpc_order; j++)
-          acc += (int64_t)qcoef[j] * x[i - 1 - j];
-        lres[i - lpc_order] = (int64_t)x[i] - (acc >> shift);
+      static thread_local std::vector<int64_t> lres;
+      lres.resize(n);
+      // Per-coefficient passes: each j-loop is an elementwise
+      // multiply-accumulate over i that the compiler vectorizes; the
+      // i-outer form (dot product per sample with a variable-length
+      // inner loop) stays scalar.
+      const uint32_t cnt = n - lpc_order;
+      int64_t* __restrict__ acc = lres.data();  // built in place, then folded
+      {
+        const int64_t c0 = qcoef[0];
+        const int32_t* __restrict__ xs = x + lpc_order - 1;
+#pragma omp simd
+        for (uint32_t i = 0; i < cnt; i++) acc[i] = c0 * xs[i];
+      }
+      for (uint32_t j = 1; j < lpc_order; j++) {
+        const int64_t cj = qcoef[j];
+        const int32_t* __restrict__ xs = x + lpc_order - 1 - j;
+#pragma omp simd
+        for (uint32_t i = 0; i < cnt; i++) acc[i] += cj * xs[i];
+      }
+      {
+        const int32_t* __restrict__ xs = x + lpc_order;
+#pragma omp simd
+        for (uint32_t i = 0; i < cnt; i++)
+          acc[i] = (int64_t)xs[i] - (acc[i] >> shift);
       }
       uint64_t lpc_sum = SumAbs(lres.data(), n - lpc_order);
       // Rough bit accounting: residual cost scales with log2 of the
@@ -948,6 +1025,9 @@ class Encoder {
                    std::vector<uint8_t>* frame_out) const {
     std::vector<uint8_t>& frame = *frame_out;
     BitWriter bw(&frame);
+    // Size for the typical compressed frame up front; worst case still
+    // grows via Ensure.
+    bw.Reserve((size_t)n * channels_ * ((bps_ + 7) / 8) / 2 + 1024);
     // --- frame header
     bw.WriteBits(0x3FFE, 14);  // sync
     bw.WriteBits(0, 1);
@@ -995,8 +1075,9 @@ class Encoder {
     }
     bw.WriteBits(sr_code, 4);
 
-    // Stereo decorrelation decision (2 channels only).
-    std::vector<std::vector<int32_t>> chans;
+    // Stereo decorrelation decision (2 channels only).  Thread-local:
+    // one frame per worker at a time, buffers reused across frames.
+    static thread_local std::vector<std::vector<int32_t>> chans;
     uint32_t ch_code;
     DecorrelateAndChoose(interleaved, n, &chans, &ch_code);
     bw.WriteBits(ch_code, 4);
@@ -1015,7 +1096,8 @@ class Encoder {
     // Coded frame number (fixed-blocksize stream => frame index).
     WriteCodedNumber(bw, frame_index);
     if (bs_extra >= 0) bw.WriteBits((uint32_t)bs_extra, bs_code == 6 ? 8 : 16);
-    bw.WriteBits(Crc8(frame.data(), frame.size()), 8);
+    bw.FlushBytes();  // bytes [0, byte_pos) are the header
+    bw.WriteBits(Crc8(frame.data(), bw.byte_pos()), 8);
 
     // --- subframes
     for (uint32_t c = 0; c < chans.size(); c++) {
@@ -1026,8 +1108,10 @@ class Encoder {
       EncodeSubframe(bw, chans[c].data(), n, sub_bps);
     }
     bw.AlignToByte();
-    uint16_t crc16 = Crc16(frame.data(), frame.size());
+    bw.FlushBytes();
+    uint16_t crc16 = Crc16(frame.data(), bw.byte_pos());
     bw.WriteBits(crc16, 16);
+    bw.Finish();
   }
 
   // Fold one finished frame into the stream counters (kept in frame
@@ -1070,45 +1154,69 @@ class Encoder {
                             std::vector<std::vector<int32_t>>* chans,
                             uint32_t* ch_code) const {
     uint32_t nch = channels_;
-    chans->assign(nch, std::vector<int32_t>(n));
+    // Reuse inner buffers across frames (assign() would reallocate all
+    // of them from a prototype every call).
+    if (chans->size() != nch) chans->resize(nch);
+    for (auto& v : *chans) v.resize(n);
     for (uint32_t i = 0; i < n; i++)
       for (uint32_t c = 0; c < nch; c++) (*chans)[c][i] = x[(size_t)i * nch + c];
     if (nch != 2) {
       *ch_code = nch - 1;
       return;
     }
-    // Estimate cost of each stereo mode with order-2 residual sums.
-    std::vector<int64_t> res(n);
-    auto cost = [&](const std::vector<int32_t>& v) {
-      FixedResidual(v.data(), n, std::min(2u, n - 1), res.data());
-      return SumAbs(res.data(), n - std::min(2u, n - 1));
-    };
-    std::vector<int32_t> mid(n), side(n);
-    for (uint32_t i = 0; i < n; i++) {
-      int32_t l = (*chans)[0][i], r = (*chans)[1][i];
-      side[i] = l - r;
-      mid[i] = (l + r) >> 1;
+    // Estimate cost of each stereo mode with order-2 residual sums —
+    // one fused pass over the interleaved input instead of building
+    // mid/side then running four separate residual+sum passes.  Same
+    // arithmetic, identical totals.
+    const uint32_t o = std::min(2u, n - 1);
+    uint64_t cl = 0, cr = 0, cs = 0, cm = 0;
+    if (o == 2) {
+      for (uint32_t i = 2; i < n; i++) {
+        int64_t l2 = x[2 * i], l1 = x[2 * (i - 1)], l0 = x[2 * (i - 2)];
+        int64_t r2 = x[2 * i + 1], r1 = x[2 * (i - 1) + 1], r0 = x[2 * (i - 2) + 1];
+        int64_t el = l2 - 2 * l1 + l0;
+        int64_t er = r2 - 2 * r1 + r0;
+        int64_t es = el - er;  // second diff of (l - r)
+        int64_t em = ((l2 + r2) >> 1) - 2 * ((l1 + r1) >> 1) + ((l0 + r0) >> 1);
+        cl += (uint64_t)(el < 0 ? -el : el);
+        cr += (uint64_t)(er < 0 ? -er : er);
+        cs += (uint64_t)(es < 0 ? -es : es);
+        cm += (uint64_t)(em < 0 ? -em : em);
+      }
+    } else {  // n == 2: order-1 first differences
+      for (uint32_t i = 1; i < n; i++) {
+        int64_t el = (int64_t)x[2 * i] - x[2 * (i - 1)];
+        int64_t er = (int64_t)x[2 * i + 1] - x[2 * (i - 1) + 1];
+        int64_t es = el - er;
+        int64_t em = ((int64_t)(x[2 * i] + x[2 * i + 1]) >> 1) -
+                     ((int64_t)(x[2 * (i - 1)] + x[2 * (i - 1) + 1]) >> 1);
+        cl += (uint64_t)(el < 0 ? -el : el);
+        cr += (uint64_t)(er < 0 ? -er : er);
+        cs += (uint64_t)(es < 0 ? -es : es);
+        cm += (uint64_t)(em < 0 ? -em : em);
+      }
     }
-    uint64_t cl = cost((*chans)[0]);
-    uint64_t cr = cost((*chans)[1]);
-    uint64_t cs = cost(side);
-    uint64_t cm = cost(mid);
     uint64_t indep = cl + cr, ls = cl + cs, rs = cr + cs, ms = cm + cs;
     uint64_t best = std::min(std::min(indep, ls), std::min(rs, ms));
     if (best == indep) {
       *ch_code = 1;
-    } else if (best == ls) {
+      return;
+    }
+    int32_t* L = (*chans)[0].data();
+    int32_t* R = (*chans)[1].data();
+    if (best == ls) {
       *ch_code = 8;
-      (*chans)[1] = side;
+      for (uint32_t i = 0; i < n; i++) R[i] = L[i] - R[i];  // left, side
     } else if (best == rs) {
       *ch_code = 9;
-      (*chans)[0] = side;
-      // channel order: side, right
-      // (*chans)[1] already right
+      for (uint32_t i = 0; i < n; i++) L[i] = L[i] - R[i];  // side, right
     } else {
       *ch_code = 10;
-      (*chans)[0] = mid;
-      (*chans)[1] = side;
+      for (uint32_t i = 0; i < n; i++) {
+        int32_t l = L[i], r = R[i];
+        L[i] = (l + r) >> 1;  // mid
+        R[i] = l - r;         // side
+      }
     }
   }
 

@@ -31,33 +31,54 @@ inline uint32_t Rotl(uint32_t x, int s) { return (x << s) | (x >> (32 - s)); }
 
 void MD5::Block(const uint8_t* p) {
   uint32_t m[16];
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+  memcpy(m, p, 64);  // MD5 message words are little-endian
+#else
   for (int i = 0; i < 16; i++) {
     m[i] = (uint32_t)p[4 * i] | ((uint32_t)p[4 * i + 1] << 8) |
            ((uint32_t)p[4 * i + 2] << 16) | ((uint32_t)p[4 * i + 3] << 24);
   }
+#endif
   uint32_t A = a, B = b, C = c, D = d;
-  for (int i = 0; i < 64; i++) {
-    uint32_t f;
-    int g;
-    if (i < 16) {
-      f = (B & C) | (~B & D);
-      g = i;
-    } else if (i < 32) {
-      f = (D & B) | (~D & C);
-      g = (5 * i + 1) & 15;
-    } else if (i < 48) {
-      f = B ^ C ^ D;
-      g = (3 * i + 5) & 15;
-    } else {
-      f = C ^ (B | ~D);
-      g = (7 * i) & 15;
-    }
-    uint32_t tmp = D;
-    D = C;
-    C = B;
-    B = B + Rotl(A + f + kSine[i] + m[g], kShift[i]);
-    A = tmp;
+  // Fully unrolled rounds: the rolled loop's per-iteration round
+  // selection and register rotation cost ~2x on the encoder's MD5 pass.
+  // F/G use the mux form (one op shorter than the (x&y)|(~x&z) form).
+#define MD5_STEP(fexpr, A, B, C, D, i, g)             \
+  A += (fexpr) + kSine[i] + m[g];                     \
+  A = Rotl(A, kShift[i]) + B;
+#define MD5_F(B, C, D) (D ^ (B & (C ^ D)))
+#define MD5_G(B, C, D) (C ^ (D & (B ^ C)))
+#define MD5_H(B, C, D) (B ^ C ^ D)
+#define MD5_I(B, C, D) (C ^ (B | ~D))
+  for (int i = 0; i < 16; i += 4) {
+    MD5_STEP(MD5_F(B, C, D), A, B, C, D, i + 0, i + 0)
+    MD5_STEP(MD5_F(A, B, C), D, A, B, C, i + 1, i + 1)
+    MD5_STEP(MD5_F(D, A, B), C, D, A, B, i + 2, i + 2)
+    MD5_STEP(MD5_F(C, D, A), B, C, D, A, i + 3, i + 3)
   }
+  for (int i = 16; i < 32; i += 4) {
+    MD5_STEP(MD5_G(B, C, D), A, B, C, D, i + 0, (5 * (i + 0) + 1) & 15)
+    MD5_STEP(MD5_G(A, B, C), D, A, B, C, i + 1, (5 * (i + 1) + 1) & 15)
+    MD5_STEP(MD5_G(D, A, B), C, D, A, B, i + 2, (5 * (i + 2) + 1) & 15)
+    MD5_STEP(MD5_G(C, D, A), B, C, D, A, i + 3, (5 * (i + 3) + 1) & 15)
+  }
+  for (int i = 32; i < 48; i += 4) {
+    MD5_STEP(MD5_H(B, C, D), A, B, C, D, i + 0, (3 * (i + 0) + 5) & 15)
+    MD5_STEP(MD5_H(A, B, C), D, A, B, C, i + 1, (3 * (i + 1) + 5) & 15)
+    MD5_STEP(MD5_H(D, A, B), C, D, A, B, i + 2, (3 * (i + 2) + 5) & 15)
+    MD5_STEP(MD5_H(C, D, A), B, C, D, A, i + 3, (3 * (i + 3) + 5) & 15)
+  }
+  for (int i = 48; i < 64; i += 4) {
+    MD5_STEP(MD5_I(B, C, D), A, B, C, D, i + 0, (7 * (i + 0)) & 15)
+    MD5_STEP(MD5_I(A, B, C), D, A, B, C, i + 1, (7 * (i + 1)) & 15)
+    MD5_STEP(MD5_I(D, A, B), C, D, A, B, i + 2, (7 * (i + 2)) & 15)
+    MD5_STEP(MD5_I(C, D, A), B, C, D, A, i + 3, (7 * (i + 3)) & 15)
+  }
+#undef MD5_STEP
+#undef MD5_F
+#undef MD5_G
+#undef MD5_H
+#undef MD5_I
   a += A;
   b += B;
   c += C;
