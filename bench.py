@@ -149,10 +149,15 @@ def _engine_configs(out, rng):
     size1 = 16384 if smoke else 65536
     ir1 = rng.standard_normal((2, 2, size1)).astype(np.float32) / 256.0
     bank1 = compile_filter_bank(ir1)
-    # 150 iters: single-stream dispatches are tiny (~2 ms), so short
-    # runs are at the mercy of tunnel RTT variance (±40% at 30 iters).
-    out["single_stream_lowpass_x"] = round(
-        run(bank1, 1, 8, 3 if smoke else 150)[0], 1
+    # 150 iters x 3 repeats: single-stream dispatches are tiny (~2 ms),
+    # so this config is at the mercy of tunnel RTT weather (measured
+    # swings 1,209 <-> 4,074x on identical code, DEVNOTES).  Report the
+    # spread so a reader can tell tunnel state from regression.
+    ss = sorted(run(bank1, 1, 8, 3 if smoke else 150)[0] for _ in range(3))
+    out["single_stream_lowpass_x"] = round(ss[-1], 1)  # best of 3
+    out["single_stream_lowpass_median_x"] = round(ss[len(ss) // 2], 1)
+    out["single_stream_lowpass_spread_pct"] = round(
+        100.0 * (ss[-1] - ss[0]) / ss[-1], 1
     )
 
     # --- MAXSIZE: 1M-tap batched serving (zita-config.h:61's upper
@@ -184,6 +189,28 @@ def _engine_configs(out, rng):
     return out
 
 
+def _link_probe(out, rng):
+    """Direct host<->device link health measurement, so every bench
+    record carries the tunnel state that RTT/D2H-bound configs (1 and 3)
+    depend on.  On a real TPU VM these read as GB/s; through the dev
+    tunnel D2H has measured as low as 0.4 MB/s (DEVNOTES)."""
+    import jax
+    import jax.numpy as jnp
+
+    mb = 2
+    host = rng.standard_normal((mb * 1024 * 1024 // 4,)).astype(np.float32)
+    # H2D, once warm.
+    dev = jax.device_put(host)
+    float(jnp.sum(dev))  # force
+    t0 = time.perf_counter()
+    dev = jax.device_put(host)
+    float(jnp.sum(dev))
+    out["link_h2d_mbps"] = round(mb / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    np.asarray(dev)  # D2H
+    out["link_d2h_mbps"] = round(mb / (time.perf_counter() - t0), 1)
+
+
 def _runtime_configs(out, rng):
     """Configs 3 & 4 + TTFB: the real serving runtime (host + device)."""
     from folve_tpu.audio.flac import write_flac
@@ -198,7 +225,10 @@ def _runtime_configs(out, rng):
         os.makedirs(src)
         make_lowpass(filters)  # writes filters/lowpass/filter-<rate>.conf
 
-        seconds = 2.0
+        # 6 s per track: long enough that the pipelined pump reaches
+        # steady state (2 s tracks spent most of the wall in per-file
+        # open/handover + first-dispatch RTT, not streaming).
+        seconds = 2.0 if os.environ.get("FOLVE_BENCH_SMOKE") else 6.0
         frames = int(rate * seconds)
         for name, seed in (("01-a.flac", 1), ("02-b.flac", 2)):
             x = rng.uniform(-0.4, 0.4, (frames, 2)).astype(np.float32)
@@ -238,25 +268,42 @@ def _runtime_configs(out, rng):
         fs.close_handler("/02-b.flac", h)
 
         # --- config 3: gapless two-file album join, full pipeline.
-        fs = make_fs(gapless=True)
-        t0 = time.perf_counter()
-        h1 = fs.get_or_create_handler("/01-a.flac")
-        read_all(h1)  # triggers the handover into 02-b
-        h2 = fs.get_or_create_handler("/02-b.flac")
-        read_all(h2)
-        dt = time.perf_counter() - t0
-        # Where the wall time went (device dispatch+wait / D2H fetch /
-        # host FLAC encode) — proves what the pipelined pump overlaps.
-        bk = [h.get_handler_status() for h in (h1, h2)]
-        out["gapless_breakdown_s"] = {
-            "wall": round(dt, 2),
-            "device_dispatch": round(sum(s.pump_dispatch_s for s in bk), 2),
-            "d2h_fetch": round(sum(s.pump_fetch_s for s in bk), 2),
-            "encode": round(sum(s.pump_encode_s for s in bk), 2),
-        }
-        fs.close_handler("/01-a.flac", h1)
-        fs.close_handler("/02-b.flac", h2)
-        out["gapless_join_x"] = round(2 * seconds / dt, 1)
+        # Three repeats: this config's wall is dominated by D2H through
+        # the dev tunnel (~3 MB/s, stalls for minutes when degraded), so
+        # one sample is weather, not signal.  Best/median/spread make
+        # the tunnel state visible inside the bench output itself.
+        runs = []
+        breakdown = None
+        for rep in range(4):  # first run = warmup (filter compile, jit)
+            fs = make_fs(gapless=True)
+            t0 = time.perf_counter()
+            h1 = fs.get_or_create_handler("/01-a.flac")
+            read_all(h1)  # triggers the handover into 02-b
+            h2 = fs.get_or_create_handler("/02-b.flac")
+            read_all(h2)
+            dt = time.perf_counter() - t0
+            # Where the wall time went (device dispatch+wait / D2H fetch
+            # / host FLAC encode) — proves what the pipelined pump
+            # overlaps.  Keep the breakdown of the BEST run.
+            bk = [h.get_handler_status() for h in (h1, h2)]
+            if rep > 0:
+                if not runs or dt < min(runs):
+                    breakdown = {
+                        "wall": round(dt, 2),
+                        "device_dispatch": round(sum(s.pump_dispatch_s for s in bk), 2),
+                        "d2h_fetch": round(sum(s.pump_fetch_s for s in bk), 2),
+                        "encode": round(sum(s.pump_encode_s for s in bk), 2),
+                    }
+                runs.append(dt)
+            fs.close_handler("/01-a.flac", h1)
+            fs.close_handler("/02-b.flac", h2)
+        runs.sort()
+        out["gapless_breakdown_s"] = breakdown
+        out["gapless_join_x"] = round(2 * seconds / runs[0], 1)  # best of 3
+        out["gapless_join_median_x"] = round(2 * seconds / runs[len(runs) // 2], 1)
+        out["gapless_join_spread_pct"] = round(
+            100.0 * (runs[-1] - runs[0]) / runs[-1], 1
+        )
 
         # --- config 4: filter switching across rates; true-compile pool
         # miss (persistent spectra cache disabled), disk-cache cold hit
@@ -335,6 +382,17 @@ def _codec_configs(out, rng):
     out["flac_encode_x"] = round(dur / best_enc, 1)
     out["flac_decode_x"] = round(dur / best_dec, 1)
 
+    # Config-3 projection off the dev tunnel: on real PCIe (D2H >=
+    # 1 GB/s) the int16 stream fetch (176 KB/s of audio) runs >5000x
+    # realtime, so the gapless serve becomes codec-bound.  Worst case
+    # fully-serial single core = harmonic sum of decode+encode; the
+    # FramePool frame-parallel codecs (bit-identity asserted by
+    # tests/test_parallel.py at any width) scale that near-linearly
+    # with cores — 8 cores clears the 1000x bar with margin.
+    serial = 1.0 / (1.0 / out["flac_decode_x"] + 1.0 / out["flac_encode_x"])
+    out["gapless_projection_pcie_1core_x"] = round(serial, 0)
+    out["gapless_projection_pcie_8core_x"] = round(8 * serial, 0)
+
     try:  # vorbis needs a third-party-encoded fixture; skip if the
         # test oracle encoder is absent in this image
         import glob
@@ -374,6 +432,7 @@ def main():
     rng = np.random.default_rng(42)
     out = {}
     _engine_configs(out, rng)
+    _link_probe(out, rng)
     _runtime_configs(out, rng)
     _codec_configs(out, rng)
     out["device"] = str(jax.devices()[0])
