@@ -111,13 +111,9 @@ def _parse(f: BinaryIO):
     return info, sound_offset, sound_size, comp
 
 
-def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
-    f = _open(src)
-    info, offset, size, comp = _parse(f)
-    f.seek(offset)
-    raw = f.read(max(0, size))  # short read on truncated files is fine
+def _decode_payload(raw: bytes, info: AudioInfo, little: bool) -> np.ndarray:
+    """Raw SSND bytes (any whole-frame slice) -> float32 [n, ch]."""
     ch = info.channels
-    little = comp == b"sowt"
     c = info.codec
     if c == SampleCodec.PCM_16:
         raw = raw[: len(raw) - len(raw) % 2]
@@ -149,7 +145,32 @@ def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
     else:
         raise AiffError(f"cannot decode {c}")
     n = (len(x) // ch) * ch
-    return x[:n].reshape(-1, ch), info
+    return x[:n].reshape(-1, ch)
+
+
+def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
+    f = _open(src)
+    info, offset, size, comp = _parse(f)
+    f.seek(offset)
+    raw = f.read(max(0, size))  # short read on truncated files is fine
+    return _decode_payload(raw, info, comp == b"sowt"), info
+
+
+def open_aiff_stream(path: str):
+    """(file, info, data_offset, frame_bytes, decode) for a chunked
+    source — constant memory per open stream, like the reference's
+    libsndfile streaming reads (sound-processor.cc:76-84)."""
+    f = open(path, "rb")
+    try:
+        info, offset, _size, comp = _parse(f)
+    except Exception:
+        f.close()
+        raise
+    little = comp == b"sowt"
+    frame_bytes = info.channels * info.bits_per_sample // 8
+    return f, info, offset, frame_bytes, (
+        lambda raw: _decode_payload(raw, info, little)
+    )
 
 
 def read_aiff_info(src) -> AudioInfo:

@@ -95,13 +95,10 @@ def read_au_info(path: str) -> AudioInfo:
     )
 
 
-def read_au(path: str) -> tuple[np.ndarray, AudioInfo]:
-    with open(path, "rb") as f:
-        blob = f.read()
-    offset, size, enc, rate, channels, frames = _parse_header(blob)
-    raw = blob[offset : offset + size]
-    # Truncated payloads short-decode (like the WAV/AIFF readers) instead
-    # of raising from np.frombuffer on a partial trailing sample.
+def _decode_payload(raw: bytes, enc: int, channels: int) -> np.ndarray:
+    """Raw AU payload bytes (any whole-frame slice) -> float32 [n, ch].
+    Truncated payloads short-decode (like the WAV/AIFF readers) instead
+    of raising from np.frombuffer on a partial trailing sample."""
     elem = _ENC_BITS[enc] // 8
     raw = raw[: (len(raw) // elem) * elem]
     if enc == 1:
@@ -128,14 +125,54 @@ def read_au(path: str) -> tuple[np.ndarray, AudioInfo]:
     else:  # 7
         data = np.frombuffer(raw, ">f8")
     data = np.asarray(data, np.float32)
-    frames = data.size // channels
-    data = data[: frames * channels].reshape(frames, channels)
+    n = data.size // channels
+    return data[: n * channels].reshape(n, channels)
+
+
+def read_au(path: str) -> tuple[np.ndarray, AudioInfo]:
+    with open(path, "rb") as f:
+        blob = f.read()
+    offset, size, enc, rate, channels, frames = _parse_header(blob)
+    data = _decode_payload(blob[offset : offset + size], enc, channels)
     info = AudioInfo(
-        rate=rate, channels=channels, frames=frames,
+        rate=rate, channels=channels, frames=data.shape[0],
         container=Container.AU, codec=_ENC_CODEC[enc],
         bits_per_sample=16 if enc in (1, 27) else _ENC_BITS[enc],
     )
     return data, info
+
+
+def open_au_stream(path: str):
+    """(file, info, data_offset, frame_bytes, decode) for a chunked
+    source.  frame_bytes uses the STORAGE width (mu-law/A-law store one
+    byte per sample but report 16-bit depth)."""
+    f = open(path, "rb")
+    try:
+        hdr = f.read(24)
+        f.seek(0, 2)
+        total = f.tell()
+        if len(hdr) < 24 or hdr[:4] != _MAGIC:
+            raise AuError("not an AU file")
+        offset, size, enc, rate, channels = struct.unpack(">IIIII", hdr[4:24])
+        if enc not in _ENC_BITS or channels == 0 or rate == 0 or offset < 24:
+            raise AuError("bad AU header")
+        avail = max(0, total - offset)
+        if size == 0xFFFFFFFF or size > avail:
+            size = avail
+        bits = _ENC_BITS[enc]
+        frames = size // (channels * (bits // 8))
+        info = AudioInfo(
+            rate=rate, channels=channels, frames=frames,
+            container=Container.AU, codec=_ENC_CODEC[enc],
+            bits_per_sample=16 if enc in (1, 27) else bits,
+        )
+    except Exception:
+        f.close()
+        raise
+    frame_bytes = channels * (bits // 8)
+    return f, info, offset, frame_bytes, (
+        lambda raw: _decode_payload(raw, enc, channels)
+    )
 
 
 class AuStreamEncoder(PcmStreamEncoderBase):

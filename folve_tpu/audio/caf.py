@@ -76,9 +76,19 @@ def read_caf(path: str) -> tuple[np.ndarray, AudioInfo]:
     if desc is None or data is None:
         raise CafError("missing desc/data chunks")
     rate, flags, channels, bits = desc
+    x, codec = _decode_payload(data, flags, int(bits), int(channels))
+    info = AudioInfo(
+        rate=int(round(rate)), channels=int(channels), frames=x.shape[0],
+        container=Container.CAF, codec=codec, bits_per_sample=int(bits),
+    )
+    return x, info
+
+
+def _decode_payload(data: bytes, flags: int, bits: int, channels: int):
+    """Raw data bytes (any whole-frame slice) -> (float32 [n, ch], codec).
+    Truncated payloads short-decode rather than raising from frombuffer."""
     is_float = bool(flags & _FLAG_FLOAT)
     endian = "<" if flags & _FLAG_LITTLE else ">"
-    # Truncated payloads short-decode rather than raising from frombuffer.
     elem = max(1, bits // 8)
     data = data[: (len(data) // elem) * elem]
     if is_float and bits == 32:
@@ -116,14 +126,61 @@ def read_caf(path: str) -> tuple[np.ndarray, AudioInfo]:
     else:
         raise CafError(f"unsupported lpcm bits={bits} float={is_float}")
     x = np.asarray(x, np.float32)
-    channels = int(channels)
-    frames = x.size // channels
-    x = x[: frames * channels].reshape(frames, channels)
-    info = AudioInfo(
-        rate=int(round(rate)), channels=channels, frames=frames,
-        container=Container.CAF, codec=codec, bits_per_sample=int(bits),
+    n = x.size // channels
+    return x[: n * channels].reshape(n, channels), codec
+
+
+def open_caf_stream(path: str):
+    """(file, info, data_offset, frame_bytes, decode) for a chunked
+    source — only the chunk directory is read up front, so a multi-GB
+    CAF costs constant memory per open stream."""
+    f = open(path, "rb")
+    try:
+        blob = f.read(1 << 16)
+        f.seek(0, 2)
+        total = f.tell()
+        _check_magic(blob)
+        desc = None
+        data_off = data_len = None
+        pos = 8
+        while pos + 12 <= len(blob):
+            ctype = blob[pos : pos + 4]
+            (size,) = struct.unpack(">q", blob[pos + 4 : pos + 12])
+            body_off = pos + 12
+            if size < -1:
+                raise CafError(f"negative chunk size {size}")
+            real = max(0, total - body_off) if size == -1 else int(size)
+            if ctype == b"desc":
+                desc = _parse_desc(blob[body_off : body_off + real])
+            elif ctype == b"data":
+                data_off = body_off + 4  # skip the edit count
+                data_len = max(0, min(real, total - body_off) - 4)
+            if desc is not None and data_len is not None:
+                break
+            pos = body_off + real
+        if desc is None or data_len is None:
+            raise CafError("missing desc/data chunks")
+        rate, flags, channels, bits = desc
+        channels, bits = int(channels), int(bits)
+        frame_bytes = channels * (bits // 8)
+        frames = data_len // max(1, frame_bytes)
+        codec = {
+            (True, 32): SampleCodec.FLOAT, (True, 64): SampleCodec.DOUBLE,
+            (False, 8): SampleCodec.PCM_S8, (False, 16): SampleCodec.PCM_16,
+            (False, 24): SampleCodec.PCM_24, (False, 32): SampleCodec.PCM_32,
+        }.get((bool(flags & _FLAG_FLOAT), bits))
+        if codec is None:
+            raise CafError("unsupported lpcm layout")
+        info = AudioInfo(
+            rate=int(round(rate)), channels=channels, frames=frames,
+            container=Container.CAF, codec=codec, bits_per_sample=bits,
+        )
+    except Exception:
+        f.close()
+        raise
+    return f, info, data_off, frame_bytes, (
+        lambda raw: _decode_payload(raw, flags, bits, channels)[0]
     )
-    return x, info
 
 
 def read_caf_info(path: str) -> AudioInfo:

@@ -55,22 +55,45 @@ class WavSource:
             pass
 
 
-class ArraySource:
-    """Source over a fully-decoded array (AIFF and other small formats)."""
+class PcmChunkSource:
+    """Chunked reader over a contiguous PCM payload (AIFF/AU/W64/CAF).
 
-    def __init__(self, path: str):
-        from folve_tpu.audio import read_audio
+    Constant memory per open stream regardless of file size — like the
+    reference streaming everything through libsndfile handles
+    (sound-processor.cc:76-84) — where the previous ArraySource decoded
+    the whole file into RAM at open (a 2-hour 24-bit W64 cost ~2 GB)."""
 
-        self._data, self.info = read_audio(path)
-        self._pos = 0
+    def __init__(self, f, info: AudioInfo, data_offset: int,
+                 frame_bytes: int, decode):
+        self._f = f
+        self.info = info
+        self._off = data_offset
+        self._frame_bytes = frame_bytes
+        self._decode = decode  # whole-frame raw bytes -> float32 [n, ch]
+        self._pos = 0  # frames consumed
 
     def read_float(self, nframes: int) -> np.ndarray:
-        take = self._data[self._pos : self._pos + nframes]
-        self._pos += take.shape[0]
-        return take
+        take = max(0, min(nframes, self.info.frames - self._pos))
+        if take == 0:
+            return np.zeros((0, self.info.channels), dtype=np.float32)
+        self._f.seek(self._off + self._pos * self._frame_bytes)
+        raw = self._f.read(take * self._frame_bytes)
+        out = self._decode(raw)
+        self._pos += out.shape[0]
+        if out.shape[0] == 0 and take > 0:
+            # Defensive: a pathological decode that makes no progress
+            # must not wedge the pump loop in an infinite retry.
+            self._pos = self.info.frames
+        return out
+
+    def seek(self, frame: int) -> None:
+        self._pos = max(0, min(frame, self.info.frames))
 
     def close(self) -> None:
-        self._data = None
+        try:
+            self._f.close()
+        except Exception:
+            pass
 
 
 class FlacSource:
@@ -101,9 +124,22 @@ def open_source(path: str) -> Optional[AudioSource]:
             # side's copy; routing bytes through here would pin a second
             # whole-file Python buffer per open stream.
             return FlacSource(path)
-        if container in (Container.AIFF, Container.AU, Container.W64,
-                         Container.CAF):
-            return ArraySource(path)
+        if container == Container.AIFF:
+            from folve_tpu.audio.aiff import open_aiff_stream
+
+            return PcmChunkSource(*open_aiff_stream(path))
+        if container == Container.AU:
+            from folve_tpu.audio.au import open_au_stream
+
+            return PcmChunkSource(*open_au_stream(path))
+        if container == Container.W64:
+            from folve_tpu.audio.w64 import open_w64_stream
+
+            return PcmChunkSource(*open_w64_stream(path))
+        if container == Container.CAF:
+            from folve_tpu.audio.caf import open_caf_stream
+
+            return PcmChunkSource(*open_caf_stream(path))
         if container == Container.OGG:
             from folve_tpu.audio.ogg import OggSource
 

@@ -80,15 +80,9 @@ _CODEC = {
 }
 
 
-def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
-    with open(path, "rb") as f:
-        blob = f.read()
-    tag, channels, rate, bits, off, length = _parse(blob)
-    codec = _CODEC.get((tag, bits))
-    if codec is None:
-        raise W64Error(f"unsupported format tag={tag} bits={bits}")
-    raw = blob[off : off + length]
-    # Truncated payloads short-decode rather than raising from frombuffer.
+def _decode_payload(raw: bytes, codec, bits: int, channels: int) -> np.ndarray:
+    """Raw data bytes (any whole-frame slice) -> float32 [n, ch].
+    Truncated payloads short-decode rather than raising from frombuffer."""
     elem = max(1, bits // 8)
     raw = raw[: (len(raw) // elem) * elem]
     if codec == SampleCodec.PCM_U8:
@@ -111,13 +105,74 @@ def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
     else:
         data = np.frombuffer(raw, "<f8")
     data = np.asarray(data, np.float32)
-    frames = data.size // channels
-    data = data[: frames * channels].reshape(frames, channels)
+    n = data.size // channels
+    return data[: n * channels].reshape(n, channels)
+
+
+def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
+    with open(path, "rb") as f:
+        blob = f.read()
+    tag, channels, rate, bits, off, length = _parse(blob)
+    codec = _CODEC.get((tag, bits))
+    if codec is None:
+        raise W64Error(f"unsupported format tag={tag} bits={bits}")
+    data = _decode_payload(blob[off : off + length], codec, bits, channels)
     info = AudioInfo(
-        rate=rate, channels=channels, frames=frames,
+        rate=rate, channels=channels, frames=data.shape[0],
         container=Container.W64, codec=codec, bits_per_sample=bits,
     )
     return data, info
+
+
+def open_w64_stream(path: str):
+    """(file, info, data_offset, frame_bytes, decode) for a chunked
+    source — only the chunk directory is read up front, so a multi-GB
+    Wave64 costs constant memory per open stream."""
+    f = open(path, "rb")
+    try:
+        blob = f.read(1 << 16)
+        f.seek(0, 2)
+        total = f.tell()
+        if len(blob) < 40 or blob[:16] != GUID_RIFF or blob[24:40] != GUID_WAVE:
+            raise W64Error("not a Wave64 file")
+        pos = 40
+        fmt = None
+        data_off = data_len = None
+        while pos + 24 <= len(blob):
+            guid = blob[pos : pos + 16]
+            (size,) = struct.unpack("<Q", blob[pos + 16 : pos + 24])
+            if size < 24:
+                raise W64Error("bad chunk size")
+            if guid == GUID_FMT:
+                fmt = blob[pos + 24 : pos + size]
+            elif guid == GUID_DATA:
+                data_off = pos + 24
+                data_len = min(size - 24, total - pos - 24)
+            pos += _align8(size)
+            if fmt is not None and data_len is not None:
+                break
+        if fmt is None or data_off is None or len(fmt) < 16:
+            raise W64Error("missing fmt/data chunks")
+        tag, channels, rate, _brate, _balign, bits = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
+            (tag,) = struct.unpack("<H", fmt[24:26])
+        codec = _CODEC.get((tag, bits))
+        if codec is None or channels == 0:
+            raise W64Error("unsupported w64 format")
+        frames = int(data_len) // (channels * (bits // 8))
+        info = AudioInfo(
+            rate=rate, channels=channels, frames=frames,
+            container=Container.W64, codec=codec, bits_per_sample=bits,
+        )
+    except Exception:
+        f.close()
+        raise
+    frame_bytes = channels * (bits // 8)
+    return f, info, data_off, frame_bytes, (
+        lambda raw: _decode_payload(raw, codec, bits, channels)
+    )
 
 
 def read_w64_info(path: str) -> AudioInfo:

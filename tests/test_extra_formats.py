@@ -261,3 +261,86 @@ def test_truncated_payload_short_decodes(tmp_path, rng, fmt, write):
     got, info = read_audio(str(p))
     assert got.shape[1] == 2 and 0 < got.shape[0] <= 1000
     np.testing.assert_allclose(got[:-1], x[: got.shape[0] - 1], atol=1.1 / 32768)
+
+
+# --- streaming sources (constant memory, VERDICT r3 #2) --------------------
+
+
+@pytest.mark.parametrize("fmt,write", [
+    ("au", write_au), ("w64", write_w64), ("caf", write_caf),
+])
+def test_chunk_source_bit_identical(tmp_path, rng, fmt, write):
+    """PcmChunkSource (chunked reads) must produce exactly what the
+    whole-file decoder produces, across chunk boundaries."""
+    from folve_tpu.audio.source import open_source
+
+    x = _material(rng, frames=4321)
+    p = tmp_path / f"t.{fmt}"
+    write(str(p), x, RATE, bits=16)
+    whole, info = read_audio(str(p))
+    src = open_source(str(p))
+    assert type(src).__name__ == "PcmChunkSource"
+    got = []
+    for n in (1, 7, 512, 4096, 4096):  # uneven chunk sizes
+        got.append(src.read_float(n))
+    got = np.concatenate(got, axis=0)
+    src.close()
+    assert got.shape == whole.shape
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_chunk_source_aiff_bit_identical(tmp_path, rng):
+    from folve_tpu.audio.aiff import write_aiff
+    from folve_tpu.audio.source import open_source
+
+    x = _material(rng, frames=3333)
+    p = tmp_path / "t.aiff"
+    write_aiff(str(p), x, RATE, bits=24)
+    whole, info = read_audio(str(p))
+    src = open_source(str(p))
+    assert type(src).__name__ == "PcmChunkSource"
+    got = []
+    while True:
+        chunk = src.read_float(1000)
+        if chunk.shape[0] == 0:
+            break
+        got.append(chunk)
+    got = np.concatenate(got, axis=0)
+    src.close()
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_chunk_source_constant_memory_multi_gb(tmp_path, rng):
+    """A ~2.5 GB Wave64 (sparse on disk) opens and streams in constant
+    memory — the old ArraySource would have decoded ~5 GB of float32
+    into RAM at open.  Ref: libsndfile streaming, sound-processor.cc:76-84."""
+    import resource
+
+    from folve_tpu.audio.source import open_source
+    from folve_tpu.audio.w64 import W64StreamEncoder
+
+    frames = 700_000_000  # ~2.6 GB of 16-bit stereo payload
+    enc = W64StreamEncoder(RATE, 2, 16, frames)
+    p = tmp_path / "huge.w64"
+    with open(p, "wb") as f:
+        hdr = enc.header()
+        f.write(hdr)
+        f.seek(len(hdr) + frames * 4 - 2)  # sparse hole = zeros
+        f.write(b"\0\0")
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    src = open_source(str(p))
+    assert type(src).__name__ == "PcmChunkSource"
+    assert src.info.frames == frames
+    total = 0
+    for _ in range(20):
+        chunk = src.read_float(16384)
+        total += chunk.shape[0]
+        assert np.all(chunk == 0.0)
+    src.seek(frames - 100)
+    tail = src.read_float(1000)
+    assert tail.shape[0] == 100
+    src.close()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # Peak RSS must not have grown by anything near the payload size.
+    assert rss1 - rss0 < 200_000, f"RSS grew {rss1 - rss0} KiB"
+    assert total == 20 * 16384
