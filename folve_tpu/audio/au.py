@@ -48,7 +48,8 @@ def _mulaw_table() -> np.ndarray:
 
 def _alaw_table() -> np.ndarray:
     a = np.arange(256, dtype=np.int32) ^ 0x55
-    sign = np.where(a & 0x80, -1, 1)
+    # G.711 A-law: MSB 1 = POSITIVE (opposite of mu-law's convention).
+    sign = np.where(a & 0x80, 1, -1)
     exponent = (a >> 4) & 7
     mantissa = a & 0x0F
     mag = np.where(

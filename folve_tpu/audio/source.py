@@ -27,7 +27,12 @@ class AudioSource(Protocol):
 
 
 class WavSource:
-    """Chunked WAV reader (no full-file decode up front)."""
+    """Chunked WAV reader (no full-file decode up front).
+
+    Sample codecs (PCM/float/alaw/ulaw) stream at frame granularity;
+    IMA ADPCM streams at coded-block granularity (the predictor chain
+    is sequential within a block, so reads decode whole covering blocks
+    and slice)."""
 
     def __init__(self, path_or_file):
         self._f = _open(path_or_file)
@@ -40,6 +45,24 @@ class WavSource:
         take = max(0, min(nframes, remaining))
         if take == 0:
             return np.zeros((0, self.info.channels), dtype=np.float32)
+        if self.info.block_align:  # block-coded (IMA ADPCM)
+            spb = self.info.samples_per_block
+            ba = self.info.block_align
+            b0 = self._pos // spb
+            b1 = -(-(self._pos + take) // spb)  # ceil
+            self._f.seek(self._data_offset + b0 * ba)
+            raw = self._f.read(
+                min((b1 - b0) * ba, self._data_size - b0 * ba)
+            )
+            decoded = _decode_pcm(raw, self.info)
+            lo = self._pos - b0 * spb
+            out = decoded[lo : lo + take]
+            self._pos += out.shape[0]
+            if out.shape[0] == 0:
+                # Corrupt/short block that yields nothing must not wedge
+                # the pump loop in an infinite retry.
+                self._pos = self.info.frames
+            return out
         self._f.seek(self._data_offset + self._pos * self._frame_bytes)
         raw = self._f.read(take * self._frame_bytes)
         self._pos += take

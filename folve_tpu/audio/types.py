@@ -32,6 +32,10 @@ class SampleCodec(enum.Enum):
     DOUBLE = "double"
     FLAC = "flac"
     VORBIS = "vorbis"
+    ALAW = "alaw"
+    ULAW = "ulaw"
+    IMA_ADPCM = "ima_adpcm"
+    MP3 = "mp3"
 
 
 _BITS = {
@@ -42,6 +46,10 @@ _BITS = {
     SampleCodec.PCM_32: 32,
     SampleCodec.FLOAT: 32,
     SampleCodec.DOUBLE: 64,
+    SampleCodec.ALAW: 8,
+    SampleCodec.ULAW: 8,
+    SampleCodec.IMA_ADPCM: 4,
+    SampleCodec.MP3: 16,
 }
 
 
@@ -55,6 +63,10 @@ class AudioInfo:
     container: Container
     codec: SampleCodec
     bits_per_sample: int = 0
+    # Block-coded codecs only (IMA ADPCM): bytes per coded block and
+    # decoded frames per block.  0 for sample-coded streams.
+    block_align: int = 0
+    samples_per_block: int = 0
 
     def __post_init__(self):
         if not self.bits_per_sample:

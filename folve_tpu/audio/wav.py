@@ -19,6 +19,9 @@ from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_ALAW = 0x0006
+_WAVE_FORMAT_MULAW = 0x0007
+_WAVE_FORMAT_IMA_ADPCM = 0x0011  # a.k.a. DVI ADPCM
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -55,12 +58,16 @@ def _parse_header(f: BinaryIO):
     fmt = None
     data_offset = None
     data_size = None
+    fact_frames = None
     while True:
         hdr = f.read(8)
         if len(hdr) < 8:
             break
         cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-        if cid == b"ds64":
+        if cid == b"fact" and size >= 4:
+            body = f.read(size)
+            fact_frames = struct.unpack("<I", body[:4])[0]
+        elif cid == b"ds64":
             ds64 = f.read(size)
             if len(ds64) < 16:
                 raise WavError("ds64 chunk too short")
@@ -103,6 +110,7 @@ def _parse_header(f: BinaryIO):
         tag = struct.unpack("<H", fmt[24:26])[0]
     if channels == 0 or block_align == 0:
         raise WavError("bad channel count or block alignment")
+    samples_per_block = 0
     if tag == _WAVE_FORMAT_PCM:
         codec = {8: SampleCodec.PCM_U8, 16: SampleCodec.PCM_16,
                  24: SampleCodec.PCM_24, 32: SampleCodec.PCM_32}.get(bits)
@@ -112,9 +120,41 @@ def _parse_header(f: BinaryIO):
         codec = {32: SampleCodec.FLOAT, 64: SampleCodec.DOUBLE}.get(bits)
         if codec is None:
             raise WavError(f"unsupported float bit depth {bits}")
+    elif tag == _WAVE_FORMAT_ALAW:
+        codec = SampleCodec.ALAW
+    elif tag == _WAVE_FORMAT_MULAW:
+        codec = SampleCodec.ULAW
+    elif tag == _WAVE_FORMAT_IMA_ADPCM:
+        codec = SampleCodec.IMA_ADPCM
+        if bits != 4:
+            raise WavError(f"IMA ADPCM bits {bits} != 4")
+        if block_align < 4 * channels + 4:
+            raise WavError("IMA ADPCM block too small")
+        # fmt extension: cbSize(2) + wSamplesPerBlock(2).  Derive from
+        # the block size when absent (the canonical relation).
+        derived = (block_align - 4 * channels) * 2 // channels + 1
+        if len(fmt) >= 20:
+            samples_per_block = struct.unpack("<H", fmt[18:20])[0]
+        if not (1 <= samples_per_block <= derived):
+            samples_per_block = derived
     else:
         raise WavError(f"unsupported WAVE format tag 0x{tag:04x}")
-    frames = data_size // block_align
+
+    if codec == SampleCodec.IMA_ADPCM:
+        full_blocks, rem = divmod(data_size, block_align)
+        frames = full_blocks * samples_per_block
+        if rem > 4 * channels:
+            frames += min(samples_per_block,
+                          1 + (rem - 4 * channels) * 2 // channels)
+        elif rem >= 4 * channels:
+            frames += 1  # header-only partial block still carries sample 0
+        # NOTE: the fact chunk is deliberately ignored for ADPCM —
+        # libsndfile (the behavior the reference inherits) decodes whole
+        # blocks and reports the block total; its own writer even emits
+        # a fact value inconsistent with both the input and the blocks.
+        del fact_frames
+    else:
+        frames = data_size // block_align
     info = AudioInfo(
         rate=rate,
         channels=channels,
@@ -122,13 +162,91 @@ def _parse_header(f: BinaryIO):
         container=Container.WAV,
         codec=codec,
         bits_per_sample=bits,
+        block_align=block_align if codec == SampleCodec.IMA_ADPCM else 0,
+        samples_per_block=samples_per_block,
     )
     return info, data_offset, data_size
+
+
+# IMA/DVI ADPCM tables (IMA ADPCM Reference Algorithm, 1992).
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32
+)
+_IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32
+)
+
+
+def _decode_ima_adpcm(raw: bytes, info: AudioInfo) -> np.ndarray:
+    """IMA ADPCM data bytes (whole blocks, possibly a short tail block)
+    -> float32 [n, ch].  The predictor chain is sequential WITHIN a
+    block, but blocks are independent, so the loop runs over the sample
+    index with every block x channel decoded as one vector step."""
+    ch = info.channels
+    ba = info.block_align
+    spb = info.samples_per_block
+    if ba <= 0 or spb <= 0:
+        raise WavError("IMA ADPCM without block geometry")
+    nb_full, rem = divmod(len(raw), ba)
+    tail_samples = 0
+    if rem > 4 * ch:
+        tail_samples = min(spb, 1 + (rem - 4 * ch) * 2 // ch)
+    elif rem >= 4 * ch:
+        tail_samples = 1
+    if rem and tail_samples:
+        # Zero-pad the short tail to a full block; extra decoded samples
+        # are sliced off below.
+        raw = raw[: nb_full * ba] + raw[nb_full * ba:] + b"\0" * (ba - rem)
+        nb = nb_full + 1
+    else:
+        raw = raw[: nb_full * ba]
+        nb = nb_full
+    if nb == 0:
+        return np.zeros((0, ch), np.float32)
+    blocks = np.frombuffer(raw, np.uint8).reshape(nb, ba)
+    hdr = blocks[:, : 4 * ch].reshape(nb, ch, 4)
+    pred = hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8)
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    data = blocks[:, 4 * ch:]
+    ngroups = data.shape[1] // (4 * ch)
+    data = data[:, : ngroups * 4 * ch].reshape(nb, ngroups, ch, 4)
+    # Nibble order per byte: low first, then high.
+    nibs = np.empty((nb, ngroups, ch, 8), np.uint8)
+    nibs[..., 0::2] = data & 0x0F
+    nibs[..., 1::2] = data >> 4
+    nibs = nibs.transpose(0, 2, 1, 3).reshape(nb, ch, ngroups * 8)
+    out = np.empty((nb, ch, spb), np.int32)
+    out[:, :, 0] = pred
+    for s in range(1, spb):
+        nib = nibs[:, :, s - 1].astype(np.int32)
+        step = _IMA_STEP_TABLE[index]
+        # Exact bit-serial magnitude (NOT ((2m+1)*step)>>4 — the shifts
+        # truncate differently and decoders must match bit-for-bit).
+        diff = step >> 3
+        diff = diff + np.where(nib & 4, step, 0)
+        diff = diff + np.where(nib & 2, step >> 1, 0)
+        diff = diff + np.where(nib & 1, step >> 2, 0)
+        pred = np.where(nib & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TABLE[nib], 0, 88)
+        out[:, :, s] = pred
+    x = out.transpose(0, 2, 1).reshape(-1, ch).astype(np.float32) / 32768.0
+    n = nb_full * spb + tail_samples
+    return x[:n]
 
 
 def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
     ch = info.channels
     c = info.codec
+    if c == SampleCodec.IMA_ADPCM:
+        return _decode_ima_adpcm(raw, info)
     if c == SampleCodec.PCM_16:
         x = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.float32) / 32768.0
     elif c == SampleCodec.PCM_24:
@@ -149,6 +267,14 @@ def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
         x = np.frombuffer(raw[: len(raw) - len(raw) % 4], dtype="<f4").astype(np.float32)
     elif c == SampleCodec.DOUBLE:
         x = np.frombuffer(raw[: len(raw) - len(raw) % 8], dtype="<f8").astype(np.float32)
+    elif c == SampleCodec.ULAW:
+        from folve_tpu.audio.au import _mulaw_table
+
+        x = _mulaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
+    elif c == SampleCodec.ALAW:
+        from folve_tpu.audio.au import _alaw_table
+
+        x = _alaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
     else:
         raise WavError(f"cannot decode codec {c}")
     n = (len(x) // ch) * ch

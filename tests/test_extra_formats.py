@@ -79,8 +79,22 @@ def _sf():
     lib.sf_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(SfInfo)]
     lib.sf_writef_float.restype = ctypes.c_int64
     lib.sf_writef_float.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.sf_readf_float.restype = ctypes.c_int64
+    lib.sf_readf_float.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.sf_close.argtypes = [ctypes.c_void_p]
     return lib
+
+
+def _sf_read(path):
+    """Decode via the libsndfile oracle -> (float32 [n, ch], rate)."""
+    lib = _sf()
+    info = lib.SfInfo()
+    snd = lib.sf_open(str(path).encode(), 0x10, ctypes.byref(info))
+    assert snd, "sf_open (read) failed"
+    out = np.empty((info.frames, info.channels), np.float32)
+    got = lib.sf_readf_float(snd, out.ctypes.data, info.frames)
+    lib.sf_close(snd)
+    return out[:got], info.samplerate
 
 
 def _sf_write(path, x, rate, fmt):

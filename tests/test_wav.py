@@ -64,3 +64,77 @@ def test_clipping_on_pcm_write():
     data, _ = read_wav(buf.getvalue())
     assert data[0, 0] == pytest.approx(32767 / 32768)
     assert data[1, 0] == pytest.approx(-1.0)
+
+
+# --- alaw / ulaw / IMA-ADPCM sample codecs (VERDICT r3 #3) -----------------
+# The reference convolves any WAV libsndfile decodes, including telephony
+# codecs and IMA ADPCM (probe at convolve-file-handler.cc:62-76).  The
+# libsndfile bundled with pygame is the encode+decode oracle.
+
+SF_WAV = 0x010000
+SF_SUB_ULAW, SF_SUB_ALAW, SF_SUB_IMA = 0x0010, 0x0011, 0x0012
+
+
+@pytest.mark.parametrize("sub,codec_name", [
+    (SF_SUB_ULAW, "ulaw"),
+    (SF_SUB_ALAW, "alaw"),
+    (SF_SUB_IMA, "ima_adpcm"),
+])
+def test_wav_codec_matches_libsndfile(tmp_path, rng, sub, codec_name):
+    from tests.test_extra_formats import _sf_read, _sf_write
+
+    x = (rng.uniform(-0.5, 0.5, (4421, 2))).astype(np.float32)
+    x = np.round(x * 32768) / 32768
+    p = tmp_path / "c.wav"
+    _sf_write(p, x, 44100, SF_WAV | sub)
+    got, info = read_wav(str(p))
+    assert info.codec.value == codec_name
+    oracle, orate = _sf_read(p)
+    assert orate == 44100
+    assert got.shape == oracle.shape, (got.shape, oracle.shape)
+    # Same int16 reconstruction -> identical floats.
+    np.testing.assert_array_equal(got, oracle)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_ima_adpcm_streaming_source(tmp_path, rng, ch):
+    """WavSource must slice IMA ADPCM block decodes bit-identically to
+    the whole-file decode, across uneven chunk boundaries."""
+    from folve_tpu.audio.source import WavSource
+    from tests.test_extra_formats import _sf_write
+
+    x = (rng.uniform(-0.5, 0.5, (10000, ch))).astype(np.float32)
+    p = tmp_path / "s.wav"
+    _sf_write(p, x, 44100, SF_WAV | SF_SUB_IMA)
+    whole, info = read_wav(str(p))
+    src = WavSource(str(p))
+    parts = []
+    for n in (1, 3, 500, 1021, 2048, 99999):
+        parts.append(src.read_float(n))
+    got = np.concatenate(parts, axis=0)
+    src.close()
+    assert got.shape == whole.shape
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_wav_adpcm_through_filesystem(tmp_path, rng):
+    """An IMA ADPCM WAV convolves through the runtime (out as FLAC per
+    the wav->flac output rule) instead of passing through unfiltered."""
+    from folve_tpu.audio.flac import read_flac
+    from tests.test_extra_formats import _sf_write
+    from tests.test_runtime import make_fs, read_all
+
+    x = (rng.uniform(-0.4, 0.4, (3000, 2))).astype(np.float32)
+    src_file = tmp_path / "in.wav"
+    _sf_write(src_file, x, 44100, SF_WAV | SF_SUB_IMA)
+
+    fs, src_dir = make_fs(tmp_path)
+    import shutil
+
+    shutil.copy(src_file, src_dir / "song.wav")
+    h = fs.get_or_create_handler("/song.wav")
+    blob = read_all(h)
+    fs.close_handler("/song.wav", h)
+    assert blob[:4] == b"fLaC"
+    got, info = read_flac(blob)
+    assert info.frames == read_wav(str(src_file))[1].frames
