@@ -66,6 +66,12 @@ def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
 
         return read_aiff(path)
     if container == Container.OGG:
+        from folve_tpu.audio.oggflac import sniff_ogg_codec
+
+        if sniff_ogg_codec(path) == "flac":
+            from folve_tpu.audio.oggflac import read_ogg_flac
+
+            return read_ogg_flac(path)
         from folve_tpu.audio.ogg import read_ogg
 
         return read_ogg(path)
@@ -97,6 +103,12 @@ def read_audio_info(path: str) -> AudioInfo:
 
         return read_aiff_info(path)
     if container == Container.OGG:
+        from folve_tpu.audio.oggflac import sniff_ogg_codec
+
+        if sniff_ogg_codec(path) == "flac":
+            from folve_tpu.audio.oggflac import read_ogg_flac_info
+
+            return read_ogg_flac_info(path)
         from folve_tpu.audio.ogg import read_ogg_info
 
         return read_ogg_info(path)

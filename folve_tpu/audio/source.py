@@ -164,6 +164,10 @@ def open_source(path: str) -> Optional[AudioSource]:
 
             return PcmChunkSource(*open_caf_stream(path))
         if container == Container.OGG:
+            from folve_tpu.audio.oggflac import OggFlacSource, sniff_ogg_codec
+
+            if sniff_ogg_codec(path) == "flac":
+                return OggFlacSource(path)
             from folve_tpu.audio.ogg import OggSource
 
             return OggSource(path)

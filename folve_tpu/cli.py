@@ -240,12 +240,29 @@ def cmd_convolve(args) -> int:
             file=sys.stderr,
         )
     out = args.output
-    if out.lower().endswith(".wav"):
+    ext = os.path.splitext(out)[1].lower()
+    bits = min(info.bits_per_sample, 24)
+    if bits not in (8, 16, 24):
+        bits = 24
+    if ext == ".wav":
         write_wav(out, y, info.rate, SampleCodec.PCM_24)
+    elif ext in (".aiff", ".aif"):
+        from folve_tpu.audio.aiff import write_aiff
+
+        write_aiff(out, y, info.rate, bits=max(16, bits))
+    elif ext in (".au", ".snd"):
+        from folve_tpu.audio.au import write_au
+
+        write_au(out, y, info.rate, bits=max(16, bits))
+    elif ext == ".w64":
+        from folve_tpu.audio.w64 import write_w64
+
+        write_w64(out, y, info.rate, bits=max(16, bits))
+    elif ext == ".caf":
+        from folve_tpu.audio.caf import write_caf
+
+        write_caf(out, y, info.rate, bits=max(16, bits))
     else:
-        bits = min(info.bits_per_sample, 24)
-        if bits not in (8, 16, 24):
-            bits = 24
         write_flac(out, y, info.rate, bits=bits)
     dt = time.time() - t0
     audio_sec = n / info.rate

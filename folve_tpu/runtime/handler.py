@@ -263,7 +263,17 @@ class ConvolveFileHandler(FileHandler):
         if in_container == Container.WAV:
             out_bits = 24
         elif in_container == Container.OGG:
-            out_bits = 16
+            # Vorbis is lossy float -> FLAC/16 (the reference's rule);
+            # Ogg-FLAC is lossless, keep the source depth instead of
+            # quantizing a 24-bit stream down to 16.
+            from folve_tpu.audio.types import SampleCodec
+
+            if self._in_info.codec == SampleCodec.FLAC:
+                out_bits = self._in_info.bits_per_sample
+                if out_bits not in (16, 24):
+                    out_bits = 24 if out_bits > 16 else 16
+            else:
+                out_bits = 16
         elif in_container == Container.AIFF:
             out_bits = self._in_info.bits_per_sample
             if out_bits not in (16, 24, 32):
@@ -338,6 +348,12 @@ class ConvolveFileHandler(FileHandler):
 
                 return read_aiff_metadata(self._underlying_file) or None
             if container == Container.OGG:
+                from folve_tpu.audio.types import SampleCodec
+
+                if self._in_info.codec == SampleCodec.FLAC:
+                    from folve_tpu.audio.oggflac import read_ogg_flac_metadata
+
+                    return read_ogg_flac_metadata(self._underlying_file) or None
                 from folve_tpu.audio.ogg import read_ogg_comments
 
                 return read_ogg_comments(self._underlying_file) or None
