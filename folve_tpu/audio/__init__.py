@@ -49,6 +49,11 @@ def sniff_container(path: str) -> Optional[Container]:
         return None
     if magic[:4] == b"caff":
         return Container.CAF
+    # MP3 last: it has no container magic, only frame sync / ID3 tags.
+    from folve_tpu.audio.mp3 import sniff_mp3
+
+    if sniff_mp3(path):
+        return Container.MP3
     return None
 
 
@@ -87,6 +92,10 @@ def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
         from folve_tpu.audio.caf import read_caf
 
         return read_caf(path)
+    if container == Container.MP3:
+        from folve_tpu.audio.mp3 import read_mp3
+
+        return read_mp3(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 
@@ -124,6 +133,10 @@ def read_audio_info(path: str) -> AudioInfo:
         from folve_tpu.audio.caf import read_caf_info
 
         return read_caf_info(path)
+    if container == Container.MP3:
+        from folve_tpu.audio.mp3 import read_mp3_info
+
+        return read_mp3_info(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 

@@ -171,6 +171,10 @@ def open_source(path: str) -> Optional[AudioSource]:
             from folve_tpu.audio.ogg import OggSource
 
             return OggSource(path)
+        if container == Container.MP3:
+            from folve_tpu.audio.mp3 import Mp3Source
+
+            return Mp3Source(path)
     except Exception:
         return None
     return None

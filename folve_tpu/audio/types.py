@@ -19,6 +19,7 @@ class Container(enum.Enum):
     AU = "au"
     W64 = "w64"
     CAF = "caf"
+    MP3 = "mp3"
     RAW = "raw"
 
 

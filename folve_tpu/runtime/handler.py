@@ -361,6 +361,10 @@ class ConvolveFileHandler(FileHandler):
                 from folve_tpu.audio.caf import read_caf_metadata
 
                 return read_caf_metadata(self._underlying_file) or None
+            if container == Container.MP3:
+                from folve_tpu.audio.mp3 import read_mp3_metadata
+
+                return read_mp3_metadata(self._underlying_file) or None
             if container == Container.FLAC:
                 # Reached only in workaround_flac_header_issue mode (the
                 # verbatim copy keeps the original VORBIS_COMMENT block).

@@ -22,9 +22,11 @@ _SOURCES = [
     "md5.cc",
     "fuse_transport.cc",
     "vorbis_codec.cc",
+    "mp3_codec.cc",
     "flac_bits.h",
     "frame_pool.h",
     "md5.h",
+    "mp3_huffman.inc",
     "Makefile",
 ]
 
