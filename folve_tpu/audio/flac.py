@@ -62,6 +62,12 @@ def _get_lib():
         lib.folve_flac_enc_set_threads.argtypes = [ctypes.c_int]
         lib.folve_flac_enc_get_threads.restype = ctypes.c_int
         lib.folve_flac_enc_last_width.restype = ctypes.c_int
+        lib.folve_flac_enc_frame_count.restype = ctypes.c_uint64
+        lib.folve_flac_enc_frame_count.argtypes = [ctypes.c_void_p]
+        lib.folve_flac_enc_frame_offset.restype = ctypes.c_uint64
+        lib.folve_flac_enc_frame_offset.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64
+        ]
         _lib = lib
     return _lib
 
@@ -232,6 +238,14 @@ class FlacEncoder:
     def streaminfo(self, with_md5: bool = True) -> bytes:
         n = self._lib.folve_flac_enc_streaminfo(self._handle, 1 if with_md5 else 0)
         return _fetch(self._lib, n)
+
+    def frame_count(self) -> int:
+        """Frames emitted so far (for SEEKTABLE regeneration)."""
+        return int(self._lib.folve_flac_enc_frame_count(self._handle))
+
+    def frame_offset(self, i: int) -> int:
+        """Byte offset of frame i relative to the first audio byte."""
+        return int(self._lib.folve_flac_enc_frame_offset(self._handle, i))
 
     def close(self):
         if self._handle:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import struct
 import threading
 import time
 from typing import Optional, TYPE_CHECKING
@@ -376,8 +377,12 @@ class ConvolveFileHandler(FileHandler):
         return None
 
     def _copy_flac_header(self) -> None:
-        """Verbatim metadata copy: keep everything except the seektable,
-        redact the MD5 (convolve-file-handler.cc:438-482)."""
+        """Verbatim metadata copy with MD5 redacted.  A source SEEKTABLE
+        is REGENERATED instead of dropped (the reference drops it because
+        re-encoded frame offsets are unknowable up front,
+        convolve-file-handler.cc:459-464): placeholder points go out with
+        the header, and real frame offsets are patched into the spill
+        file as the encoder emits frames (_update_seektable)."""
         buf = self._buffer
         with open(self._underlying_file, "rb") as f:
             magic = f.read(4)
@@ -385,7 +390,6 @@ class ConvolveFileHandler(FileHandler):
                 self._error = True
                 return
             buf.append(b"fLaC")
-            need_finish_padding = False
             while True:
                 header = f.read(4)
                 if len(header) < 4:
@@ -394,20 +398,65 @@ class ConvolveFileHandler(FileHandler):
                 btype = header[0] & 0x7F
                 blen = (header[1] << 16) | (header[2] << 8) | header[3]
                 body = f.read(blen)
-                need_finish_padding = False
                 if btype == 0 and blen == 34:  # STREAMINFO: redact MD5
                     buf.append(header)
                     buf.append(body[:-16])
                     buf.append(bytes(16))
-                elif btype == 3:  # SEEKTABLE: bogus after re-encode; drop
-                    need_finish_padding = is_last
+                elif btype == 3:  # SEEKTABLE: same size, placeholder points
+                    buf.append(header)
+                    self._plan_seektable(body, buf.file_size())
                 else:
                     buf.append(header)
                     buf.append(body)
                 if is_last:
                     break
-            if need_finish_padding:  # last block was dropped: force finish
-                buf.append(bytes([0x80 | 1, 0, 0, 0]))
+
+    def _plan_seektable(self, src_body: bytes, body_off: int) -> None:
+        """Emit a placeholder SEEKTABLE body (same point count as the
+        source) and record which output frames should fill the slots.
+        Placeholder points (sample 0xFF..FF) are spec-legal and patched
+        in ascending order as frames stream out."""
+        npoints = len(src_body) // 18
+        self._buffer.append((b"\xff" * 8 + bytes(10)) * npoints)
+        bs = self._encoder.blocksize
+        total = max(1, self._in_info.frames)
+        total_frames = -(-total // bs)
+        targets = []
+        for i in range(npoints):
+            (sample,) = struct.unpack(">Q", src_body[i * 18 : i * 18 + 8])
+            if sample == 0xFFFFFFFFFFFFFFFF:
+                continue  # placeholder in the source too
+            fidx = min(sample // bs, total_frames - 1)
+            targets.append(int(fidx))
+        self._seek_plan = sorted(set(targets))[:npoints]
+        self._seektable_body_off = body_off
+        self._seek_done = 0
+
+    def _update_seektable(self) -> None:
+        """Patch any seekpoints whose target frame has been emitted.
+        Byte offsets are relative to the first audio byte, exactly as
+        the spec defines them."""
+        plan = getattr(self, "_seek_plan", None)
+        if not plan or self._seek_done >= len(plan):
+            return
+        enc = self._encoder
+        if enc is None:
+            return
+        nframes = enc.frame_count()
+        bs = enc.blocksize
+        total = self._in_info.frames
+        while self._seek_done < len(plan):
+            fidx = plan[self._seek_done]
+            if fidx >= nframes:
+                break
+            nsamples = min(bs, max(0, total - fidx * bs)) or bs
+            point = struct.pack(
+                ">QQH", fidx * bs, enc.frame_offset(fidx), nsamples
+            )
+            self._buffer.write_bytes_at(
+                point, self._seektable_body_off + self._seek_done * 18
+            )
+            self._seek_done += 1
 
     def _patch_streaminfo(self) -> None:
         """Byte surgery on the copied STREAMINFO: our encoder's block
@@ -444,6 +493,7 @@ class ConvolveFileHandler(FileHandler):
     def read(self, size: int, offset: int) -> bytes:
         if self._error:
             raise OSError(5, "handler in error state")
+        self._update_seektable()
         current_filesize = self._buffer.file_size()
         read_horizon = offset + size
         # End-of-file skip heuristic: silently serve zeros instead of
@@ -701,6 +751,7 @@ class ConvolveFileHandler(FileHandler):
         self._fs.processor_pool.return_processor(self._processor)
         self._processor = None
         self._buffer.append(self._encoder.finish())
+        self._update_seektable()  # final points (incl. the last frame)
         self._encoder.close()
         self._encoder = None
         if self._source is not None:

@@ -1119,9 +1119,22 @@ class Encoder {
   void NoteFrame(const std::vector<uint8_t>& frame, uint32_t n) {
     if (frame.size() < min_framesize_) min_framesize_ = (uint32_t)frame.size();
     if (frame.size() > max_framesize_) max_framesize_ = (uint32_t)frame.size();
+    // Byte offset of this frame relative to the first audio byte —
+    // feeds the output SEEKTABLE regeneration (the reference merely
+    // drops the source's table, convolve-file-handler.cc:459-464).
+    frame_offsets_.push_back(audio_bytes_);
+    audio_bytes_ += frame.size();
     frame_index_++;
     frames_written_ += n;
   }
+
+ public:
+  uint64_t frame_count() const { return frame_offsets_.size(); }
+  uint64_t frame_offset(uint64_t i) const {
+    return i < frame_offsets_.size() ? frame_offsets_[i] : 0;
+  }
+
+ private:
 
   void EncodeBlock(const int32_t* interleaved, uint32_t n, std::vector<uint8_t>* out) {
     std::vector<uint8_t> frame;
@@ -1226,6 +1239,8 @@ class Encoder {
   uint64_t frame_index_ = 0;
   uint32_t min_framesize_ = UINT32_MAX;
   uint32_t max_framesize_ = 0;
+  std::vector<uint64_t> frame_offsets_;
+  uint64_t audio_bytes_ = 0;
   std::vector<int32_t> carry_;
   std::vector<uint8_t> md5_buf_;
   MD5 md5_;
@@ -1315,6 +1330,16 @@ void folve_flac_enc_copy(uint8_t* dst) {
 }
 
 void folve_flac_enc_free(void* h) { delete (folve::Encoder*)h; }
+
+// Per-frame byte offsets (relative to the first audio byte), for
+// output SEEKTABLE regeneration.
+uint64_t folve_flac_enc_frame_count(void* h) {
+  return ((folve::Encoder*)h)->frame_count();
+}
+
+uint64_t folve_flac_enc_frame_offset(void* h, uint64_t i) {
+  return ((folve::Encoder*)h)->frame_offset(i);
+}
 
 // Parallel frame-encode worker count for the whole process (0 = auto:
 // hardware_concurrency capped at 8, 1 = serial).

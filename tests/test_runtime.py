@@ -722,3 +722,109 @@ def test_odd_depth_flac_source_declares_capped_bits(tmp_path, rng):
     assert info2.bits_per_sample == 24 and info2.frames == total
     x = samples.astype(np.float64) / (1 << 11)
     np.testing.assert_allclose(got2, 0.5 * x, atol=2.5 / (1 << 23) + 1e-7)
+
+
+# --- SEEKTABLE regeneration (VERDICT r3 #6: beat the reference) ------------
+
+
+def _inject_seektable(flac_path, samples):
+    """Insert a SEEKTABLE metadata block (source-style, bogus offsets)
+    after STREAMINFO, like real encoders produce."""
+    import struct
+
+    blob = open(flac_path, "rb").read()
+    assert blob[:4] == b"fLaC"
+    # STREAMINFO is first; clear its last-block flag if set
+    hdr = bytearray(blob[4:8])
+    si_end = 8 + ((hdr[1] << 16) | (hdr[2] << 8) | hdr[3])
+    was_last = hdr[0] & 0x80
+    hdr[0] &= 0x7F
+    body = b"".join(
+        struct.pack(">QQH", s, 0xDEAD + i, 4096) for i, s in enumerate(samples)
+    )
+    st_hdr = bytes([(0x80 if was_last else 0) | 3]) + len(body).to_bytes(3, "big")
+    out = blob[:4] + bytes(hdr) + blob[8:si_end] + st_hdr + body + blob[si_end:]
+    open(flac_path, "wb").write(out)
+
+
+def _parse_flac_blocks(blob):
+    assert blob[:4] == b"fLaC"
+    pos = 4
+    blocks = []
+    while True:
+        h = blob[pos : pos + 4]
+        last, btype = bool(h[0] & 0x80), h[0] & 0x7F
+        blen = (h[1] << 16) | (h[2] << 8) | h[3]
+        blocks.append((btype, blob[pos + 4 : pos + 4 + blen]))
+        pos += 4 + blen
+        if last:
+            return blocks, pos  # pos = first audio byte
+
+
+def test_seektable_regenerated_with_real_offsets(tmp_path, rng):
+    """The reference DROPS a source SEEKTABLE (bogus after re-encode,
+    convolve-file-handler.cc:459-464); we regenerate it with the output
+    encoder's true frame offsets, patched in as frames stream out."""
+    import struct
+
+    fs, src = make_fs(tmp_path)
+    x = write_song(src, "song.flac", 44100 * 2, seed=3)
+    seek_samples = [0, 10000, 30000, 44100, 80000]
+    _inject_seektable(str(src / "song.flac"), seek_samples)
+    h = fs.get_or_create_handler("/song.flac")
+    read_all(h)  # first pass drives the whole convolution
+    # Re-read now that the stream is complete: the placeholder points
+    # were patched into the buffer as frames were emitted (same
+    # semantics as the reference's on-close header fixups).
+    blob = read_all(h)
+    fs.close_handler("/song.flac", h)
+
+    blocks, audio_start = _parse_flac_blocks(blob)
+    tables = [b for t, b in blocks if t == 3]
+    assert len(tables) == 1, "regenerated SEEKTABLE missing"
+    body = tables[0]
+    assert len(body) == 18 * len(seek_samples)
+    points = [struct.unpack(">QQH", body[i * 18 : i * 18 + 18])
+              for i in range(len(seek_samples))]
+    real = [p for p in points if p[0] != 0xFFFFFFFFFFFFFFFF]
+    assert len(real) == len(set(s // 4096 for s in seek_samples))
+    last_off = -1
+    for sample, offset, nsamp in real:
+        assert sample % 4096 == 0  # frame-aligned
+        assert offset > last_off  # strictly ascending
+        last_off = offset
+        frame = blob[audio_start + offset : audio_start + offset + 2]
+        assert frame[0] == 0xFF and (frame[1] & 0xFC) == 0xF8, (
+            f"seekpoint {sample} does not land on a frame header")
+        assert nsamp == 4096 or sample + nsamp == x.shape[0]
+    # placeholders (dedup'd slots) sit at the END, per spec
+    for i, p in enumerate(points):
+        if p[0] == 0xFFFFFFFFFFFFFFFF:
+            assert all(q[0] == 0xFFFFFFFFFFFFFFFF for q in points[i:])
+            break
+
+    # seek oracle: libsndfile seeks our output via the table and reads
+    # exactly what a full decode shows at that position
+    from tests.test_extra_formats import _sf
+
+    lib = _sf()
+    import ctypes
+
+    lib.sf_seek.restype = ctypes.c_int64
+    lib.sf_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    out_path = tmp_path / "out.flac"
+    out_path.write_bytes(blob)
+    info = lib.SfInfo()
+    snd = lib.sf_open(str(out_path).encode(), 0x10, ctypes.byref(info))
+    assert snd, "libsndfile cannot open the regenerated output"
+    import numpy as np
+
+    full = np.empty((info.frames, info.channels), np.float32)
+    assert lib.sf_readf_float(snd, full.ctypes.data, info.frames) == info.frames
+    target = 44100
+    assert lib.sf_seek(snd, target, 0) == target
+    chunk = np.empty((2048, info.channels), np.float32)
+    got = lib.sf_readf_float(snd, chunk.ctypes.data, 2048)
+    lib.sf_close(snd)
+    assert got == 2048
+    np.testing.assert_array_equal(chunk, full[target : target + 2048])
