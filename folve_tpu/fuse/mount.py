@@ -9,6 +9,7 @@ same trick the reference plays with pointers (folve-main.cc:227-229).
 from __future__ import annotations
 
 import ctypes
+import dataclasses
 import errno
 import logging
 import os
@@ -80,6 +81,15 @@ class FuseSession:
             ctypes.c_char_p,
             ctypes.c_char_p,
             ctypes.c_int,
+        ]
+        lib.folve_fuse_session_mount_opts2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_uint,
         ]
         lib.folve_fuse_session_set_fd.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.folve_fuse_session_loop.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -207,13 +217,16 @@ class FuseSession:
 
     def mount(self, mountpoint: str, options: str = "") -> None:
         """``options``: comma-separated fuse mount options (the -o flag,
-        reference folve-main.cc:499-512).  Supported: ``allow_other``,
-        ``default_permissions``, ``ro`` (the default), ``rw``; unknown
+        reference folve-main.cc:499-514).  Supported: ``allow_other``,
+        ``default_permissions``, ``ro`` (the default), ``rw``,
+        ``fsname=NAME``, ``subtype=TYPE``, ``max_read=N``; unknown
         options are ignored with a warning, like fuse tools do for
         fs-specific ones."""
-        extra, writable = parse_mount_options(options)
-        r = self._lib.folve_fuse_session_mount_opts(
-            self._session, mountpoint.encode(), extra.encode(), int(writable)
+        parsed = parse_mount_options(options)
+        r = self._lib.folve_fuse_session_mount_opts2(
+            self._session, mountpoint.encode(), parsed.extra.encode(),
+            int(parsed.writable), parsed.fsname.encode(),
+            parsed.subtype.encode(), parsed.max_read,
         )
         if r != 0:
             raise OSError(-r, f"cannot mount FUSE filesystem: {-r}")
@@ -236,21 +249,48 @@ class FuseSession:
 _KERNEL_OPTS = {"allow_other", "default_permissions"}
 
 
-def parse_mount_options(options: str) -> tuple[str, bool]:
-    """Split a ``-o`` option string into (kernel extra-data, writable)."""
+@dataclasses.dataclass
+class MountOptions:
+    extra: str = ""
+    writable: bool = False
+    fsname: str = ""
+    subtype: str = ""
+    max_read: int = 0
+
+
+def parse_mount_options(options: str) -> MountOptions:
+    """Parse a ``-o`` option string.  Kernel data options pass through;
+    fsname/subtype name the mount-table entry; max_read bounds request
+    size (reference: libfuse consumes these from -o,
+    folve-main.cc:499-514)."""
+    out = MountOptions()
     extra = []
-    writable = False
     for opt in (options or "").split(","):
         opt = opt.strip()
         if not opt or opt == "ro":
             continue
         if opt == "rw":
-            writable = True
+            out.writable = True
         elif opt in _KERNEL_OPTS:
             extra.append(opt)
+        elif opt.startswith("fsname="):
+            # mount-table source name; keep it shell/mtab-safe
+            out.fsname = "".join(
+                c for c in opt[7:] if c.isalnum() or c in "._:-/"
+            )[:64]
+        elif opt.startswith("subtype="):
+            out.subtype = "".join(
+                c for c in opt[8:] if c.isalnum() or c in "._-"
+            )[:32]
+        elif opt.startswith("max_read="):
+            try:
+                out.max_read = max(4096, min(1 << 20, int(opt[9:])))
+            except ValueError:
+                _log.warning("ignoring bad mount option %r", opt)
         else:
             _log.warning("ignoring unsupported mount option %r", opt)
-    return ",".join(extra), writable
+    out.extra = ",".join(extra)
+    return out
 
 
 # Write end of the daemonize() status pipe, held by the daemon child

@@ -84,6 +84,7 @@ class StatusServer:
         self._retired_lock = threading.Lock()
         self.meta_refresh = -1  # seconds; -1 = off (-r flag)
         self.expensive_details = False  # -D flag ties show_details
+        self._filter_switched = False  # one-shot switch notice
         self._profile_thread: Optional[threading.Thread] = None
         self._profile_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -146,7 +147,10 @@ class StatusServer:
         if parsed.path == "/settings":
             q = urllib.parse.parse_qs(parsed.query)
             filt = q.get("f", [""])[0]
-            self.fs.switch_current_config_dir(filt)
+            if self.fs.switch_current_config_dir(filt):
+                # One-shot notice on the next page render
+                # (status-server.cc:346-352, 359-364).
+                self._filter_switched = True
             return 302, {"Location": "/"}, b""
         if parsed.path == "/profile":
             return self._handle_profile(parsed.query)
@@ -233,11 +237,25 @@ class StatusServer:
         if for_http:
             parts.append('<div class="tabs">Active filter: ')
             current = fs.current_config_subdir
-            for name in sorted(fs.get_available_config_dirs()):
+            available = sorted(fs.get_available_config_dirs())
+            for name in available:
                 label = html.escape(name) if name else "[none : pass through]"
                 qname = urllib.parse.quote(name)
                 sel = ' class="sel"' if name == current else ""
                 parts.append(f'<a href="/settings?f={qname}"{sel}>{label}</a>')
+            if len(available) <= 1:
+                # status-server.cc:337-340
+                parts.append(
+                    " (This is a boring configuration, add filter directories)"
+                )
+            elif getattr(self, "_filter_switched", False):
+                # One-shot notice after a switch (status-server.cc:359-364).
+                parts.append(
+                    "<span style='font-size:small;background:#FFFFa0;"
+                    "border-radius:5px;padding:2px 6px'>"
+                    "Affects re- or newly opened files.</span>"
+                )
+                self._filter_switched = False
             parts.append("</div>")
         else:
             parts.append(
@@ -305,6 +323,10 @@ class StatusServer:
             )
             name = html.escape(s.filename)
             msg = f" <i>{html.escape(s.message)}</i>" if s.message else ""
+            if not s.message and s.access_progress == 0 and s.buffer_progress <= 0:
+                # Zero-progress handler: a metadata-indexing open that
+                # never read audio (status-server.cc:284-288).
+                msg = " <i>Only header accessed</i>"
             lat = html.escape(s.latency_summary)
             if s.pump_dispatch_s or s.pump_fetch_s or s.pump_encode_s:
                 # Where serving time went for this stream: device

@@ -74,7 +74,9 @@ class Session {
   // string (e.g. "allow_other", "default_permissions"); writable != 0
   // clears the default MS_RDONLY.  The reference forwards such options
   // to libfuse via -o (folve-main.cc:499-512).
-  int Mount(const char* mountpoint, const char* extra_data, int writable) {
+  int Mount(const char* mountpoint, const char* extra_data, int writable,
+            const char* fsname = nullptr, const char* subtype = nullptr,
+            unsigned max_read = 0) {
     fd_ = open("/dev/fuse", O_RDWR | O_CLOEXEC);
     if (fd_ < 0) return -errno;
     struct stat st;
@@ -86,14 +88,22 @@ class Session {
     }
     char data[512];
     snprintf(data, sizeof(data),
-             "fd=%d,rootmode=%o,user_id=%u,group_id=%u,max_read=131072%s%s",
+             "fd=%d,rootmode=%o,user_id=%u,group_id=%u,max_read=%u%s%s",
              fd_, st.st_mode & S_IFMT, getuid(), getgid(),
+             max_read ? max_read : 131072u,
              (extra_data && extra_data[0]) ? "," : "",
              extra_data ? extra_data : "");
+    // -o fsname= names the mount source; -o subtype= the fs type shown
+    // in the mount table (the reference forwards both to libfuse,
+    // folve-main.cc:499-514).
+    char type[128];
+    snprintf(type, sizeof(type), "fuse.%s",
+             (subtype && subtype[0]) ? subtype : "folve-tpu");
+    const char* src = (fsname && fsname[0]) ? fsname : "folve-tpu";
     unsigned long flags = MS_NOSUID | MS_NODEV;
     writable_ = writable != 0;
     if (!writable) flags |= MS_RDONLY;
-    if (mount("folve-tpu", mountpoint, "fuse.folve-tpu", flags, data) != 0) {
+    if (mount(src, mountpoint, type, flags, data) != 0) {
       int err = -errno;
       close(fd_);
       fd_ = -1;
@@ -456,6 +466,14 @@ void* folve_fuse_session_new(const FolveFuseOps* ops) {
 
 int folve_fuse_session_mount(void* s, const char* mountpoint) {
   return ((Session*)s)->Mount(mountpoint, nullptr, 0);
+}
+
+int folve_fuse_session_mount_opts2(void* s, const char* mountpoint,
+                                   const char* extra_data, int writable,
+                                   const char* fsname, const char* subtype,
+                                   unsigned max_read) {
+  return ((Session*)s)->Mount(mountpoint, extra_data, writable, fsname,
+                              subtype, max_read);
 }
 
 int folve_fuse_session_mount_opts(void* s, const char* mountpoint,

@@ -269,16 +269,30 @@ class TestProtocol:
 def test_parse_mount_options():
     from folve_tpu.fuse.mount import parse_mount_options
 
-    assert parse_mount_options("") == ("", False)
-    assert parse_mount_options("ro") == ("", False)
-    assert parse_mount_options("allow_other") == ("allow_other", False)
-    assert parse_mount_options("allow_other,rw,default_permissions") == (
-        "allow_other,default_permissions",
-        True,
-    )
+    p = parse_mount_options("")
+    assert (p.extra, p.writable) == ("", False)
+    p = parse_mount_options("ro")
+    assert (p.extra, p.writable) == ("", False)
+    p = parse_mount_options("allow_other")
+    assert (p.extra, p.writable) == ("allow_other", False)
+    p = parse_mount_options("allow_other,rw,default_permissions")
+    assert (p.extra, p.writable) == ("allow_other,default_permissions", True)
     # Unknown options are ignored (warned), like the reference's
     # pass-through of unrecognized -o flags to libfuse.
-    assert parse_mount_options("nosuchopt,ro") == ("", False)
+    p = parse_mount_options("nosuchopt,ro")
+    assert (p.extra, p.writable) == ("", False)
+    # fsname / subtype / max_read reach the kernel mount
+    # (folve-main.cc:499-514 forwards the whole -o namespace).
+    p = parse_mount_options("fsname=mysrc,subtype=folve,max_read=65536")
+    assert p.fsname == "mysrc" and p.subtype == "folve"
+    assert p.max_read == 65536
+    # sanitization: mount-data injection via commas/controls is stripped
+    p = parse_mount_options("fsname=e$(vil)`x`")
+    assert p.fsname == "evilx"
+    p = parse_mount_options("max_read=nonsense")
+    assert p.max_read == 0
+    p = parse_mount_options("max_read=1")
+    assert p.max_read == 4096  # clamped to sane floor
 
 
 @pytest.mark.skipif(not os.path.exists("/dev/fuse"), reason="no /dev/fuse")
