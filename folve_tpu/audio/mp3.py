@@ -58,10 +58,21 @@ def _get_lib():
     return _lib
 
 
-_MPEG1_BITRATE = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-                  256, 320, 0]
-_MPEG2_BITRATE = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
-                  160, 0]
+_BITRATES = {
+    # (is_mpeg1, layer): kbps per bitrate index
+    (True, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+                416, 448, 0],
+    (True, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                320, 384, 0],
+    (True, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320, 0],
+    (False, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+                 224, 256, 0],
+    (False, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+                 160, 0],
+    (False, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+                 160, 0],
+}
 _MPEG1_RATE = [44100, 48000, 32000, 0]
 
 
@@ -73,21 +84,21 @@ def _frame_len(head: bytes, pos: int) -> int:
     if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
         return 0
     version = (b[1] >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-    layer = (b[1] >> 1) & 3  # 3=I, 2=II, 1=III
+    layer = 4 - ((b[1] >> 1) & 3)  # -> 1, 2, 3
     br_idx = (b[2] >> 4) & 0xF
     sr_idx = (b[2] >> 2) & 3
     pad = (b[2] >> 1) & 1
-    if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+    if version == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
         return 0
     rate = _MPEG1_RATE[sr_idx]
     if version == 2:
         rate //= 2
     elif version == 0:
         rate //= 4
-    kbps = (_MPEG1_BITRATE if version == 3 else _MPEG2_BITRATE)[br_idx]
-    if layer == 3:  # Layer I
+    kbps = _BITRATES[(version == 3, layer)][br_idx]
+    if layer == 1:
         return (12 * kbps * 1000 // rate + pad) * 4
-    if layer == 1 and version != 3:  # Layer III LSF: 576-sample frames
+    if layer == 3 and version != 3:  # Layer III LSF: 576-sample frames
         return 72 * kbps * 1000 // rate + pad
     return 144 * kbps * 1000 // rate + pad
 

@@ -208,3 +208,76 @@ def lame_encode(x: np.ndarray, rate: int = 44100, kbps: int = 128,
         return blob
     finally:
         lib.lame_close(gf)
+
+
+_TWOLAME_PATHS = [
+    "/usr/lib/x86_64-linux-gnu/libtwolame.so.0",
+    "libtwolame.so.0",
+]
+_twolame = None
+
+
+def twolame_available() -> bool:
+    return _get_twolame() is not None
+
+
+def _get_twolame():
+    global _twolame
+    if _twolame is None:
+        lib = _load(_TWOLAME_PATHS)
+        if lib is None:
+            return None
+        lib.twolame_init.restype = ctypes.c_void_p
+        for name in ("twolame_set_in_samplerate", "twolame_set_out_samplerate",
+                     "twolame_set_bitrate", "twolame_set_num_channels",
+                     "twolame_set_mode"):
+            getattr(lib, name).argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.twolame_init_params.argtypes = [ctypes.c_void_p]
+        lib.twolame_init_params.restype = ctypes.c_int
+        lib.twolame_encode_buffer_float32_interleaved.restype = ctypes.c_int
+        lib.twolame_encode_buffer_float32_interleaved.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.twolame_encode_flush.restype = ctypes.c_int
+        lib.twolame_encode_flush.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int
+        ]
+        # NOTE: twolame_close takes twolame_options** — passing the
+        # handle directly corrupts the heap.
+        lib.twolame_close.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
+        _twolame = lib
+    return _twolame
+
+
+def twolame_encode(x: np.ndarray, rate: int = 44100, kbps: int = 192,
+                   mode: Optional[int] = None) -> bytes:
+    """Encode float32 [n, ch] PCM to MPEG Layer II via libtwolame
+    (test-only fixture encoder)."""
+    lib = _get_twolame()
+    if lib is None:
+        raise RuntimeError("libtwolame not available")
+    if x.ndim == 1:
+        x = x[:, None]
+    g = lib.twolame_init()
+    lib.twolame_set_in_samplerate(g, rate)
+    lib.twolame_set_out_samplerate(g, rate)
+    lib.twolame_set_num_channels(g, x.shape[1])
+    lib.twolame_set_bitrate(g, kbps)
+    if mode is not None:
+        lib.twolame_set_mode(g, mode)
+    if lib.twolame_init_params(g) != 0:
+        raise RuntimeError("twolame_init_params failed")
+    buf = ctypes.create_string_buffer(len(x) * 4 + 65536)
+    xx = np.ascontiguousarray(x, np.float32)
+    n = lib.twolame_encode_buffer_float32_interleaved(
+        g, xx.ctypes.data, len(x), buf, len(buf)
+    )
+    if n < 0:
+        raise RuntimeError(f"twolame encode failed ({n})")
+    blob = bytes(buf.raw[:n])
+    n = lib.twolame_encode_flush(g, buf, len(buf))
+    blob += bytes(buf.raw[:n])
+    h = ctypes.c_void_p(g)
+    lib.twolame_close(ctypes.byref(h))
+    return blob

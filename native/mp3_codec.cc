@@ -1,18 +1,24 @@
-// MPEG-1 Layer III (MP3) decoder — from scratch, no third-party code.
+// MPEG audio decoder (Layers I, II and III) — from scratch, no
+// third-party code.
 //
-// The reference convolves MP3 input whenever its libsndfile links
+// The reference convolves MPEG audio whenever its libsndfile links
 // mpg123 (>=1.1 probes at convolve-file-handler.cc:62-76); this file
 // gives folve_tpu the same capability natively, following the public
-// ISO/IEC 11172-3 specification: frame sync + header, side info, bit
-// reservoir, scalefactors, Huffman spectrum (tables recovered
-// behaviorally into mp3_huffman.inc), requantization, MS/intensity
-// stereo, short-block reordering, alias reduction, the hybrid IMDCT
-// filterbank and the polyphase synthesis filterbank.
+// ISO/IEC 11172-3 and 13818-3 specifications.
 //
-// Scope: MPEG-1 (32/44.1/48 kHz) mono and 2-channel streams.  MPEG-2
-// LSF headers are recognized and rejected cleanly (caller falls back
-// to pass-through).  Validation: bit-for-bit independent tests against
-// the system mpg123 oracle (tests/test_mp3.py).
+// Layer III: frame sync + header, side info (MPEG-1 and LSF), bit
+// reservoir, both scalefactor schemes, Huffman spectrum (tables
+// recovered behaviorally into mp3_huffman.inc), requantization,
+// MS/intensity stereo, short-block reordering, alias reduction, the
+// hybrid IMDCT filterbank and the polyphase synthesis filterbank.
+// Layers I/II: bit allocation (tables B.2a-d + the 13818-3 LSF
+// table), scfsi, scalefactors, grouped/ungrouped requantization, and
+// the same shared synthesis filterbank.
+//
+// Scope: MPEG-1, MPEG-2 (LSF) and MPEG-2.5 rates, mono and 2-channel.
+// Validation: independent tests against the system mpg123 oracle on
+// LAME / twolame / hand-crafted fixtures (tests/test_mp3.py), better
+// than -127 dB error everywhere.
 
 #include <algorithm>
 #include <cmath>
@@ -207,6 +213,7 @@ static const Tables& tables() {
 
 struct Header {
   int version;     // 3 = MPEG-1, 2 = MPEG-2 (LSF), 0 = MPEG-2.5
+  int layer;       // 1, 2 or 3
   bool lsf;        // low-sampling-frequency extension
   int bitrate;     // bits/s
   int rate;        // Hz
@@ -271,22 +278,25 @@ class Decoder {
     first_frame_ = pos;
     rate_ = h.rate;
     channels_ = h.channels;
+    layer_ = h.layer;
     h_ = h;
-    // Skip a Xing/Info (VBR header) frame: carries no audio.
-    size_t side = h.lsf ? (channels_ == 1 ? 9 : 17)
-                        : (channels_ == 1 ? 17 : 32);
-    size_t tag_off = pos + 4 + (h.crc ? 2 : 0) + side;
-    if (tag_off + 4 <= buf_.size() &&
-        (!memcmp(&buf_[tag_off], "Xing", 4) ||
-         !memcmp(&buf_[tag_off], "Info", 4))) {
-      first_frame_ = pos + h.frame_bytes;
+    if (h.layer == 3) {
+      // Skip a Xing/Info (VBR header) frame: carries no audio.
+      size_t side = h.lsf ? (channels_ == 1 ? 9 : 17)
+                          : (channels_ == 1 ? 17 : 32);
+      size_t tag_off = pos + 4 + (h.crc ? 2 : 0) + side;
+      if (tag_off + 4 <= buf_.size() &&
+          (!memcmp(&buf_[tag_off], "Xing", 4) ||
+           !memcmp(&buf_[tag_off], "Info", 4))) {
+        first_frame_ = pos + h.frame_bytes;
+      }
     }
     // Count frames for the duration estimate.
     size_t p = first_frame_;
     total_samples_ = 0;
     while (p + 4 <= buf_.size()) {
       Header fh;
-      if (!ParseHeader(p, &fh) || fh.rate != rate_) {
+      if (!ParseHeader(p, &fh) || fh.rate != rate_ || fh.layer != layer_) {
         p++;
         continue;
       }
@@ -347,15 +357,30 @@ class Decoder {
     const uint8_t* p = &buf_[pos];
     if (p[0] != 0xFF || (p[1] & 0xE0) != 0xE0) return false;
     int version = (p[1] >> 3) & 3;
-    int layer = (p[1] >> 1) & 3;
-    if (version == 1 || layer != 1) return false;  // Layer III only
+    int layer_code = (p[1] >> 1) & 3;  // 3=I, 2=II, 1=III
+    if (version == 1 || layer_code == 0) return false;
     int br_idx = (p[2] >> 4) & 0xF;
     int sr_idx = (p[2] >> 2) & 3;
     if (br_idx == 0 || br_idx == 15 || sr_idx == 3) return false;
     h->version = version;
+    h->layer = 4 - layer_code;
     h->lsf = version != 3;
     h->crc = ((p[1] & 1) == 0);
-    h->bitrate = (h->lsf ? kBitrateLsf : kBitrateKbps)[br_idx] * 1000;
+    // Layer I has its own bitrate table; Layer II's matches Layer III's
+    // MPEG-1 table, and the LSF table is shared by Layers II and III.
+    if (h->layer == 1) {
+      static const int kL1[16] = {0, 32, 64, 96, 128, 160, 192, 224,
+                                  256, 288, 320, 352, 384, 416, 448, -1};
+      static const int kL1Lsf[16] = {0, 32, 48, 56, 64, 80, 96, 112,
+                                     128, 144, 160, 176, 192, 224, 256, -1};
+      h->bitrate = (h->lsf ? kL1Lsf : kL1)[br_idx] * 1000;
+    } else if (h->layer == 2 && !h->lsf) {
+      static const int kL2[16] = {0, 32, 48, 56, 64, 80, 96, 112,
+                                  128, 160, 192, 224, 256, 320, 384, -1};
+      h->bitrate = kL2[br_idx] * 1000;
+    } else {
+      h->bitrate = (h->lsf ? kBitrateLsf : kBitrateKbps)[br_idx] * 1000;
+    }
     h->rate = kSampleRate[sr_idx];
     h->rate_idx = sr_idx;
     if (version == 2) {
@@ -369,10 +394,20 @@ class Decoder {
     h->mode = (p[3] >> 6) & 3;
     h->mode_ext = (p[3] >> 4) & 3;
     h->channels = h->mode == 3 ? 1 : 2;
-    h->granules = h->lsf ? 1 : 2;
-    h->samples = h->lsf ? 576 : 1152;
-    h->frame_bytes =
-        (h->lsf ? 72 : 144) * h->bitrate / h->rate + h->padding;
+    if (h->layer == 1) {
+      h->granules = 1;
+      h->samples = 384;
+      h->frame_bytes = (12 * h->bitrate / h->rate + h->padding) * 4;
+    } else if (h->layer == 2) {
+      h->granules = 1;
+      h->samples = 1152;
+      h->frame_bytes = 144 * h->bitrate / h->rate + h->padding;
+    } else {
+      h->granules = h->lsf ? 1 : 2;
+      h->samples = h->lsf ? 576 : 1152;
+      h->frame_bytes =
+          (h->lsf ? 72 : 144) * h->bitrate / h->rate + h->padding;
+    }
     return h->frame_bytes > 4;
   }
 
@@ -916,31 +951,35 @@ class Decoder {
 
   // ---- polyphase synthesis ------------------------------------------------
 
-  void Synth(int ch, const float* sbout, float* pcm) {
+  // One filterbank step: 32 subband samples -> 32 PCM samples.
+  // Shared by all three layers (Layer I/II feed it granule by granule).
+  void SynthStep(int ch, const float* S, float* o) {
     const Trig& tg = trig();
     const float* D = synth_window();
     float* V = v_fifo_[ch];
+    memmove(V + 64, V, (1024 - 64) * sizeof(float));  // shift FIFO
+    for (int i = 0; i < 64; i++) {
+      float acc = 0;
+      for (int k = 0; k < 32; k++) acc += tg.synth_n[i][k] * S[k];
+      V[i] = acc;
+    }
+    for (int j = 0; j < 32; j++) {
+      float acc = 0;
+      for (int b = 0; b < 8; b++) {
+        // U[64b + j]     = V[128b + j]
+        // U[64b + 32 + j] = V[128b + 96 + j]
+        acc += D[64 * b + j] * V[128 * b + j];
+        acc += D[64 * b + 32 + j] * V[128 * b + 96 + j];
+      }
+      o[j] = acc;
+    }
+  }
+
+  void Synth(int ch, const float* sbout, float* pcm) {
     for (int ss = 0; ss < 18; ss++) {
-      // shift FIFO by 64
-      memmove(V + 64, V, (1024 - 64) * sizeof(float));
       float S[32];
       for (int sb = 0; sb < 32; sb++) S[sb] = sbout[sb * 18 + ss];
-      for (int i = 0; i < 64; i++) {
-        float acc = 0;
-        for (int k = 0; k < 32; k++) acc += tg.synth_n[i][k] * S[k];
-        V[i] = acc;
-      }
-      float* o = pcm + ss * 32;
-      for (int j = 0; j < 32; j++) {
-        float acc = 0;
-        for (int b = 0; b < 8; b++) {
-          // U[64b + j]     = V[128b + j]
-          // U[64b + 32 + j] = V[128b + 96 + j]
-          acc += D[64 * b + j] * V[128 * b + j];
-          acc += D[64 * b + 32 + j] * V[128 * b + 96 + j];
-        }
-        o[j] = acc;
-      }
+      SynthStep(ch, S, pcm + ss * 32);
     }
   }
 
@@ -951,6 +990,278 @@ class Decoder {
   // decoder (tests/test_mp3.py asserts >90 dB agreement).
   static const float* synth_window();
 
+  // ---- Layers I and II ----------------------------------------------------
+  // (ISO 11172-3 §2.4.2.5-6 / §2.4.3.2-3; ISO 13818-3 Table B.1 for
+  // the LSF Layer II allocation.)
+
+  struct L12Row {
+    int bits;                // allocation field width
+    const uint32_t* steps;   // [1 << bits]; steps[0] = 0 = unallocated
+  };
+
+  static const L12Row* L2RowA0() {
+    static const uint32_t s[16] = {0, 3, 7, 15, 31, 63, 127, 255, 511, 1023,
+                                   2047, 4095, 8191, 16383, 32767, 65535};
+    static const L12Row r = {4, s};
+    return &r;
+  }
+  static const L12Row* L2RowA1() {
+    static const uint32_t s[16] = {0, 3, 5, 7, 9, 15, 31, 63, 127, 255,
+                                   511, 1023, 2047, 4095, 8191, 65535};
+    static const L12Row r = {4, s};
+    return &r;
+  }
+  static const L12Row* L2RowA2() {
+    static const uint32_t s[8] = {0, 3, 5, 7, 9, 15, 31, 65535};
+    static const L12Row r = {3, s};
+    return &r;
+  }
+  static const L12Row* L2RowA3() {
+    static const uint32_t s[4] = {0, 3, 5, 65535};
+    static const L12Row r = {2, s};
+    return &r;
+  }
+  static const L12Row* L2RowC0() {
+    static const uint32_t s[16] = {0, 3, 5, 9, 15, 31, 63, 127, 255, 511,
+                                   1023, 2047, 4095, 8191, 16383, 32767};
+    static const L12Row r = {4, s};
+    return &r;
+  }
+  static const L12Row* L2RowC1() {
+    static const uint32_t s[8] = {0, 3, 5, 9, 15, 31, 63, 127};
+    static const L12Row r = {3, s};
+    return &r;
+  }
+  static const L12Row* L2RowL0() {
+    static const uint32_t s[16] = {0, 3, 5, 7, 9, 15, 31, 63, 127, 255,
+                                   511, 1023, 2047, 4095, 8191, 16383};
+    static const L12Row r = {4, s};
+    return &r;
+  }
+  static const L12Row* L2RowL1() {
+    // Same steps as the low-rate MPEG-1 rows: 9 is a grouped class.
+    static const uint32_t s[8] = {0, 3, 5, 9, 15, 31, 63, 127};
+    static const L12Row r = {3, s};
+    return &r;
+  }
+  static const L12Row* L2RowL2() {
+    static const uint32_t s[4] = {0, 3, 5, 9};
+    static const L12Row r = {2, s};
+    return &r;
+  }
+
+  // Subband -> allocation row, per ISO Table 3-B.2a-d / 13818-3 B.1.
+  int L2Layout(const Header& h, const L12Row** rows) const {
+    int sblimit;
+    if (h.lsf) {
+      sblimit = 30;
+      for (int sb = 0; sb < 30; sb++)
+        rows[sb] = sb < 4 ? L2RowL0() : sb < 11 ? L2RowL1() : L2RowL2();
+      return sblimit;
+    }
+    int bpc = h.bitrate / 1000 / h.channels;
+    if (h.rate == 32000 && bpc <= 48) {
+      sblimit = 12;
+      for (int sb = 0; sb < 12; sb++)
+        rows[sb] = sb < 2 ? L2RowC0() : L2RowC1();
+    } else if (bpc <= 48) {
+      sblimit = 8;
+      for (int sb = 0; sb < 8; sb++)
+        rows[sb] = sb < 2 ? L2RowC0() : L2RowC1();
+    } else if (bpc <= 80 || h.rate == 48000) {
+      sblimit = 27;
+      for (int sb = 0; sb < 27; sb++)
+        rows[sb] = sb < 3 ? L2RowA0() : sb < 11 ? L2RowA1()
+                   : sb < 23 ? L2RowA2() : L2RowA3();
+    } else {  // 44.1/32 kHz at >= 96 kbps/ch
+      sblimit = 30;
+      for (int sb = 0; sb < 30; sb++)
+        rows[sb] = sb < 3 ? L2RowA0() : sb < 11 ? L2RowA1()
+                   : sb < 23 ? L2RowA2() : L2RowA3();
+    }
+    return sblimit;
+  }
+
+  static float ScaleFac(uint32_t idx) {
+    static float tab[64];
+    static bool init = false;
+    if (!init) {
+      for (int i = 0; i < 64; i++)
+        tab[i] = (float)(2.0 * std::pow(2.0, -i / 3.0));
+      init = true;
+    }
+    return tab[idx & 63];
+  }
+
+  // Requantize one Layer I/II sample: raw in k bits, `levels` steps.
+  static inline float L12Requant(uint32_t raw, uint32_t levels, int k) {
+    double C, D;
+    if (levels == 3) {
+      C = 4.0 / 3.0;
+      D = 0.5;
+    } else if (levels == 5) {
+      C = 8.0 / 5.0;
+      D = 0.5;
+    } else if (levels == 9) {
+      C = 16.0 / 9.0;
+      D = 0.5;
+    } else {
+      C = (double)(levels + 1) / levels;
+      D = 1.0 / (1u << (k - 1));
+    }
+    double frac = (double)raw / (1u << (k - 1)) - 1.0;
+    return (float)(C * (frac + D));
+  }
+
+  bool DecodeLayer2(const Header& h, size_t pos) {
+    size_t body = pos + 4 + (h.crc ? 2 : 0);
+    size_t blen = pos + h.frame_bytes - body;
+    Bits br(&buf_[body], blen);
+    const L12Row* rows[32];
+    int sblimit = L2Layout(h, rows);
+    int nch = channels_;
+    int bound = (h.mode == 1) ? (h.mode_ext + 1) * 4 : sblimit;
+    if (bound > sblimit) bound = sblimit;
+
+    uint8_t alloc[2][32] = {};
+    for (int sb = 0; sb < bound; sb++)
+      for (int ch = 0; ch < nch; ch++)
+        alloc[ch][sb] = (uint8_t)br.get(rows[sb]->bits);
+    for (int sb = bound; sb < sblimit; sb++)
+      alloc[0][sb] = alloc[1][sb] = (uint8_t)br.get(rows[sb]->bits);
+
+    uint8_t scfsi[2][32] = {};
+    for (int sb = 0; sb < sblimit; sb++)
+      for (int ch = 0; ch < nch; ch++)
+        if (alloc[ch][sb]) scfsi[ch][sb] = (uint8_t)br.get(2);
+
+    float sf[2][32][3];
+    for (int sb = 0; sb < sblimit; sb++) {
+      for (int ch = 0; ch < nch; ch++) {
+        if (!alloc[ch][sb]) continue;
+        float a, b, c;
+        switch (scfsi[ch][sb]) {
+          case 0:
+            a = ScaleFac(br.get(6));
+            b = ScaleFac(br.get(6));
+            c = ScaleFac(br.get(6));
+            break;
+          case 1:
+            a = b = ScaleFac(br.get(6));
+            c = ScaleFac(br.get(6));
+            break;
+          case 2:
+            a = b = c = ScaleFac(br.get(6));
+            break;
+          default:
+            a = ScaleFac(br.get(6));
+            b = c = ScaleFac(br.get(6));
+            break;
+        }
+        sf[ch][sb][0] = a;
+        sf[ch][sb][1] = b;
+        sf[ch][sb][2] = c;
+      }
+    }
+
+    size_t base = pending_.size();
+    pending_.resize(base + (size_t)1152 * nch, 0.0f);
+    float sbs[2][36][32] = {};
+    for (int gr = 0; gr < 12; gr++) {
+      for (int sb = 0; sb < sblimit; sb++) {
+        const uint32_t* steps = rows[sb]->steps;
+        int shared_from = bound;
+        int read_ch = sb < shared_from ? nch : 1;
+        float vals[2][3];
+        for (int ch = 0; ch < read_ch; ch++) {
+          uint32_t a = alloc[ch][sb];
+          if (!a) {
+            vals[ch][0] = vals[ch][1] = vals[ch][2] = 0.0f;
+            continue;
+          }
+          uint32_t levels = steps[a];
+          if (levels == 3 || levels == 5 || levels == 9) {
+            int glen = levels == 3 ? 5 : levels == 5 ? 7 : 10;
+            int k = levels == 3 ? 2 : levels == 5 ? 3 : 4;
+            uint32_t code = br.get(glen);
+            for (int j = 0; j < 3; j++) {
+              vals[ch][j] = L12Requant(code % levels, levels, k);
+              code /= levels;
+            }
+          } else {
+            int k = 1;
+            while ((1u << k) - 1 < levels) k++;
+            for (int j = 0; j < 3; j++)
+              vals[ch][j] = L12Requant(br.get(k), levels, k);
+          }
+        }
+        for (int ch = 0; ch < nch; ch++) {
+          int src = sb < bound ? ch : 0;
+          if (!alloc[ch][sb]) continue;
+          float s = sf[ch][sb][gr >> 2];
+          for (int j = 0; j < 3; j++)
+            sbs[ch][gr * 3 + j][sb] = vals[src][j] * s;
+        }
+      }
+    }
+    for (int ch = 0; ch < nch; ch++) {
+      for (int t = 0; t < 36; t++) {
+        float pcm[32];
+        SynthStep(ch, sbs[ch][t], pcm);
+        float* dst = &pending_[base + (size_t)t * 32 * nch];
+        for (int i = 0; i < 32; i++) dst[i * nch + ch] = pcm[i];
+      }
+    }
+    // An overrun frame decoded mostly zeros; keep the stream going
+    // (same resilience policy as the Layer III path).
+    return true;
+  }
+
+  bool DecodeLayer1(const Header& h, size_t pos) {
+    size_t body = pos + 4 + (h.crc ? 2 : 0);
+    size_t blen = pos + h.frame_bytes - body;
+    Bits br(&buf_[body], blen);
+    int nch = channels_;
+    int bound = (h.mode == 1) ? (h.mode_ext + 1) * 4 : 32;
+    uint8_t alloc[2][32] = {};
+    for (int sb = 0; sb < bound; sb++)
+      for (int ch = 0; ch < nch; ch++)
+        alloc[ch][sb] = (uint8_t)br.get(4);
+    for (int sb = bound; sb < 32; sb++)
+      alloc[0][sb] = alloc[1][sb] = (uint8_t)br.get(4);
+    float sf[2][32];
+    for (int sb = 0; sb < 32; sb++)
+      for (int ch = 0; ch < nch; ch++)
+        if (alloc[ch][sb]) sf[ch][sb] = ScaleFac(br.get(6));
+    size_t base = pending_.size();
+    pending_.resize(base + (size_t)384 * nch, 0.0f);
+    for (int gr = 0; gr < 12; gr++) {
+      float S[2][32] = {};
+      for (int sb = 0; sb < 32; sb++) {
+        int read_ch = sb < bound ? nch : 1;
+        float vals[2] = {0, 0};
+        for (int ch = 0; ch < read_ch; ch++) {
+          uint32_t a = alloc[ch][sb];
+          if (!a || a == 15) continue;
+          int k = a + 1;
+          vals[ch] = L12Requant(br.get(k), (1u << k) - 1, k);
+        }
+        for (int ch = 0; ch < nch; ch++) {
+          int src = sb < bound ? ch : 0;
+          if (alloc[ch][sb] && alloc[ch][sb] != 15)
+            S[ch][sb] = vals[src] * sf[ch][sb];
+        }
+      }
+      for (int ch = 0; ch < nch; ch++) {
+        float pcm[32];
+        SynthStep(ch, S[ch], pcm);
+        float* dst = &pending_[base + (size_t)gr * 32 * nch];
+        for (int i = 0; i < 32; i++) dst[i * nch + ch] = pcm[i];
+      }
+    }
+    return true;
+  }
+
   // ---- frame decode -------------------------------------------------------
 
   bool DecodeFrame() {
@@ -960,10 +1271,15 @@ class Decoder {
       pos = FindSync(pos, &h);
       if (pos == SIZE_MAX || pos + (size_t)h.frame_bytes > buf_.size())
         return false;
-      if (h.rate == rate_ && h.channels == channels_) break;
+      if (h.rate == rate_ && h.channels == channels_ && h.layer == layer_)
+        break;
       pos++;
     }
     h_ = h;
+    if (h.layer != 3) {
+      pos_ = pos + h.frame_bytes;
+      return h.layer == 2 ? DecodeLayer2(h, pos) : DecodeLayer1(h, pos);
+    }
     size_t side_start = pos + 4 + (h.crc ? 2 : 0);
     size_t side_len = h.lsf ? (channels_ == 1 ? 9 : 17)
                             : (channels_ == 1 ? 17 : 32);
@@ -1034,6 +1350,7 @@ class Decoder {
   size_t pos_ = 0;
   int rate_ = 0;
   int channels_ = 0;
+  int layer_ = 3;
   int intensity_scale_ = 0;  // LSF intensity variant (right channel)
   int64_t total_samples_ = 0;
   Header h_ = {};

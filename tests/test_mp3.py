@@ -227,3 +227,92 @@ def test_recovered_tables_still_match_oracle():
         bits = format(int(code, 16), "0%db" % int(ln))
         embedded[bits] = (int(xy, 16) >> 4, int(xy, 16) & 15)
     assert embedded == codes
+
+
+# --- Layers I and II -------------------------------------------------------
+
+
+@pytest.mark.parametrize("name,kbps,mode,rate,ch", [
+    ("l2-192-stereo", 192, 0, 44100, 2),
+    ("l2-384-tableB", 384, 0, 44100, 2),
+    ("l2-32-tableC", 32, None, 44100, 1),
+    ("l2-32k-tableD", 32, None, 32000, 1),
+    ("l2-joint", 192, 1, 44100, 2),
+    ("l2-lsf-22k", 64, 0, 22050, 2),
+    ("l2-lsf-16k", 32, None, 16000, 1),
+])
+def test_layer2_matches_mpg123(tmp_path, rng, name, kbps, mode, rate, ch):
+    from folve_tpu.tools.mp3_oracle import twolame_available, twolame_encode
+
+    if not twolame_available():
+        pytest.skip("no twolame fixture encoder")
+    x = _material(rng, ch=ch, rate=rate)
+    blob = twolame_encode(x, rate, kbps, mode=mode)
+    p = tmp_path / f"{name}.mp2"
+    p.write_bytes(blob)
+    got, info = read_audio(str(p))
+    assert info.container == Container.MP3  # MPEG audio family
+    assert info.rate == rate and info.channels == ch
+    oracle = mpg123_decode(blob)
+    err = _err_db(got, oracle)
+    assert err < -90, f"{name}: err {err:.1f} dB vs oracle"
+
+
+def test_layer1_matches_mpg123(tmp_path, rng):
+    """No Layer I encoder exists in this image, so hand-craft valid
+    frames (alloc + scalefactors + linear samples) and compare both
+    decoders on them."""
+    from folve_tpu.tools.mp3_frames import BitPacker
+
+    def craft(allocs, sfs, samples):
+        bp = BitPacker()
+        bp.put(0x7FF, 11); bp.put(3, 2); bp.put(3, 2); bp.put(1, 1)
+        bp.put(12, 4); bp.put(0, 2); bp.put(0, 1); bp.put(0, 1)
+        bp.put(3, 2); bp.put(0, 2); bp.put(0, 1); bp.put(1, 1); bp.put(0, 2)
+        for sb in range(32):
+            bp.put(allocs[sb], 4)
+        for sb in range(32):
+            if allocs[sb]:
+                bp.put(sfs[sb], 6)
+        for gr in range(12):
+            for sb in range(32):
+                if allocs[sb]:
+                    bp.put(samples[gr][sb], allocs[sb] + 1)
+        return bp.bytes(pad_to=(12 * 384000 // 44100) * 4)
+
+    allocs = [0] * 32
+    sfs = [0] * 32
+    for sb in range(16):
+        allocs[sb] = int(rng.integers(1, 15))
+        sfs[sb] = int(rng.integers(0, 48))
+    samples = [
+        [int(rng.integers(0, (1 << (allocs[sb] + 1)) - 1)) if allocs[sb] else 0
+         for sb in range(32)]
+        for _ in range(12)
+    ]
+    stream = craft(allocs, sfs, samples) * 4
+    p = tmp_path / "l1.mp1"
+    p.write_bytes(stream)
+    got, info = read_audio(str(p))
+    assert info.rate == 44100 and info.channels == 1
+    oracle = mpg123_decode(stream)
+    err = _err_db(got, oracle)
+    assert err < -90, f"layer1: err {err:.1f} dB vs oracle"
+
+
+def test_layer2_through_filesystem(tmp_path, rng):
+    from folve_tpu.audio.flac import read_flac
+    from folve_tpu.tools.mp3_oracle import twolame_available, twolame_encode
+    from tests.test_runtime import make_fs, read_all
+
+    if not twolame_available():
+        pytest.skip("no twolame fixture encoder")
+    x = _material(rng, seconds=1.0)
+    fs, src_dir = make_fs(tmp_path)
+    (src_dir / "song.mp2").write_bytes(twolame_encode(x, RATE, 192))
+    h = fs.get_or_create_handler("/song.mp2")
+    blob = read_all(h)
+    fs.close_handler("/song.mp2", h)
+    assert blob[:4] == b"fLaC"
+    got, info = read_flac(blob)
+    assert info.rate == RATE and got.shape[0] > RATE / 2
