@@ -75,25 +75,9 @@ def _parse_header(blob: bytes):
 
 
 def read_au_info(path: str) -> AudioInfo:
-    with open(path, "rb") as f:
-        hdr = f.read(24)
-        f.seek(0, 2)
-        total = f.tell()
-    if len(hdr) < 24 or hdr[:4] != _MAGIC:
-        raise AuError("not an AU file")
-    offset, size, enc, rate, channels = struct.unpack(">IIIII", hdr[4:24])
-    if enc not in _ENC_BITS or channels == 0 or rate == 0 or offset < 24:
-        raise AuError("bad AU header")
-    avail = max(0, total - offset)
-    if size == 0xFFFFFFFF or size > avail:
-        size = avail
-    bits = _ENC_BITS[enc]
-    frames = size // (channels * (bits // 8))
-    return AudioInfo(
-        rate=rate, channels=channels, frames=frames,
-        container=Container.AU, codec=_ENC_CODEC[enc],
-        bits_per_sample=16 if enc in (1, 27) else bits,
-    )
+    f, info, _off, _fb, _dec = open_au_stream(path)
+    f.close()
+    return info
 
 
 def _decode_payload(raw: bytes, enc: int, channels: int) -> np.ndarray:

@@ -184,45 +184,9 @@ def open_caf_stream(path: str):
 
 
 def read_caf_info(path: str) -> AudioInfo:
-    with open(path, "rb") as f:
-        blob = f.read(1 << 16)
-        f.seek(0, 2)
-        total = f.tell()
-    _check_magic(blob)
-    desc = None
-    data_len = None
-    pos = 8
-    while pos + 12 <= len(blob):
-        ctype = blob[pos : pos + 4]
-        (size,) = struct.unpack(">q", blob[pos + 4 : pos + 12])
-        body_off = pos + 12
-        if size < -1:
-            raise CafError(f"negative chunk size {size}")
-        real = max(0, total - body_off) if size == -1 else int(size)
-        if ctype == b"desc":
-            desc = _parse_desc(blob[body_off : body_off + real])
-        elif ctype == b"data":
-            data_len = max(0, min(real, total - body_off) - 4)
-        if desc is not None and data_len is not None:
-            break
-        pos = body_off + real
-    if desc is None or data_len is None:
-        raise CafError("missing desc/data chunks")
-    rate, flags, channels, bits = desc
-    frames = data_len // (channels * (bits // 8))
-    is_float = bool(flags & _FLAG_FLOAT)
-    codec = {
-        (True, 32): SampleCodec.FLOAT, (True, 64): SampleCodec.DOUBLE,
-        (False, 8): SampleCodec.PCM_S8, (False, 16): SampleCodec.PCM_16,
-        (False, 24): SampleCodec.PCM_24, (False, 32): SampleCodec.PCM_32,
-    }.get((is_float, bits))
-    if codec is None:
-        raise CafError("unsupported lpcm layout")
-    return AudioInfo(
-        rate=int(round(rate)), channels=int(channels), frames=int(frames),
-        container=Container.CAF, codec=codec, bits_per_sample=int(bits),
-    )
-
+    f, info, _off, _fb, _dec = open_caf_stream(path)
+    f.close()
+    return info
 
 class CafStreamEncoder(PcmStreamEncoderBase):
     """Streaming CAF encoder: big-endian PCM behind an exact-size

@@ -176,22 +176,9 @@ class Mp3Source:
 
 
 def read_mp3(path: str) -> tuple[np.ndarray, AudioInfo]:
-    src = Mp3Source(path)
-    chunks = []
-    while True:
-        blk = src.read_float(1 << 16)
-        if blk.shape[0] == 0:
-            break
-        chunks.append(blk)
-    info = src.info
-    src.close()
-    data = (
-        np.concatenate(chunks)
-        if chunks
-        else np.zeros((0, info.channels), dtype=np.float32)
-    )
-    info.frames = data.shape[0]
-    return data, info
+    from folve_tpu.audio.source import drain_source
+
+    return drain_source(Mp3Source(path))
 
 
 def read_mp3_info(path: str) -> AudioInfo:

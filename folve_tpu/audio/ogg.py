@@ -141,22 +141,9 @@ class OggSource:
 
 
 def read_ogg(path: str) -> tuple[np.ndarray, AudioInfo]:
-    src = OggSource(path)
-    chunks = []
-    while True:
-        blk = src.read_float(65536)
-        if blk.shape[0] == 0:
-            break
-        chunks.append(blk)
-    info = src.info
-    src.close()
-    data = (
-        np.concatenate(chunks)
-        if chunks
-        else np.zeros((0, info.channels), dtype=np.float32)
-    )
-    info.frames = data.shape[0]
-    return data, info
+    from folve_tpu.audio.source import drain_source
+
+    return drain_source(OggSource(path))
 
 
 def read_ogg_info(path: str) -> AudioInfo:

@@ -157,22 +157,9 @@ class OggFlacSource:
 
 
 def read_ogg_flac(path: str) -> tuple[np.ndarray, AudioInfo]:
-    src = OggFlacSource(path)
-    chunks = []
-    while True:
-        blk = src.read_float(1 << 16)
-        if blk.shape[0] == 0:
-            break
-        chunks.append(blk)
-    info = src.info
-    src.close()
-    data = (
-        np.concatenate(chunks)
-        if chunks
-        else np.zeros((0, info.channels), dtype=np.float32)
-    )
-    info.frames = data.shape[0]
-    return data, info
+    from folve_tpu.audio.source import drain_source
+
+    return drain_source(OggFlacSource(path))
 
 
 def read_ogg_flac_info(path: str) -> AudioInfo:

@@ -37,7 +37,15 @@ class WavSource:
     def __init__(self, path_or_file):
         self._f = _open(path_or_file)
         self.info, self._data_offset, self._data_size = _parse_header(self._f)
-        self._frame_bytes = self.info.channels * self.info.bits_per_sample // 8
+        from folve_tpu.audio.types import SampleCodec
+
+        if self.info.codec in (SampleCodec.ALAW, SampleCodec.ULAW):
+            # G.711 stores one byte per sample but reports 16-bit depth.
+            self._frame_bytes = self.info.channels
+        else:
+            self._frame_bytes = (
+                self.info.channels * self.info.bits_per_sample // 8
+            )
         self._pos = 0  # frames consumed
 
     def read_float(self, nframes: int) -> np.ndarray:
@@ -133,6 +141,27 @@ class FlacSource:
 
     def close(self) -> None:
         self._dec.close()
+
+
+def drain_source(src) -> "tuple[np.ndarray, AudioInfo]":
+    """Read a source to exhaustion -> (float32 [n, ch], info with the
+    true frame count); closes the source.  Shared by the whole-file
+    readers of the streaming-only codecs (ogg/ogg-flac/mp3)."""
+    chunks = []
+    while True:
+        blk = src.read_float(1 << 16)
+        if blk.shape[0] == 0:
+            break
+        chunks.append(blk)
+    info = src.info
+    src.close()
+    data = (
+        np.concatenate(chunks)
+        if chunks
+        else np.zeros((0, info.channels), dtype=np.float32)
+    )
+    info.frames = data.shape[0]
+    return data, info
 
 
 def open_source(path: str) -> Optional[AudioSource]:

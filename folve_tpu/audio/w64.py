@@ -176,41 +176,9 @@ def open_w64_stream(path: str):
 
 
 def read_w64_info(path: str) -> AudioInfo:
-    with open(path, "rb") as f:
-        blob = f.read(1 << 16)  # chunk directory fits easily
-        f.seek(0, 2)
-        total = f.tell()
-    # Re-parse against true sizes: only the data chunk can be huge.
-    if len(blob) < 40 or blob[:16] != GUID_RIFF or blob[24:40] != GUID_WAVE:
-        raise W64Error("not a Wave64 file")
-    pos = 40
-    fmt = None
-    data_len = None
-    while pos + 24 <= len(blob):
-        guid = blob[pos : pos + 16]
-        (size,) = struct.unpack("<Q", blob[pos + 16 : pos + 24])
-        if size < 24:
-            raise W64Error("bad chunk size")
-        if guid == GUID_FMT:
-            fmt = blob[pos + 24 : pos + size]
-        elif guid == GUID_DATA:
-            data_len = min(size - 24, total - pos - 24)
-        pos += _align8(size)
-        if fmt is not None and data_len is not None:
-            break
-    if fmt is None or data_len is None or len(fmt) < 16:
-        raise W64Error("missing fmt/data chunks")
-    tag, channels, rate, _brate, _balign, bits = struct.unpack("<HHIIHH", fmt[:16])
-    if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
-        (tag,) = struct.unpack("<H", fmt[24:26])
-    codec = _CODEC.get((tag, bits))
-    if codec is None or channels == 0:
-        raise W64Error("unsupported w64 format")
-    frames = int(data_len) // (channels * (bits // 8))
-    return AudioInfo(
-        rate=rate, channels=channels, frames=frames,
-        container=Container.W64, codec=codec, bits_per_sample=bits,
-    )
+    f, info, _off, _fb, _dec = open_w64_stream(path)
+    f.close()
+    return info
 
 
 class W64StreamEncoder(PcmStreamEncoderBase):

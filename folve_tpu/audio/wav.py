@@ -122,8 +122,10 @@ def _parse_header(f: BinaryIO):
             raise WavError(f"unsupported float bit depth {bits}")
     elif tag == _WAVE_FORMAT_ALAW:
         codec = SampleCodec.ALAW
+        bits = 16  # G.711 decodes to 16-bit range (same as the AU reader)
     elif tag == _WAVE_FORMAT_MULAW:
         codec = SampleCodec.ULAW
+        bits = 16
     elif tag == _WAVE_FORMAT_IMA_ADPCM:
         codec = SampleCodec.IMA_ADPCM
         if bits != 4:
@@ -131,8 +133,13 @@ def _parse_header(f: BinaryIO):
         if block_align < 4 * channels + 4:
             raise WavError("IMA ADPCM block too small")
         # fmt extension: cbSize(2) + wSamplesPerBlock(2).  Derive from
-        # the block size when absent (the canonical relation).
-        derived = (block_align - 4 * channels) * 2 // channels + 1
+        # the block size when absent (the canonical relation), capped at
+        # what the whole 4-bytes-per-channel nibble groups can carry —
+        # a block size that is not header + k*4*ch leaves trailing bytes
+        # no decoder reads, and an uncapped spb would over-run the
+        # nibble array.
+        groups = (block_align - 4 * channels) // (4 * channels)
+        derived = groups * 8 + 1
         if len(fmt) >= 20:
             samples_per_block = struct.unpack("<H", fmt[18:20])[0]
         if not (1 <= samples_per_block <= derived):

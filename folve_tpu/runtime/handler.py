@@ -390,6 +390,7 @@ class ConvolveFileHandler(FileHandler):
                 self._error = True
                 return
             buf.append(b"fLaC")
+            need_finish_padding = False
             while True:
                 header = f.read(4)
                 if len(header) < 4:
@@ -398,18 +399,28 @@ class ConvolveFileHandler(FileHandler):
                 btype = header[0] & 0x7F
                 blen = (header[1] << 16) | (header[2] << 8) | header[3]
                 body = f.read(blen)
+                need_finish_padding = False
                 if btype == 0 and blen == 34:  # STREAMINFO: redact MD5
                     buf.append(header)
                     buf.append(body[:-16])
                     buf.append(bytes(16))
-                elif btype == 3:  # SEEKTABLE: same size, placeholder points
+                elif btype == 3 and len(body) == blen and blen % 18 == 0:
+                    # SEEKTABLE: same size, placeholder points
                     buf.append(header)
                     self._plan_seektable(body, buf.file_size())
+                elif btype == 3:
+                    # Malformed table (truncated / not 18-byte points):
+                    # emitting fewer bytes than the copied header's blen
+                    # would shift the whole stream — drop it like the
+                    # reference does.
+                    need_finish_padding = is_last
                 else:
                     buf.append(header)
                     buf.append(body)
                 if is_last:
                     break
+            if need_finish_padding:  # last block was dropped: force finish
+                buf.append(bytes([0x80 | 1, 0, 0, 0]))
 
     def _plan_seektable(self, src_body: bytes, body_off: int) -> None:
         """Emit a placeholder SEEKTABLE body (same point count as the
@@ -493,7 +504,6 @@ class ConvolveFileHandler(FileHandler):
     def read(self, size: int, offset: int) -> bytes:
         if self._error:
             raise OSError(5, "handler in error state")
-        self._update_seektable()
         current_filesize = self._buffer.file_size()
         read_horizon = offset + size
         # End-of-file skip heuristic: silently serve zeros instead of
@@ -723,6 +733,11 @@ class ConvolveFileHandler(FileHandler):
             self._buffer.append(self._encoder.write_int(frames))
         else:
             self._buffer.append(self._encoder.write_float(frames))
+        # Patch newly-known seekpoints HERE, on the pump thread: the
+        # encoder's frame-offset list and handle are only ever touched
+        # by the thread that writes/finishes the encode, so no lock is
+        # needed (a read()-side patch would race the native push_back).
+        self._update_seektable()
 
     def _save_output_values(self) -> None:
         if self._processor is not None:

@@ -296,7 +296,8 @@ class Decoder {
     total_samples_ = 0;
     while (p + 4 <= buf_.size()) {
       Header fh;
-      if (!ParseHeader(p, &fh) || fh.rate != rate_ || fh.layer != layer_) {
+      if (!ParseHeader(p, &fh) || fh.rate != rate_ || fh.layer != layer_ ||
+          fh.channels != channels_) {
         p++;
         continue;
       }
@@ -846,16 +847,19 @@ class Decoder {
     int bounds = (gi.window_switching && gi.block_type == 2 && gi.mixed_block)
                      ? 1
                      : 31;
-    static float cs[8], ca[8];
-    static bool init = false;
-    if (!init) {
-      for (int i = 0; i < 8; i++) {
-        double c = kAliasCi[i];
-        cs[i] = (float)(1.0 / std::sqrt(1.0 + c * c));
-        ca[i] = (float)(c / std::sqrt(1.0 + c * c));
+    struct CsCa {
+      float cs[8], ca[8];
+      CsCa() {
+        for (int i = 0; i < 8; i++) {
+          double c = kAliasCi[i];
+          cs[i] = (float)(1.0 / std::sqrt(1.0 + c * c));
+          ca[i] = (float)(c / std::sqrt(1.0 + c * c));
+        }
       }
-      init = true;
-    }
+    };
+    static const CsCa t;  // magic static: thread-safe first use
+    const float* cs = t.cs;
+    const float* ca = t.ca;
     for (int sb = 1; sb <= bounds; sb++) {
       for (int i = 0; i < 8; i++) {
         int up = 18 * sb - 1 - i;
@@ -1083,13 +1087,14 @@ class Decoder {
   }
 
   static float ScaleFac(uint32_t idx) {
-    static float tab[64];
-    static bool init = false;
-    if (!init) {
+    // Magic static: decoders on different threads hit first-use
+    // concurrently (same discipline as tables()/trig()).
+    static const float* tab = [] {
+      static float t[64];
       for (int i = 0; i < 64; i++)
-        tab[i] = (float)(2.0 * std::pow(2.0, -i / 3.0));
-      init = true;
-    }
+        t[i] = (float)(2.0 * std::pow(2.0, -i / 3.0));
+      return t;
+    }();
     return tab[idx & 63];
   }
 

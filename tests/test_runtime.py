@@ -828,3 +828,33 @@ def test_seektable_regenerated_with_real_offsets(tmp_path, rng):
     lib.sf_close(snd)
     assert got == 2048
     np.testing.assert_array_equal(chunk, full[target : target + 2048])
+
+
+def test_malformed_seektable_dropped(tmp_path, rng):
+    """A source SEEKTABLE whose length is not a multiple of 18 cannot be
+    regenerated size-for-size; it must be dropped (old behavior), never
+    emitted short (which would shift the whole stream)."""
+    import struct
+
+    fs, src = make_fs(tmp_path)
+    write_song(src, "song.flac", 20000, seed=4)
+    blob = open(src / "song.flac", "rb").read()
+    hdr = bytearray(blob[4:8])
+    si_end = 8 + ((hdr[1] << 16) | (hdr[2] << 8) | hdr[3])
+    was_last = hdr[0] & 0x80
+    hdr[0] &= 0x7F
+    body = bytes(25)  # 25 % 18 != 0: malformed
+    st_hdr = bytes([(0x80 if was_last else 0) | 3]) + len(body).to_bytes(3, "big")
+    (src / "song.flac").write_bytes(
+        blob[:4] + bytes(hdr) + blob[8:si_end] + st_hdr + body + blob[si_end:]
+    )
+    h = fs.get_or_create_handler("/song.flac")
+    out = read_all(h)
+    out = read_all(h)
+    fs.close_handler("/song.flac", h)
+    blocks, audio_start = _parse_flac_blocks(out)
+    assert not any(t == 3 for t, _ in blocks)  # dropped
+    from folve_tpu.audio.flac import read_flac
+
+    got, info = read_flac(out)  # stream still fully valid
+    assert info.frames == 20000

@@ -138,3 +138,38 @@ def test_wav_adpcm_through_filesystem(tmp_path, rng):
     assert blob[:4] == b"fLaC"
     got, info = read_flac(blob)
     assert info.frames == read_wav(str(src_file))[1].frames
+
+
+def test_wav_adpcm_odd_block_align_no_crash(tmp_path):
+    """A block_align that is not header + k*4*ch whole nibble groups
+    must decode what the groups carry, not raise IndexError."""
+    import struct
+
+    ch, ba = 2, 12  # passes the minimum-size guard; zero whole groups
+    fmt = struct.pack("<HHIIHH", 0x0011, ch, 8000, 8000, ba, 4)
+    fmt += struct.pack("<HH", 2, 99)  # absurd declared spb: ignored
+    data = bytes(ba * 3)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    p = tmp_path / "odd.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    got, info = read_wav(str(p))
+    assert info.samples_per_block == 1  # header-only blocks
+    assert got.shape == (3, ch)  # the predictors decode, nothing else
+
+
+def test_wav_alaw_reports_16_bit(tmp_path, rng):
+    """G.711 reports decoded 16-bit depth (like the AU reader), so the
+    CLI's FLAC output does not quantize to 8 bits."""
+    from folve_tpu.audio.source import WavSource
+    from tests.test_extra_formats import _sf_write
+
+    x = (rng.uniform(-0.5, 0.5, (2000, 1))).astype(np.float32)
+    p = tmp_path / "a.wav"
+    _sf_write(p, x, 8000, 0x010000 | 0x0011)
+    whole, info = read_wav(str(p))
+    assert info.bits_per_sample == 16
+    src = WavSource(str(p))  # storage width stays 1 byte/sample
+    got = src.read_float(10 ** 9)
+    src.close()
+    np.testing.assert_array_equal(got, whole)
