@@ -36,6 +36,7 @@ class SampleCodec(enum.Enum):
     ALAW = "alaw"
     ULAW = "ulaw"
     IMA_ADPCM = "ima_adpcm"
+    MS_ADPCM = "ms_adpcm"
     MP3 = "mp3"
 
 
@@ -50,6 +51,7 @@ _BITS = {
     SampleCodec.ALAW: 8,
     SampleCodec.ULAW: 8,
     SampleCodec.IMA_ADPCM: 4,
+    SampleCodec.MS_ADPCM: 4,
     SampleCodec.MP3: 16,
 }
 
@@ -64,10 +66,12 @@ class AudioInfo:
     container: Container
     codec: SampleCodec
     bits_per_sample: int = 0
-    # Block-coded codecs only (IMA ADPCM): bytes per coded block and
+    # Block-coded codecs only (IMA/MS ADPCM): bytes per coded block and
     # decoded frames per block.  0 for sample-coded streams.
     block_align: int = 0
     samples_per_block: int = 0
+    # Extra per-file codec parameters (MS ADPCM coefficient pairs).
+    codec_params: tuple = ()
 
     def __post_init__(self):
         if not self.bits_per_sample:

@@ -18,6 +18,7 @@ import numpy as np
 from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
 
 _WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_MS_ADPCM = 0x0002
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
@@ -111,6 +112,7 @@ def _parse_header(f: BinaryIO):
     if channels == 0 or block_align == 0:
         raise WavError("bad channel count or block alignment")
     samples_per_block = 0
+    codec_params = ()
     if tag == _WAVE_FORMAT_PCM:
         codec = {8: SampleCodec.PCM_U8, 16: SampleCodec.PCM_16,
                  24: SampleCodec.PCM_24, 32: SampleCodec.PCM_32}.get(bits)
@@ -126,6 +128,31 @@ def _parse_header(f: BinaryIO):
     elif tag == _WAVE_FORMAT_MULAW:
         codec = SampleCodec.ULAW
         bits = 16
+    elif tag == _WAVE_FORMAT_MS_ADPCM:
+        codec = SampleCodec.MS_ADPCM
+        if bits != 4:
+            raise WavError(f"MS ADPCM bits {bits} != 4")
+        if block_align < 7 * channels + channels:
+            raise WavError("MS ADPCM block too small")
+        derived = (block_align - 7 * channels) * 2 // channels + 2
+        # fmt extension: cbSize(2) + wSamplesPerBlock(2) +
+        # wNumCoef(2) + aCoef pairs (int16 x 2 each).
+        ncoef = 0
+        if len(fmt) >= 22:
+            samples_per_block = struct.unpack("<H", fmt[18:20])[0]
+            ncoef = struct.unpack("<H", fmt[20:22])[0]
+        if not (2 <= samples_per_block <= derived):
+            samples_per_block = derived
+        pairs = []
+        for i in range(min(ncoef, 64)):
+            off = 22 + i * 4
+            if off + 4 > len(fmt):
+                break
+            pairs.append(struct.unpack("<hh", fmt[off : off + 4]))
+        if not pairs:  # the standard seven predictor pairs
+            pairs = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                     (460, -208), (392, -232)]
+        codec_params = tuple(pairs)
     elif tag == _WAVE_FORMAT_IMA_ADPCM:
         codec = SampleCodec.IMA_ADPCM
         if bits != 4:
@@ -147,14 +174,17 @@ def _parse_header(f: BinaryIO):
     else:
         raise WavError(f"unsupported WAVE format tag 0x{tag:04x}")
 
-    if codec == SampleCodec.IMA_ADPCM:
+    block_coded = codec in (SampleCodec.IMA_ADPCM, SampleCodec.MS_ADPCM)
+    if block_coded:
+        hdr_bytes = (4 if codec == SampleCodec.IMA_ADPCM else 7) * channels
+        hdr_samples = 1 if codec == SampleCodec.IMA_ADPCM else 2
         full_blocks, rem = divmod(data_size, block_align)
         frames = full_blocks * samples_per_block
-        if rem > 4 * channels:
+        if rem > hdr_bytes:
             frames += min(samples_per_block,
-                          1 + (rem - 4 * channels) * 2 // channels)
-        elif rem >= 4 * channels:
-            frames += 1  # header-only partial block still carries sample 0
+                          hdr_samples + (rem - hdr_bytes) * 2 // channels)
+        elif rem >= hdr_bytes:
+            frames += hdr_samples  # header-only partial block
         # NOTE: the fact chunk is deliberately ignored for ADPCM —
         # libsndfile (the behavior the reference inherits) decodes whole
         # blocks and reports the block total; its own writer even emits
@@ -169,8 +199,9 @@ def _parse_header(f: BinaryIO):
         container=Container.WAV,
         codec=codec,
         bits_per_sample=bits,
-        block_align=block_align if codec == SampleCodec.IMA_ADPCM else 0,
+        block_align=block_align if block_coded else 0,
         samples_per_block=samples_per_block,
+        codec_params=codec_params,
     )
     return info, data_offset, data_size
 
@@ -249,11 +280,83 @@ def _decode_ima_adpcm(raw: bytes, info: AudioInfo) -> np.ndarray:
     return x[:n]
 
 
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+     230, 230, 230], np.int32
+)
+
+
+def _decode_ms_adpcm(raw: bytes, info: AudioInfo) -> np.ndarray:
+    """MS ADPCM (WAVE tag 0x0002) -> float32 [n, ch].  Like the IMA
+    decoder, the adaptive predictor is sequential within a block but
+    blocks are independent, so the loop runs over the in-block sample
+    index with all blocks x channels as one vector step."""
+    ch = info.channels
+    ba = info.block_align
+    spb = info.samples_per_block
+    if ba <= 0 or spb <= 1:
+        raise WavError("MS ADPCM without block geometry")
+    coefs = np.array(info.codec_params or [(256, 0)], np.int32)
+    nb_full, rem = divmod(len(raw), ba)
+    hdr = 7 * ch
+    tail_samples = 0
+    if rem > hdr:
+        tail_samples = min(spb, 2 + (rem - hdr) * 2 // ch)
+    elif rem >= hdr:
+        tail_samples = 2
+    if rem and tail_samples:
+        raw = raw[: nb_full * ba] + raw[nb_full * ba:] + b"\0" * (ba - rem)
+        nb = nb_full + 1
+    else:
+        raw = raw[: nb_full * ba]
+        nb = nb_full
+    if nb == 0:
+        return np.zeros((0, ch), np.float32)
+    blocks = np.frombuffer(raw, np.uint8).reshape(nb, ba)
+    # Header layout: predictor index per channel (1 byte each), then
+    # initial delta (int16 LE per channel), sample1, sample2.
+    pred_idx = np.clip(blocks[:, :ch].astype(np.int32), 0, len(coefs) - 1)
+    def i16(off):
+        lo = blocks[:, off : off + 2 * ch : 2].astype(np.int32)
+        hi = blocks[:, off + 1 : off + 1 + 2 * ch : 2].astype(np.int32)
+        v = lo | (hi << 8)
+        return np.where(v >= 32768, v - 65536, v)
+    delta = i16(ch)
+    s1 = i16(3 * ch)
+    s2 = i16(5 * ch)
+    c1 = coefs[pred_idx, 0]
+    c2 = coefs[pred_idx, 1]
+    data = blocks[:, hdr:]
+    # Nibble stream: high nibble first, channels round-robin per nibble.
+    nibs = np.empty((nb, data.shape[1] * 2), np.uint8)
+    nibs[:, 0::2] = data >> 4
+    nibs[:, 1::2] = data & 0x0F
+    out = np.empty((nb, spb, ch), np.int32)
+    out[:, 0, :] = s2  # sample2 is the OLDER of the two header samples
+    if spb > 1:
+        out[:, 1, :] = s1
+    for s in range(2, spb):
+        base = (s - 2) * ch
+        nib = nibs[:, base : base + ch].astype(np.int32)
+        signed = np.where(nib >= 8, nib - 16, nib)
+        pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+        pred = np.clip(pred, -32768, 32767)
+        s2 = s1
+        s1 = pred
+        delta = np.maximum((_MS_ADAPT[nib] * delta) >> 8, 16)
+        out[:, s, :] = pred
+    x = out.reshape(-1, ch).astype(np.float32) / 32768.0
+    n = nb_full * spb + tail_samples
+    return x[:n]
+
+
 def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
     ch = info.channels
     c = info.codec
     if c == SampleCodec.IMA_ADPCM:
         return _decode_ima_adpcm(raw, info)
+    if c == SampleCodec.MS_ADPCM:
+        return _decode_ms_adpcm(raw, info)
     if c == SampleCodec.PCM_16:
         x = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.float32) / 32768.0
     elif c == SampleCodec.PCM_24:

@@ -173,3 +173,38 @@ def test_wav_alaw_reports_16_bit(tmp_path, rng):
     got = src.read_float(10 ** 9)
     src.close()
     np.testing.assert_array_equal(got, whole)
+
+
+SF_SUB_MS = 0x0013
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_ms_adpcm_matches_libsndfile(tmp_path, rng, ch):
+    from tests.test_extra_formats import _sf_read, _sf_write
+
+    x = (rng.uniform(-0.5, 0.5, (9777, ch))).astype(np.float32)
+    p = tmp_path / "ms.wav"
+    _sf_write(p, x, 44100, SF_WAV | SF_SUB_MS)
+    got, info = read_wav(str(p))
+    assert info.codec == SampleCodec.MS_ADPCM
+    oracle, orate = _sf_read(p)
+    assert orate == 44100
+    assert got.shape == oracle.shape, (got.shape, oracle.shape)
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_wav_ms_adpcm_streaming_source(tmp_path, rng):
+    from folve_tpu.audio.source import WavSource
+    from tests.test_extra_formats import _sf_write
+
+    x = (rng.uniform(-0.5, 0.5, (8000, 2))).astype(np.float32)
+    p = tmp_path / "s.wav"
+    _sf_write(p, x, 44100, SF_WAV | SF_SUB_MS)
+    whole, info = read_wav(str(p))
+    src = WavSource(str(p))
+    parts = []
+    for n in (1, 3, 777, 2048, 99999):
+        parts.append(src.read_float(n))
+    got = np.concatenate(parts, axis=0)
+    src.close()
+    np.testing.assert_array_equal(got, whole)
