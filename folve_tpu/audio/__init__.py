@@ -49,12 +49,28 @@ def sniff_container(path: str) -> Optional[Container]:
         return None
     if magic[:4] == b"caff":
         return Container.CAF
+    if magic[:12] == b"Creative Voi":
+        return Container.VOC
+    from folve_tpu.audio.legacy import _IRCAM_MAGICS
+
+    if magic[:4] in _IRCAM_MAGICS:
+        return Container.IRCAM
+    if magic[:8] == b"NIST_1A\n":
+        return Container.NIST
+    if magic[:4] == b"FORM" and magic[8:12] in (b"8SVX", b"16SV"):
+        return Container.SVX
+    if magic[:5] == b"PVF1\n":
+        return Container.PVF
     # MP3 last: it has no container magic, only frame sync / ID3 tags.
     from folve_tpu.audio.mp3 import sniff_mp3
 
     if sniff_mp3(path):
         return Container.MP3
     return None
+
+
+_LEGACY = {Container.VOC, Container.IRCAM, Container.NIST, Container.SVX,
+           Container.PVF}
 
 
 def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
@@ -96,6 +112,10 @@ def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
         from folve_tpu.audio.mp3 import read_mp3
 
         return read_mp3(path)
+    if container in _LEGACY:
+        from folve_tpu.audio import legacy
+
+        return getattr(legacy, f"read_{container.value}")(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 
@@ -137,6 +157,10 @@ def read_audio_info(path: str) -> AudioInfo:
         from folve_tpu.audio.mp3 import read_mp3_info
 
         return read_mp3_info(path)
+    if container in _LEGACY:
+        from folve_tpu.audio import legacy
+
+        return getattr(legacy, f"read_{container.value}_info")(path)
     raise ValueError(f"unsupported or unrecognized audio file: {path}")
 
 

@@ -1,0 +1,515 @@
+"""Legacy PCM containers: VOC, IRCAM (.sf), NIST SPHERE, 8SVX/16SV, PVF.
+
+The reference convolves anything libsndfile decodes (probe at
+convolve-file-handler.cc:62-76), which includes this long tail of
+historical formats.  They are all thin headers over contiguous PCM, so
+each gets a parser + (where the format supports our stereo output) a
+streaming encoder so convolved files keep their original container
+("else: original format", convolve-file-handler.cc:249-251).
+8SVX/16SV is effectively mono-only; its convolved output falls back to
+FLAC via the handler's default.  Validated sample-exact against
+libsndfile-written files (tests/test_legacy_formats.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+from folve_tpu.audio.pcm_stream import PcmStreamEncoderBase
+from folve_tpu.audio.types import AudioInfo, Container, SampleCodec
+
+
+class LegacyError(ValueError):
+    pass
+
+
+def _pcm_decode(raw: bytes, codec: SampleCodec, little: bool) -> np.ndarray:
+    if codec == SampleCodec.PCM_16:
+        raw = raw[: len(raw) - len(raw) % 2]
+        return np.frombuffer(raw, "<i2" if little else ">i2").astype(
+            np.float32) / 32768.0
+    if codec == SampleCodec.PCM_U8:
+        return (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    if codec == SampleCodec.PCM_S8:
+        return np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    if codec == SampleCodec.FLOAT:
+        raw = raw[: len(raw) - len(raw) % 4]
+        return np.frombuffer(raw, "<f4" if little else ">f4").astype(np.float32)
+    if codec == SampleCodec.ULAW:
+        from folve_tpu.audio.au import _mulaw_table
+
+        return _mulaw_table()[np.frombuffer(raw, np.uint8)].astype(
+            np.float32) / 32768.0
+    if codec == SampleCodec.ALAW:
+        from folve_tpu.audio.au import _alaw_table
+
+        return _alaw_table()[np.frombuffer(raw, np.uint8)].astype(
+            np.float32) / 32768.0
+    raise LegacyError(f"cannot decode {codec}")
+
+
+_STORAGE = {
+    SampleCodec.PCM_16: 2, SampleCodec.PCM_U8: 1, SampleCodec.PCM_S8: 1,
+    SampleCodec.FLOAT: 4, SampleCodec.ULAW: 1, SampleCodec.ALAW: 1,
+}
+
+
+def _make_stream(path, info, offset, little):
+    """(file, info, data_offset, frame_bytes, decode) for PcmChunkSource."""
+    ch = info.channels
+    codec = info.codec
+    f = open(path, "rb")
+    frame_bytes = _STORAGE[codec] * ch
+
+    def decode(raw):
+        x = _pcm_decode(raw, codec, little)
+        n = x.size // ch
+        return x[: n * ch].reshape(n, ch)
+
+    return f, info, offset, frame_bytes, decode
+
+
+# ---------------------------------------------------------------------------
+# VOC (Creative Voice File)
+# ---------------------------------------------------------------------------
+
+_VOC_MAGIC = b"Creative Voice File\x1a"
+
+
+def parse_voc(blob: bytes):
+    """-> (info, [(offset, size)] data extents, little_endian)."""
+    if len(blob) < 26 or blob[:20] != _VOC_MAGIC:
+        raise LegacyError("not a VOC file")
+    (hdr_size,) = struct.unpack("<H", blob[20:22])
+    pos = hdr_size
+    rate = channels = bits = None
+    codec = None
+    extents = []
+    ext_rate = None  # from a type-8 extension block
+    while pos + 4 <= len(blob):
+        btype = blob[pos]
+        if btype == 0:  # terminator
+            break
+        size = int.from_bytes(blob[pos + 1 : pos + 4], "little")
+        body = pos + 4
+        if body + size > len(blob):
+            size = max(0, len(blob) - body)
+        if btype == 1:  # sound data: sr code, codec byte
+            if rate is None:
+                sr_code = blob[body]
+                fmt = blob[body + 1]
+                rate = ext_rate or int(round(1000000.0 / (256 - sr_code)))
+                channels = channels or 1
+                codec, bits = _voc_codec(fmt)
+            extents.append((body + 2, size - 2))
+        elif btype == 2:  # continuation
+            extents.append((body, size))
+        elif btype == 8:  # extension (precedes a type-1 block)
+            (tc,) = struct.unpack("<H", blob[body : body + 2])
+            mode = blob[body + 3]
+            channels = 2 if mode else 1
+            ext_rate = int(round(256000000.0 / (65536 - tc) / channels))
+        elif btype == 9:  # v1.20 extended sound data
+            if rate is None:
+                rate, b9bits, b9ch, fmt = struct.unpack(
+                    "<IBBH", blob[body : body + 8]
+                )
+                channels = b9ch
+                codec, bits = _voc_codec(fmt)
+            extents.append((body + 12, size - 12))
+        # types 3..7 (silence, markers, text, loops): no audio payload
+        pos = body + size
+    if rate is None or codec is None or not extents:
+        raise LegacyError("no sound data in VOC file")
+    nbytes = sum(s for _, s in extents)
+    frames = nbytes // (_STORAGE[codec] * channels)
+    info = AudioInfo(rate=int(rate), channels=int(channels), frames=frames,
+                     container=Container.VOC, codec=codec,
+                     bits_per_sample=bits)
+    return info, extents, True
+
+
+def _voc_codec(fmt: int):
+    if fmt == 0:
+        return SampleCodec.PCM_U8, 8
+    if fmt == 4:
+        return SampleCodec.PCM_16, 16
+    if fmt == 6:
+        return SampleCodec.ALAW, 16
+    if fmt == 7:
+        return SampleCodec.ULAW, 16
+    raise LegacyError(f"unsupported VOC codec {fmt}")
+
+
+def read_voc(path: str):
+    with open(path, "rb") as f:
+        blob = f.read()
+    info, extents, little = parse_voc(blob)
+    raw = b"".join(blob[o : o + s] for o, s in extents)
+    x = _pcm_decode(raw, info.codec, little)
+    n = x.size // info.channels
+    info.frames = n
+    return x[: n * info.channels].reshape(n, info.channels), info
+
+
+def read_voc_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        blob = f.read(1 << 16)
+        f.seek(0, 2)
+        total = f.tell()
+    del total
+    info, _, _ = parse_voc(blob + b"\0")  # ensure a terminator in view
+    # frames may be under-counted if extents continue past the sniff
+    # window; re-parse fully only when needed
+    if len(blob) == 1 << 16:
+        return read_voc(path)[1]
+    return info
+
+
+def open_voc_stream(path: str):
+    with open(path, "rb") as f:
+        blob = f.read()
+    info, extents, little = parse_voc(blob)
+    if len(extents) != 1:
+        return None  # multi-block payload: caller uses the whole-file read
+    return _make_stream(path, info, extents[0][0], little)
+
+
+class VocStreamEncoder(PcmStreamEncoderBase):
+    """VOC output: v1.20 header + one type-9 block + terminator."""
+
+    _allowed_bits = (16,)
+    _little_endian = True
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata  # VOC has no tag block
+        version = 0x0114
+        out = _VOC_MAGIC + struct.pack(
+            "<HHH", 26, version, (~version + 0x1234) & 0xFFFF
+        )
+        payload = self.total_frames * self.channels * 2
+        out += bytes([9]) + (payload + 12).to_bytes(3, "little")
+        out += struct.pack("<IBBH", self.rate, 16, self.channels, 4)
+        out += bytes(4)
+        return out
+
+    def finish(self) -> bytes:
+        return b"\x00"  # terminator block
+
+
+# ---------------------------------------------------------------------------
+# IRCAM (.sf)
+# ---------------------------------------------------------------------------
+
+# (magic bytes) -> little-endian payload?
+_IRCAM_MAGICS = {
+    b"\x64\xa3\x01\x00": True,   # VAX LE
+    b"\x64\xa3\x02\x00": False,  # Sun BE
+    b"\x64\xa3\x03\x00": True,   # MIPS LE (what libsndfile writes)
+    b"\x64\xa3\x04\x00": False,  # NeXT BE
+    b"\x00\x01\xa3\x64": False,  # byte-swapped variants
+    b"\x00\x02\xa3\x64": True,
+    b"\x00\x03\xa3\x64": False,
+    b"\x00\x04\xa3\x64": True,
+}
+_IRCAM_CODECS = {
+    0x00001: (SampleCodec.PCM_S8, 8),
+    0x00002: (SampleCodec.PCM_16, 16),
+    0x00004: (SampleCodec.FLOAT, 32),
+    0x10001: (SampleCodec.ALAW, 16),
+    0x20001: (SampleCodec.ULAW, 16),
+}
+
+
+def parse_ircam(head: bytes, total: int):
+    little = _IRCAM_MAGICS.get(head[:4])
+    if little is None or len(head) < 16:
+        raise LegacyError("not an IRCAM file")
+    e = "<" if little else ">"
+    rate, channels, fmt = struct.unpack(e + "fII", head[4:16])
+    codec_bits = _IRCAM_CODECS.get(fmt)
+    if codec_bits is None or channels == 0 or not (0 < rate < 1e7):
+        raise LegacyError(f"unsupported IRCAM layout fmt={fmt:#x}")
+    codec, bits = codec_bits
+    frames = max(0, total - 1024) // (_STORAGE[codec] * channels)
+    info = AudioInfo(rate=int(round(rate)), channels=int(channels),
+                     frames=frames, container=Container.IRCAM, codec=codec,
+                     bits_per_sample=bits)
+    return info, little
+
+
+def read_ircam_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(16)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_ircam(head, total)[0]
+
+
+def open_ircam_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(16)
+        f.seek(0, 2)
+        total = f.tell()
+    info, little = parse_ircam(head, total)
+    return _make_stream(path, info, 1024, little)
+
+
+def read_ircam(path: str):
+    f, info, off, fb, decode = open_ircam_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read())
+    info.frames = x.shape[0]
+    return x, info
+
+
+class IrcamStreamEncoder(PcmStreamEncoderBase):
+    """IRCAM output: the MIPS-LE variant libsndfile writes."""
+
+    _allowed_bits = (16,)
+    _little_endian = True
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        out = b"\x64\xa3\x03\x00" + struct.pack(
+            "<fII", float(self.rate), self.channels, 0x00002
+        )
+        return out + bytes(1024 - len(out))
+
+
+# ---------------------------------------------------------------------------
+# NIST SPHERE
+# ---------------------------------------------------------------------------
+
+
+def parse_nist(head: bytes, total: int):
+    if not head.startswith(b"NIST_1A\n"):
+        raise LegacyError("not a NIST SPHERE file")
+    try:
+        hdr_size = int(head[8:16].strip())
+    except ValueError:
+        raise LegacyError("bad NIST header size") from None
+    fields = {}
+    for line in head[16:hdr_size].split(b"\n"):
+        parts = line.strip().split(b" ", 2)
+        if len(parts) == 3:
+            fields[parts[0].decode("ascii", "replace")] = parts[2]
+        elif parts and parts[0] == b"end_head":
+            break
+    try:
+        rate = int(fields["sample_rate"])
+        channels = int(fields["channel_count"])
+    except (KeyError, ValueError):
+        raise LegacyError("missing NIST fields") from None
+    nbytes = int(fields.get("sample_n_bytes", b"2"))
+    coding = fields.get("sample_coding", b"pcm").decode("ascii", "replace")
+    byte_format = fields.get("sample_byte_format", b"01").decode()
+    little = byte_format != "10"
+    if coding.startswith("pcm") and nbytes == 2:
+        codec, bits = SampleCodec.PCM_16, 16
+    elif coding.startswith("ulaw") or coding.startswith("mu-law"):
+        codec, bits = SampleCodec.ULAW, 16
+    elif coding.startswith("alaw"):
+        codec, bits = SampleCodec.ALAW, 16
+    elif coding.startswith("pcm") and nbytes == 1:
+        codec, bits = SampleCodec.PCM_S8, 8
+    else:
+        raise LegacyError(f"unsupported NIST coding {coding}/{nbytes}")
+    frames = max(0, total - hdr_size) // (_STORAGE[codec] * channels)
+    declared = fields.get("sample_count")
+    if declared is not None:
+        try:
+            frames = min(frames, int(declared))
+        except ValueError:
+            pass
+    info = AudioInfo(rate=rate, channels=channels, frames=frames,
+                     container=Container.NIST, codec=codec,
+                     bits_per_sample=bits)
+    return info, hdr_size, little
+
+
+def read_nist_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(4096)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_nist(head, total)[0]
+
+
+def open_nist_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(4096)
+        f.seek(0, 2)
+        total = f.tell()
+    info, hdr_size, little = parse_nist(head, total)
+    return _make_stream(path, info, hdr_size, little)
+
+
+def read_nist(path: str):
+    f, info, off, fb, decode = open_nist_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read(info.frames * fb))
+    info.frames = x.shape[0]
+    return x, info
+
+
+class NistStreamEncoder(PcmStreamEncoderBase):
+    """NIST SPHERE output: 1024-byte ASCII header + LE PCM-16."""
+
+    _allowed_bits = (16,)
+    _little_endian = True
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        text = (
+            "NIST_1A\n   1024\n"
+            f"channel_count -i {self.channels}\n"
+            f"sample_rate -i {self.rate}\n"
+            "sample_n_bytes -i 2\n"
+            "sample_sig_bits -i 16\n"
+            "sample_coding -s3 pcm\n"
+            "sample_byte_format -s2 01\n"
+            f"sample_count -i {self.total_frames}\n"
+            "end_head\n"
+        ).encode("ascii")
+        return text + bytes(1024 - len(text))
+
+
+# ---------------------------------------------------------------------------
+# 8SVX / 16SV (Amiga IFF; read-only, effectively mono)
+# ---------------------------------------------------------------------------
+
+
+def parse_svx(blob: bytes):
+    if len(blob) < 12 or blob[:4] != b"FORM" or blob[8:12] not in (
+        b"8SVX", b"16SV",
+    ):
+        raise LegacyError("not an 8SVX/16SV file")
+    sixteen = blob[8:12] == b"16SV"
+    pos = 12
+    rate = None
+    channels = 1
+    body_off = body_len = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack(">I", blob[pos + 4 : pos + 8])
+        body = pos + 8
+        if cid == b"VHDR" and size >= 14:
+            (rate,) = struct.unpack(">H", blob[body + 12 : body + 14])
+            if size >= 16 and blob[body + 15] != 0:
+                raise LegacyError("compressed 8SVX not supported")
+        elif cid == b"CHAN" and size >= 4:
+            (mask,) = struct.unpack(">I", blob[body : body + 4])
+            channels = 2 if mask == 6 else 1
+        elif cid == b"BODY":
+            body_off, body_len = body, min(size, len(blob) - body)
+        pos = body + size + (size & 1)
+    if rate is None or body_off is None:
+        raise LegacyError("missing VHDR/BODY chunks")
+    codec = SampleCodec.PCM_16 if sixteen else SampleCodec.PCM_S8
+    bits = 16 if sixteen else 8
+    frames = body_len // (_STORAGE[codec] * channels)
+    info = AudioInfo(rate=int(rate), channels=channels, frames=frames,
+                     container=Container.SVX, codec=codec,
+                     bits_per_sample=bits)
+    return info, body_off, False  # big-endian
+
+
+def read_svx(path: str):
+    with open(path, "rb") as f:
+        blob = f.read()
+    info, off, little = parse_svx(blob)
+    raw = blob[off : off + info.frames * _STORAGE[info.codec] * info.channels]
+    x = _pcm_decode(raw, info.codec, little)
+    n = x.size // info.channels
+    info.frames = n
+    return x[: n * info.channels].reshape(n, info.channels), info
+
+
+def read_svx_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        blob = f.read(1 << 16)
+        f.seek(0, 2)
+        total = f.tell()
+    if len(blob) < (1 << 16):
+        return parse_svx(blob)[0]
+    # chunk directory may exceed the window on huge files: full read
+    return read_svx(path)[1]
+
+
+def open_svx_stream(path: str):
+    with open(path, "rb") as f:
+        blob = f.read()
+    info, off, little = parse_svx(blob)
+    return _make_stream(path, info, off, little)
+
+
+# ---------------------------------------------------------------------------
+# PVF (Portable Voice Format)
+# ---------------------------------------------------------------------------
+
+
+def parse_pvf(head: bytes, total: int):
+    if not head.startswith(b"PVF1\n"):
+        raise LegacyError("not a PVF file")
+    nl = head.find(b"\n", 5)
+    if nl < 0:
+        raise LegacyError("bad PVF header")
+    try:
+        channels, rate, bits = (int(v) for v in head[5:nl].split())
+    except ValueError:
+        raise LegacyError("bad PVF fields") from None
+    if bits != 16 or channels == 0:
+        raise LegacyError(f"unsupported PVF layout {channels}/{bits}")
+    offset = nl + 1
+    frames = max(0, total - offset) // (2 * channels)
+    info = AudioInfo(rate=rate, channels=channels, frames=frames,
+                     container=Container.PVF, codec=SampleCodec.PCM_16,
+                     bits_per_sample=16)
+    return info, offset, False  # big-endian payload
+
+
+def read_pvf_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(64)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_pvf(head, total)[0]
+
+
+def open_pvf_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(64)
+        f.seek(0, 2)
+        total = f.tell()
+    info, off, little = parse_pvf(head, total)
+    return _make_stream(path, info, off, little)
+
+
+def read_pvf(path: str):
+    f, info, off, fb, decode = open_pvf_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read())
+    info.frames = x.shape[0]
+    return x, info
+
+
+class PvfStreamEncoder(PcmStreamEncoderBase):
+    """PVF output: ASCII header + big-endian PCM-16."""
+
+    _allowed_bits = (16,)
+    _little_endian = False
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        return f"PVF1\n{self.channels} {self.rate} 16\n".encode("ascii")

@@ -127,6 +127,24 @@ class PcmChunkSource:
             pass
 
 
+class _MemorySource:
+    """Fallback source over a decoded array (only for multi-extent VOC
+    payloads, which are tiny DOS-era files)."""
+
+    def __init__(self, data: np.ndarray, info: AudioInfo):
+        self._data = data
+        self.info = info
+        self._pos = 0
+
+    def read_float(self, nframes: int) -> np.ndarray:
+        take = self._data[self._pos : self._pos + nframes]
+        self._pos += take.shape[0]
+        return take
+
+    def close(self) -> None:
+        self._data = np.zeros((0, self.info.channels), np.float32)
+
+
 class FlacSource:
     """Streaming FLAC decode source."""
 
@@ -204,6 +222,19 @@ def open_source(path: str) -> Optional[AudioSource]:
             from folve_tpu.audio.mp3 import Mp3Source
 
             return Mp3Source(path)
+        if container in (Container.VOC, Container.IRCAM, Container.NIST,
+                         Container.SVX, Container.PVF):
+            from folve_tpu.audio import legacy
+
+            opener = getattr(legacy, f"open_{container.value}_stream")
+            stream = opener(path)
+            if stream is not None:
+                return PcmChunkSource(*stream)
+            # multi-extent VOC payloads: small legacy files, whole read
+            from folve_tpu.audio import read_audio
+
+            data, info = read_audio(path)
+            return _MemorySource(data, info)
     except Exception:
         return None
     return None

@@ -20,6 +20,11 @@ class Container(enum.Enum):
     W64 = "w64"
     CAF = "caf"
     MP3 = "mp3"
+    VOC = "voc"
+    IRCAM = "ircam"
+    NIST = "nist"
+    SVX = "svx"
+    PVF = "pvf"
     RAW = "raw"
 
 

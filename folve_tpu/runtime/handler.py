@@ -285,6 +285,9 @@ class ConvolveFileHandler(FileHandler):
             out_bits = self._in_info.bits_per_sample
             if out_bits not in (16, 24):
                 out_bits = 24
+        elif in_container in (Container.VOC, Container.IRCAM,
+                              Container.NIST, Container.PVF):
+            out_bits = 16  # these legacy containers are 16-bit PCM out
         else:
             out_bits = min(self._in_info.bits_per_sample, 24)
             if out_bits not in (8, 16, 24):
@@ -304,6 +307,14 @@ class ConvolveFileHandler(FileHandler):
             from folve_tpu.audio.w64 import W64StreamEncoder as encoder_cls
         elif in_container == Container.CAF:
             from folve_tpu.audio.caf import CafStreamEncoder as encoder_cls
+        elif in_container == Container.VOC:
+            from folve_tpu.audio.legacy import VocStreamEncoder as encoder_cls
+        elif in_container == Container.IRCAM:
+            from folve_tpu.audio.legacy import IrcamStreamEncoder as encoder_cls
+        elif in_container == Container.NIST:
+            from folve_tpu.audio.legacy import NistStreamEncoder as encoder_cls
+        elif in_container == Container.PVF:
+            from folve_tpu.audio.legacy import PvfStreamEncoder as encoder_cls
         if encoder_cls is not None:
             self._encoder = encoder_cls(
                 rate=self._in_info.rate,

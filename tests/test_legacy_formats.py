@@ -1,0 +1,121 @@
+"""Legacy containers (VOC / IRCAM / NIST / 8SVX / PVF) vs libsndfile.
+
+The reference convolves anything libsndfile decodes
+(convolve-file-handler.cc:62-76); these historical formats are the long
+tail of that claim.  Fixtures are written by the libsndfile oracle and
+must decode sample-exact; VOC/IRCAM/NIST/PVF also round-trip through
+our streaming encoders and back through libsndfile.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from folve_tpu.audio import Container, read_audio, read_audio_info, sniff_container
+from tests.test_extra_formats import _sf, _sf_read, _sf_write
+
+RATE = 44100
+
+SF_VOC, SF_NIST, SF_SVX, SF_IRCAM, SF_PVF = (
+    0x080000, 0x070000, 0x060000, 0x0A0000, 0x0E0000,
+)
+SF_PCM_16, SF_PCM_S8, SF_ULAW = 0x0002, 0x0001, 0x0010
+
+
+def _material(rng, frames=5000, ch=2):
+    x = rng.uniform(-0.5, 0.5, (frames, ch)).astype(np.float32)
+    return np.round(x * 32768) / 32768
+
+
+@pytest.mark.parametrize("name,fmt,sub,container,ch,tol", [
+    ("voc", SF_VOC, SF_PCM_16, Container.VOC, 1, 1 / 32768),
+    ("voc-stereo", SF_VOC, SF_PCM_16, Container.VOC, 2, 1 / 32768),
+    ("voc-ulaw", SF_VOC, SF_ULAW, Container.VOC, 1, 0.05),
+    ("ircam", SF_IRCAM, SF_PCM_16, Container.IRCAM, 2, 1 / 32768),
+    ("ircam-ulaw", SF_IRCAM, SF_ULAW, Container.IRCAM, 1, 0.05),
+    ("nist", SF_NIST, SF_PCM_16, Container.NIST, 2, 1 / 32768),
+    ("nist-ulaw", SF_NIST, SF_ULAW, Container.NIST, 1, 0.05),
+    ("svx16", SF_SVX, SF_PCM_16, Container.SVX, 1, 1 / 32768),
+    ("svx8", SF_SVX, SF_PCM_S8, Container.SVX, 1, 1 / 128),
+    ("pvf", SF_PVF, SF_PCM_16, Container.PVF, 1, 1 / 32768),
+    ("pvf-stereo", SF_PVF, SF_PCM_16, Container.PVF, 2, 1 / 32768),
+])
+def test_decodes_libsndfile_files(tmp_path, rng, name, fmt, sub, container,
+                                  ch, tol):
+    x = _material(rng, ch=ch)
+    p = tmp_path / name
+    _sf_write(p, x, RATE, fmt | sub)
+    assert sniff_container(str(p)) == container
+    got, info = read_audio(str(p))
+    assert info.container == container
+    oracle, orate = _sf_read(p)
+    assert orate == RATE
+    assert got.shape == oracle.shape, (got.shape, oracle.shape)
+    # Same integer reconstruction -> identical floats (lossy codecs
+    # compare against the ORACLE decode, also exact).
+    np.testing.assert_array_equal(got, oracle)
+    info2 = read_audio_info(str(p))
+    assert info2.frames == got.shape[0]
+    assert info2.rate == RATE and info2.channels == ch
+
+
+@pytest.mark.parametrize("name,container", [
+    ("song.voc", Container.VOC),
+    ("song.sf", Container.IRCAM),
+    ("song.nist", Container.NIST),
+    ("song.pvf", Container.PVF),
+])
+def test_through_filesystem_same_container(tmp_path, rng, name, container):
+    """Legacy input convolves and comes back out in its ORIGINAL
+    container ('else: original format'), readable by libsndfile."""
+    from tests.test_runtime import make_fs, read_all
+
+    fmt = {Container.VOC: SF_VOC, Container.IRCAM: SF_IRCAM,
+           Container.NIST: SF_NIST, Container.PVF: SF_PVF}[container]
+    x = _material(rng, frames=3000, ch=2)
+    fs, src_dir = make_fs(tmp_path)
+    _sf_write(src_dir / name, x, RATE, fmt | SF_PCM_16)
+    h = fs.get_or_create_handler(f"/{name}")
+    blob = read_all(h)
+    fs.close_handler(f"/{name}", h)
+    out = tmp_path / f"out-{name}"
+    out.write_bytes(blob)
+    assert sniff_container(str(out)) == container
+    got, info = read_audio(str(out))
+    assert info.rate == RATE and info.channels == 2
+    assert got.shape[0] == x.shape[0]
+    # and the ORACLE can read our output too
+    oracle, orate = _sf_read(out)
+    assert orate == RATE and oracle.shape == got.shape
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_svx_falls_back_to_flac(tmp_path, rng):
+    """8SVX input convolves; output is FLAC (the container can't carry
+    our stereo 16-bit output sensibly)."""
+    from tests.test_runtime import make_fs, read_all
+
+    x = _material(rng, frames=3000, ch=1)
+    fs, src_dir = make_fs(tmp_path, conf_text=(
+        "/convolver/new 1 1 64 512\n"
+        "/impulse/dirac 1 1 0.7 0\n"
+        "/impulse/dirac 1 1 0.3 100\n"
+    ))
+    _sf_write(src_dir / "song.8svx", x, RATE, SF_SVX | SF_PCM_16)
+    h = fs.get_or_create_handler("/song.8svx")
+    blob = read_all(h)
+    fs.close_handler("/song.8svx", h)
+    assert blob[:4] == b"fLaC"
+
+
+def test_corrupt_legacy_headers_reject(tmp_path):
+    from folve_tpu.audio.legacy import LegacyError, parse_nist, parse_pvf, parse_voc
+
+    with pytest.raises(LegacyError):
+        parse_voc(b"Creative Voice File\x1a" + bytes(6))
+    with pytest.raises(LegacyError):
+        parse_nist(b"NIST_1A\nxxxxxxxx\n" + bytes(32), 2000)
+    with pytest.raises(LegacyError):
+        parse_pvf(b"PVF1\nnot numbers\n", 100)
