@@ -91,15 +91,42 @@ def _parse(f: BinaryIO):
     if bits and channels:
         frames = min(frames, sound_size // max(1, channels * (bits // 8)))
     comp = compression.lower()
+    block_align = samples_per_block = 0
     if comp in (b"none", b"sowt"):
         codec = {8: SampleCodec.PCM_S8, 16: SampleCodec.PCM_16,
                  24: SampleCodec.PCM_24, 32: SampleCodec.PCM_32}.get(bits)
     elif comp == b"fl32":
         codec = SampleCodec.FLOAT
+    elif comp == b"fl64":
+        codec = SampleCodec.DOUBLE
+        bits = 64
+    elif comp == b"ulaw":
+        codec = SampleCodec.ULAW
+        bits = 16  # G.711 decodes to 16-bit range; storage is 1 byte
+    elif comp == b"alaw":
+        codec = SampleCodec.ALAW
+        bits = 16
+    elif comp == b"raw ":
+        codec = SampleCodec.PCM_U8
+        bits = 8
+    elif comp == b"ima4":
+        # Apple/QT IMA: 34-byte chunks of 64 samples per channel,
+        # channel chunks interleaved; each chunk carries its own
+        # predictor state.  The COMM frame count is unreliable here
+        # (libsndfile ignores it too) — the chunk count is the truth.
+        codec = SampleCodec.IMA_ADPCM
+        bits = 16
+        block_align = 34 * channels
+        samples_per_block = 64
+        frames = (sound_size // block_align) * 64
     else:
         raise AiffError(f"unsupported AIFC compression {compression!r}")
     if codec is None:
         raise AiffError(f"unsupported AIFF bit depth {bits}")
+    if comp in (b"ulaw", b"alaw", b"raw "):
+        frames = min(frames, sound_size // channels)
+    elif comp == b"fl64":
+        frames = min(frames, sound_size // (8 * channels))
     info = AudioInfo(
         rate=rate,
         channels=channels,
@@ -107,6 +134,8 @@ def _parse(f: BinaryIO):
         container=Container.AIFF,
         codec=codec,
         bits_per_sample=bits,
+        block_align=block_align,
+        samples_per_block=samples_per_block,
     )
     return info, sound_offset, sound_size, comp
 
@@ -142,10 +171,62 @@ def _decode_payload(raw: bytes, info: AudioInfo, little: bool) -> np.ndarray:
     elif c == SampleCodec.FLOAT:
         raw = raw[: len(raw) - len(raw) % 4]
         x = np.frombuffer(raw, dtype="<f4" if little else ">f4").astype(np.float32)
+    elif c == SampleCodec.DOUBLE:
+        raw = raw[: len(raw) - len(raw) % 8]
+        x = np.frombuffer(raw, dtype="<f8" if little else ">f8").astype(np.float32)
+    elif c == SampleCodec.PCM_U8:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif c == SampleCodec.ULAW:
+        from folve_tpu.audio.au import _mulaw_table
+
+        x = _mulaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
+    elif c == SampleCodec.ALAW:
+        from folve_tpu.audio.au import _alaw_table
+
+        x = _alaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
+    elif c == SampleCodec.IMA_ADPCM:
+        return _decode_ima4(raw, ch)
     else:
         raise AiffError(f"cannot decode {c}")
     n = (len(x) // ch) * ch
     return x[:n].reshape(-1, ch)
+
+
+def _decode_ima4(raw: bytes, channels: int) -> np.ndarray:
+    """Apple/QT 'ima4' chunks -> float32 [n, ch].  Chunks are
+    independent (each carries predictor state in its 2-byte preamble),
+    so the sequential loop runs over the 64 in-chunk samples with all
+    chunks decoded as one vector step."""
+    from folve_tpu.audio.wav import _IMA_INDEX_TABLE, _IMA_STEP_TABLE
+
+    cb = 34 * channels
+    nb = len(raw) // cb
+    raw = raw[: nb * cb]
+    if nb == 0:
+        return np.zeros((0, channels), np.float32)
+    blocks = np.frombuffer(raw, np.uint8).reshape(nb * channels, 34)
+    pre = (blocks[:, 0].astype(np.int32) << 8) | blocks[:, 1]
+    pred = pre & 0xFF80
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(pre & 0x7F, 0, 88)
+    data = blocks[:, 2:]
+    nibs = np.empty((blocks.shape[0], 64), np.uint8)
+    nibs[:, 0::2] = data & 0x0F  # low nibble first
+    nibs[:, 1::2] = data >> 4
+    out = np.empty((blocks.shape[0], 64), np.int32)
+    for s in range(64):
+        nib = nibs[:, s].astype(np.int32)
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        diff = diff + np.where(nib & 4, step, 0)
+        diff = diff + np.where(nib & 2, step >> 1, 0)
+        diff = diff + np.where(nib & 1, step >> 2, 0)
+        pred = np.where(nib & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TABLE[nib], 0, 88)
+        out[:, s] = pred
+    x = out.reshape(nb, channels, 64).transpose(0, 2, 1).reshape(-1, channels)
+    return x.astype(np.float32) / 32768.0
 
 
 def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
@@ -156,18 +237,63 @@ def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
     return _decode_payload(raw, info, comp == b"sowt"), info
 
 
+class _Ima4Source:
+    """Block-granular source for AIFC 'ima4' (34-byte/64-sample chunks
+    per channel): reads decode whole covering chunk groups and slice."""
+
+    def __init__(self, f, info: AudioInfo):
+        self._f = f
+        self.info = info
+        self._pos = 0
+
+    def read_float(self, nframes: int) -> np.ndarray:
+        take = max(0, min(nframes, self.info.frames - self._pos))
+        if take == 0:
+            return np.zeros((0, self.info.channels), np.float32)
+        ba = self.info.block_align
+        b0 = self._pos // 64
+        b1 = -(-(self._pos + take) // 64)
+        self._f.seek(self._offset + b0 * ba)
+        decoded = _decode_ima4(self._f.read((b1 - b0) * ba),
+                               self.info.channels)
+        out = decoded[self._pos - b0 * 64 :][:take]
+        self._pos += out.shape[0]
+        if out.shape[0] == 0:
+            self._pos = self.info.frames  # never wedge the pump loop
+        return out
+
+    def seek(self, frame: int) -> None:
+        self._pos = max(0, min(frame, self.info.frames))
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        except Exception:
+            pass
+
+
 def open_aiff_stream(path: str):
     """(file, info, data_offset, frame_bytes, decode) for a chunked
     source — constant memory per open stream, like the reference's
-    libsndfile streaming reads (sound-processor.cc:76-84)."""
+    libsndfile streaming reads (sound-processor.cc:76-84).  For 'ima4'
+    the returned object is a ready-made block-granular source instead
+    (first tuple element None)."""
     f = open(path, "rb")
     try:
         info, offset, _size, comp = _parse(f)
     except Exception:
         f.close()
         raise
+    if info.codec == SampleCodec.IMA_ADPCM:
+        src = _Ima4Source(f, info)
+        src._offset = offset
+        return None, src, offset, 0, None
     little = comp == b"sowt"
-    frame_bytes = info.channels * info.bits_per_sample // 8
+    storage = {
+        SampleCodec.ULAW: 1, SampleCodec.ALAW: 1, SampleCodec.PCM_U8: 1,
+        SampleCodec.DOUBLE: 8,
+    }.get(info.codec, info.bits_per_sample // 8)
+    frame_bytes = info.channels * storage
     return f, info, offset, frame_bytes, (
         lambda raw: _decode_payload(raw, info, little)
     )

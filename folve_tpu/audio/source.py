@@ -197,7 +197,10 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.AIFF:
             from folve_tpu.audio.aiff import open_aiff_stream
 
-            return PcmChunkSource(*open_aiff_stream(path))
+            stream = open_aiff_stream(path)
+            if stream[0] is None:  # 'ima4': ready-made block source
+                return stream[1]
+            return PcmChunkSource(*stream)
         if container == Container.AU:
             from folve_tpu.audio.au import open_au_stream
 

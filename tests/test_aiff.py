@@ -173,3 +173,47 @@ def test_zero_rate_aiff_is_rejected_not_hung(tmp_path, rng):
         read_aiff_info(str(ip))
     with pytest.raises(AiffError):
         AiffStreamEncoder(0, 2, 16, 64).header()
+
+
+# --- AIFC compression variants vs libsndfile -------------------------------
+
+SF_AIFF = 0x020000
+AIFC_SUBS = {"ulaw": 0x10, "alaw": 0x11, "ima4": 0x12, "fl64": 0x07,
+             "u8": 0x05}
+
+
+@pytest.mark.parametrize("name", ["ulaw", "alaw", "ima4", "fl64", "u8"])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_aifc_compressions_match_libsndfile(tmp_path, rng, name, ch):
+    from tests.test_extra_formats import _sf_read, _sf_write
+
+    x = np.round(rng.uniform(-0.5, 0.5, (3333, ch)).astype(np.float32)
+                 * 32768) / 32768
+    p = tmp_path / f"{name}.aifc"
+    _sf_write(p, x, 44100, SF_AIFF | AIFC_SUBS[name])
+    got, info = read_aiff(str(p))
+    oracle, orate = _sf_read(p)
+    assert orate == 44100
+    assert got.shape == oracle.shape, (name, got.shape, oracle.shape)
+    np.testing.assert_array_equal(got, oracle)
+    from folve_tpu.audio import read_audio_info
+
+    assert read_audio_info(str(p)).frames == oracle.shape[0]
+
+
+@pytest.mark.parametrize("name", ["ulaw", "ima4"])
+def test_aifc_streaming_source(tmp_path, rng, name):
+    from folve_tpu.audio.source import open_source
+    from tests.test_extra_formats import _sf_write
+
+    x = rng.uniform(-0.5, 0.5, (5000, 2)).astype(np.float32)
+    p = tmp_path / f"{name}.aifc"
+    _sf_write(p, x, 44100, SF_AIFF | AIFC_SUBS[name])
+    whole, _ = read_aiff(str(p))
+    src = open_source(str(p))
+    parts = []
+    for n in (1, 63, 64, 1000, 10 ** 9):
+        parts.append(src.read_float(n))
+    got = np.concatenate(parts, axis=0)
+    src.close()
+    np.testing.assert_array_equal(got, whole)
