@@ -33,12 +33,12 @@ def _parse_desc(body: bytes):
     rate, fmt_id, flags, bpp, fpp, channels, bits = struct.unpack(
         ">d4sIIIII", body[:32]
     )
-    if fmt_id != b"lpcm":
+    if fmt_id not in (b"lpcm", b"ulaw", b"alaw"):
         raise CafError(f"unsupported CAF codec {fmt_id!r}")
     if channels == 0 or bits == 0 or rate <= 0:
         raise CafError("bad desc fields")
     del bpp, fpp
-    return rate, flags, channels, bits
+    return rate, flags, channels, bits, fmt_id
 
 
 def _iter_chunks(blob: bytes):
@@ -75,8 +75,9 @@ def read_caf(path: str) -> tuple[np.ndarray, AudioInfo]:
             data = blob[off + 4 : off + size]
     if desc is None or data is None:
         raise CafError("missing desc/data chunks")
-    rate, flags, channels, bits = desc
-    x, codec = _decode_payload(data, flags, int(bits), int(channels))
+    rate, flags, channels, bits, fmt_id = desc
+    x, codec = _decode_payload(data, flags, int(bits), int(channels),
+                               fmt_id)
     info = AudioInfo(
         rate=int(round(rate)), channels=int(channels), frames=x.shape[0],
         container=Container.CAF, codec=codec, bits_per_sample=int(bits),
@@ -84,9 +85,24 @@ def read_caf(path: str) -> tuple[np.ndarray, AudioInfo]:
     return x, info
 
 
-def _decode_payload(data: bytes, flags: int, bits: int, channels: int):
+def _decode_payload(data: bytes, flags: int, bits: int, channels: int,
+                    fmt_id: bytes = b"lpcm"):
     """Raw data bytes (any whole-frame slice) -> (float32 [n, ch], codec).
     Truncated payloads short-decode rather than raising from frombuffer."""
+    if fmt_id == b"ulaw":
+        from folve_tpu.audio.au import _mulaw_table
+
+        x = _mulaw_table()[np.frombuffer(data, np.uint8)].astype(
+            np.float32) / 32768.0
+        n = x.size // channels
+        return x[: n * channels].reshape(n, channels), SampleCodec.ULAW
+    if fmt_id == b"alaw":
+        from folve_tpu.audio.au import _alaw_table
+
+        x = _alaw_table()[np.frombuffer(data, np.uint8)].astype(
+            np.float32) / 32768.0
+        n = x.size // channels
+        return x[: n * channels].reshape(n, channels), SampleCodec.ALAW
     is_float = bool(flags & _FLAG_FLOAT)
     endian = "<" if flags & _FLAG_LITTLE else ">"
     elem = max(1, bits // 8)
@@ -160,26 +176,32 @@ def open_caf_stream(path: str):
             pos = body_off + real
         if desc is None or data_len is None:
             raise CafError("missing desc/data chunks")
-        rate, flags, channels, bits = desc
+        rate, flags, channels, bits, fmt_id = desc
         channels, bits = int(channels), int(bits)
-        frame_bytes = channels * (bits // 8)
+        if fmt_id in (b"ulaw", b"alaw"):
+            codec = SampleCodec.ULAW if fmt_id == b"ulaw" else SampleCodec.ALAW
+            frame_bytes = channels  # one byte stored, 16-bit decoded
+            bits_out = 16
+        else:
+            codec = {
+                (True, 32): SampleCodec.FLOAT, (True, 64): SampleCodec.DOUBLE,
+                (False, 8): SampleCodec.PCM_S8, (False, 16): SampleCodec.PCM_16,
+                (False, 24): SampleCodec.PCM_24, (False, 32): SampleCodec.PCM_32,
+            }.get((bool(flags & _FLAG_FLOAT), bits))
+            if codec is None:
+                raise CafError("unsupported lpcm layout")
+            frame_bytes = channels * (bits // 8)
+            bits_out = bits
         frames = data_len // max(1, frame_bytes)
-        codec = {
-            (True, 32): SampleCodec.FLOAT, (True, 64): SampleCodec.DOUBLE,
-            (False, 8): SampleCodec.PCM_S8, (False, 16): SampleCodec.PCM_16,
-            (False, 24): SampleCodec.PCM_24, (False, 32): SampleCodec.PCM_32,
-        }.get((bool(flags & _FLAG_FLOAT), bits))
-        if codec is None:
-            raise CafError("unsupported lpcm layout")
         info = AudioInfo(
             rate=int(round(rate)), channels=channels, frames=frames,
-            container=Container.CAF, codec=codec, bits_per_sample=bits,
+            container=Container.CAF, codec=codec, bits_per_sample=bits_out,
         )
     except Exception:
         f.close()
         raise
     return f, info, data_off, frame_bytes, (
-        lambda raw: _decode_payload(raw, flags, bits, channels)[0]
+        lambda raw: _decode_payload(raw, flags, bits, channels, fmt_id)[0]
     )
 
 

@@ -31,6 +31,8 @@ GUID_DATA = b"data" + _TAIL
 
 WAVE_FORMAT_PCM = 1
 WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -77,15 +79,29 @@ _CODEC = {
     (WAVE_FORMAT_PCM, 32): SampleCodec.PCM_32,
     (WAVE_FORMAT_IEEE_FLOAT, 32): SampleCodec.FLOAT,
     (WAVE_FORMAT_IEEE_FLOAT, 64): SampleCodec.DOUBLE,
+    (WAVE_FORMAT_ALAW, 8): SampleCodec.ALAW,
+    (WAVE_FORMAT_MULAW, 8): SampleCodec.ULAW,
 }
+
+# G.711 stores one byte per sample but decodes to 16-bit range.
+_STORAGE_OVERRIDE = {SampleCodec.ALAW: 1, SampleCodec.ULAW: 1}
+_BITS_OVERRIDE = {SampleCodec.ALAW: 16, SampleCodec.ULAW: 16}
 
 
 def _decode_payload(raw: bytes, codec, bits: int, channels: int) -> np.ndarray:
     """Raw data bytes (any whole-frame slice) -> float32 [n, ch].
     Truncated payloads short-decode rather than raising from frombuffer."""
-    elem = max(1, bits // 8)
+    elem = _STORAGE_OVERRIDE.get(codec, max(1, bits // 8))
     raw = raw[: (len(raw) // elem) * elem]
-    if codec == SampleCodec.PCM_U8:
+    if codec == SampleCodec.ULAW:
+        from folve_tpu.audio.au import _mulaw_table
+
+        data = _mulaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
+    elif codec == SampleCodec.ALAW:
+        from folve_tpu.audio.au import _alaw_table
+
+        data = _alaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
+    elif codec == SampleCodec.PCM_U8:
         data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
     elif codec == SampleCodec.PCM_16:
         data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
@@ -119,7 +135,8 @@ def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
     data = _decode_payload(blob[off : off + length], codec, bits, channels)
     info = AudioInfo(
         rate=rate, channels=channels, frames=data.shape[0],
-        container=Container.W64, codec=codec, bits_per_sample=bits,
+        container=Container.W64, codec=codec,
+        bits_per_sample=_BITS_OVERRIDE.get(codec, bits),
     )
     return data, info
 
@@ -161,15 +178,17 @@ def open_w64_stream(path: str):
         codec = _CODEC.get((tag, bits))
         if codec is None or channels == 0:
             raise W64Error("unsupported w64 format")
-        frames = int(data_len) // (channels * (bits // 8))
+        storage = _STORAGE_OVERRIDE.get(codec, bits // 8)
+        frames = int(data_len) // (channels * storage)
         info = AudioInfo(
             rate=rate, channels=channels, frames=frames,
-            container=Container.W64, codec=codec, bits_per_sample=bits,
+            container=Container.W64, codec=codec,
+            bits_per_sample=_BITS_OVERRIDE.get(codec, bits),
         )
     except Exception:
         f.close()
         raise
-    frame_bytes = channels * (bits // 8)
+    frame_bytes = channels * storage
     return f, info, data_off, frame_bytes, (
         lambda raw: _decode_payload(raw, codec, bits, channels)
     )

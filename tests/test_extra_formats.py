@@ -358,3 +358,28 @@ def test_chunk_source_constant_memory_multi_gb(tmp_path, rng):
     # Peak RSS must not have grown by anything near the payload size.
     assert rss1 - rss0 < 200_000, f"RSS grew {rss1 - rss0} KiB"
     assert total == 20 * 16384
+
+
+SF_ULAW_SUB, SF_ALAW_SUB = 0x0010, 0x0011
+
+
+@pytest.mark.parametrize("fmt,sub,container", [
+    (SF_W64, SF_ULAW_SUB, Container.W64),
+    (SF_W64, SF_ALAW_SUB, Container.W64),
+    (SF_CAF, SF_ULAW_SUB, Container.CAF),
+    (SF_CAF, SF_ALAW_SUB, Container.CAF),
+])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_g711_in_w64_and_caf(tmp_path, rng, fmt, sub, container, ch):
+    """libsndfile also writes G.711 into W64 and CAF containers; decode
+    sample-exact and report 16-bit decoded depth."""
+    x = _material(rng, frames=2500, ch=ch)
+    p = tmp_path / "g711"
+    _sf_write(p, x, RATE, fmt | sub)
+    assert sniff_container(str(p)) == container
+    got, info = read_audio(str(p))
+    assert info.bits_per_sample == 16
+    oracle, orate = _sf_read(p)
+    assert orate == RATE and got.shape == oracle.shape
+    np.testing.assert_array_equal(got, oracle)
+    assert read_audio_info(str(p)).frames == oracle.shape[0]
