@@ -78,9 +78,10 @@ def read_caf(path: str) -> tuple[np.ndarray, AudioInfo]:
     rate, flags, channels, bits, fmt_id = desc
     x, codec = _decode_payload(data, flags, int(bits), int(channels),
                                fmt_id)
+    bits_out = 16 if codec in (SampleCodec.ULAW, SampleCodec.ALAW) else int(bits)
     info = AudioInfo(
         rate=int(round(rate)), channels=int(channels), frames=x.shape[0],
-        container=Container.CAF, codec=codec, bits_per_sample=int(bits),
+        container=Container.CAF, codec=codec, bits_per_sample=bits_out,
     )
     return x, info
 
