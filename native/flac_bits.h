@@ -105,11 +105,115 @@ class BitReader {
     }
   }
 
+  void SeekBitPos(size_t bitpos) {
+    pos_ = bitpos / 8;
+    bit_ = (int)(bitpos % 8);
+  }
+
+  size_t bit_pos() const { return pos_ * 8 + bit_; }
+
+  void set_error() { error_ = true; }
+
  private:
   const uint8_t* data_;
   size_t len_;
   size_t pos_ = 0;
   int bit_ = 0;
+  bool error_ = false;
+};
+
+// 64-bit-cached MSB-first reader for hot loops (the FLAC residual
+// decode).  Borrow() from a BitReader, read, then Restore() the
+// position back — byte-at-a-time BitReader semantics are preserved at
+// the boundaries.
+class FastBits {
+ public:
+  FastBits(const uint8_t* data, size_t len) : data_(data), len_(len) {}
+
+  void Borrow(const BitReader& br) {
+    pos_ = br.byte_pos();
+    acc_ = 0;
+    nacc_ = 0;
+    error_ = !br.ok();
+    int skip = br.bit_offset();
+    if (skip) {
+      Fill();
+      if (nacc_ >= skip) {
+        nacc_ -= skip;
+      } else {
+        error_ = true;
+        nacc_ = 0;
+      }
+    }
+  }
+
+  void Restore(BitReader& br) const {
+    if (error_)
+      br.set_error();
+    else
+      br.SeekBitPos(pos_ * 8 - (size_t)nacc_);
+  }
+
+  bool ok() const { return !error_; }
+
+  inline void Fill() {
+    while (nacc_ <= 56 && pos_ < len_) {
+      acc_ = (acc_ << 8) | data_[pos_++];
+      nacc_ += 8;
+    }
+  }
+
+  // n in [0, 32]
+  inline uint32_t ReadBits(int n) {
+    if (n == 0) return 0;
+    if (nacc_ < n) {
+      Fill();
+      if (nacc_ < n) {
+        error_ = true;
+        nacc_ = 0;
+        return 0;
+      }
+    }
+    nacc_ -= n;
+    return (uint32_t)((acc_ >> nacc_) & ((n >= 64 ? 0 : (1ull << n)) - 1));
+  }
+
+  inline int32_t ReadSigned(int n) {
+    uint32_t v = ReadBits(n);
+    if (n == 0) return 0;
+    uint32_t sign = 1u << (n - 1);
+    return (int32_t)((v ^ sign) - sign);
+  }
+
+  inline uint32_t ReadUnary() {
+    uint32_t q = 0;
+    for (;;) {
+      if (nacc_ == 0) {
+        Fill();
+        if (nacc_ == 0) {
+          error_ = true;
+          return 0;
+        }
+      }
+      uint64_t window = acc_ << (64 - nacc_);
+      if (window == 0) {
+        q += nacc_;
+        nacc_ = 0;
+        continue;
+      }
+      int lz = __builtin_clzll(window);
+      q += lz;
+      nacc_ -= lz + 1;
+      return q;
+    }
+  }
+
+ private:
+  const uint8_t* data_;
+  size_t len_;
+  size_t pos_ = 0;
+  uint64_t acc_ = 0;
+  int nacc_ = 0;
   bool error_ = false;
 };
 

@@ -227,7 +227,7 @@ class Decoder {
     return true;
   }
 
-  static bool DecodeSubframe(BitReader& br, uint32_t bps, uint32_t n, int32_t* dst) {
+  bool DecodeSubframe(BitReader& br, uint32_t bps, uint32_t n, int32_t* dst) const {
     if (br.ReadBits(1) != 0) return false;  // mandatory zero pad bit
     uint32_t type = br.ReadBits(6);
     uint32_t wasted = 0;
@@ -273,8 +273,11 @@ class Decoder {
     return true;
   }
 
-  // Residual into dst[order..n)
-  static bool DecodeResidual(BitReader& br, uint32_t n, uint32_t order, int32_t* dst) {
+  // Residual into dst[order..n).  The Rice loop is the decoder's
+  // hottest path, so it runs on the 64-bit-cached FastBits reader
+  // (borrowed from br and restored at the end — identical semantics).
+  bool DecodeResidual(BitReader& br, uint32_t n, uint32_t order,
+                      int32_t* dst) const {
     uint32_t method = br.ReadBits(2);
     if (method > 1) return false;
     uint32_t pbits = method == 0 ? 4 : 5;
@@ -283,25 +286,30 @@ class Decoder {
     uint32_t parts = 1u << porder;
     if ((n >> porder) << porder != n) return false;
     if ((n >> porder) < order) return false;
+    if (!br.ok()) return false;
+    FastBits fb(buf_.data(), buf_.size());
+    fb.Borrow(br);
     uint32_t idx = order;
     for (uint32_t p = 0; p < parts; p++) {
       uint32_t count = (n >> porder) - (p == 0 ? order : 0);
       if ((int32_t)count < 0) return false;
-      uint32_t param = br.ReadBits(pbits);
+      uint32_t param = fb.ReadBits((int)pbits);
       if (param == escape) {
-        uint32_t raw = br.ReadBits(5);
-        for (uint32_t i = 0; i < count; i++) dst[idx++] = raw ? br.ReadSigned((int)raw) : 0;
+        uint32_t raw = fb.ReadBits(5);
+        for (uint32_t i = 0; i < count; i++)
+          dst[idx++] = raw ? fb.ReadSigned((int)raw) : 0;
       } else {
         for (uint32_t i = 0; i < count; i++) {
-          uint32_t q = br.ReadUnary();
-          uint32_t r = param ? br.ReadBits((int)param) : 0;
+          uint32_t q = fb.ReadUnary();
+          uint32_t r = param ? fb.ReadBits((int)param) : 0;
           uint32_t folded = (q << param) | r;
           dst[idx++] = (int32_t)((folded >> 1) ^ (~(folded & 1) + 1));
         }
       }
-      if (!br.ok()) return false;
+      if (!fb.ok()) return false;
     }
-    return idx == n;
+    fb.Restore(br);
+    return br.ok() && idx == n;
   }
 
   static void RestoreFixed(int32_t* x, uint32_t n, uint32_t order) {
@@ -434,7 +442,12 @@ class Decoder {
     const uint32_t blocksize = h.blocksize;
     BitReader br(buf_.data(), buf_.size());
     br.SeekByte(h.start + h.header_len);
-    std::vector<std::vector<int32_t>> chan(nch, std::vector<int32_t>(blocksize));
+    // Thread-local scratch: this runs per frame, also on FramePool
+    // workers; fresh per-frame vectors dominated the decode profile.
+    static thread_local std::vector<std::vector<int32_t>> chan;
+    if (chan.size() < nch) chan.resize(nch);
+    for (uint32_t c = 0; c < nch; c++)
+      if (chan[c].size() < blocksize) chan[c].resize(blocksize);
     for (uint32_t c = 0; c < nch; c++) {
       uint32_t sub_bps = h.bps;
       if ((h.left_side && c == 1) || (h.right_side && c == 0) ||
