@@ -51,9 +51,11 @@ def sniff_container(path: str) -> Optional[Container]:
         return Container.CAF
     if magic[:12] == b"Creative Voi":
         return Container.VOC
-    from folve_tpu.audio.legacy import _IRCAM_MAGICS
-
-    if magic[:4] in _IRCAM_MAGICS:
+    # IRCAM magics: 0x64A3 machine variants, either byte order
+    if (magic[:2] == b"\x64\xa3" and magic[2] in b"\x01\x02\x03\x04"
+            and magic[3] == 0) or (
+            magic[2:4] == b"\xa3\x64" and magic[1] in b"\x01\x02\x03\x04"
+            and magic[0] == 0):
         return Container.IRCAM
     if magic[:8] == b"NIST_1A\n":
         return Container.NIST

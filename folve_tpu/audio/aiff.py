@@ -80,16 +80,18 @@ def _parse(f: BinaryIO):
         raise AiffError("missing COMM or SSND chunk")
     if rate is None or rate <= 0 or channels == 0:
         raise AiffError("bad COMM rate or channel count")
-    # Clamp the declared frame count to the bytes actually present (the
+    # Clamp the declared SSND size to the bytes actually present (the
     # WAV parser does the same): a truncated SSND must short-decode AND
     # report the short length, or exact-size output headers over-promise.
+    # The frame clamp itself happens AFTER codec dispatch below — the
+    # storage width differs from the declared sampleSize for compressed
+    # AIFC (e.g. QuickTime writes sampleSize=16 for ulaw, stored 1
+    # byte/sample; clamping by 16-bit width would halve the count).
     try:
         file_end = f.seek(0, io.SEEK_END)
         sound_size = max(0, min(sound_size, file_end - sound_offset))
     except OSError:
         pass
-    if bits and channels:
-        frames = min(frames, sound_size // max(1, channels * (bits // 8)))
     comp = compression.lower()
     block_align = samples_per_block = 0
     if comp in (b"none", b"sowt"):
@@ -127,6 +129,8 @@ def _parse(f: BinaryIO):
         frames = min(frames, sound_size // channels)
     elif comp == b"fl64":
         frames = min(frames, sound_size // (8 * channels))
+    elif comp != b"ima4" and bits and channels:
+        frames = min(frames, sound_size // max(1, channels * (bits // 8)))
     info = AudioInfo(
         rate=rate,
         channels=channels,

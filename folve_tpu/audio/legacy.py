@@ -79,50 +79,64 @@ def _make_stream(path, info, offset, little):
 _VOC_MAGIC = b"Creative Voice File\x1a"
 
 
-def parse_voc(blob: bytes):
-    """-> (info, [(offset, size)] data extents, little_endian)."""
-    if len(blob) < 26 or blob[:20] != _VOC_MAGIC:
+def _walk_voc(f):
+    """Seek-based block walk reading only block headers.
+    -> (info, [(offset, size)] data extents, little_endian)."""
+    f.seek(0)
+    head = f.read(26)
+    if len(head) < 26 or head[:20] != _VOC_MAGIC:
         raise LegacyError("not a VOC file")
-    (hdr_size,) = struct.unpack("<H", blob[20:22])
+    (hdr_size,) = struct.unpack("<H", head[20:22])
+    f.seek(0, 2)
+    total = f.tell()
     pos = hdr_size
     rate = channels = bits = None
     codec = None
     extents = []
     ext_rate = None  # from a type-8 extension block
-    while pos + 4 <= len(blob):
-        btype = blob[pos]
-        if btype == 0:  # terminator
+    while pos + 1 <= total:
+        f.seek(pos)
+        hdr = f.read(4)
+        if not hdr or hdr[0] == 0:  # terminator / EOF
             break
-        size = int.from_bytes(blob[pos + 1 : pos + 4], "little")
+        if len(hdr) < 4:
+            raise LegacyError("truncated VOC block header")
+        btype = hdr[0]
+        size = int.from_bytes(hdr[1:4], "little")
         body = pos + 4
-        if body + size > len(blob):
-            size = max(0, len(blob) - body)
+        if body + size > total:
+            size = max(0, total - body)
         if btype == 1:  # sound data: sr code, codec byte
+            sub = f.read(2)
+            if len(sub) < 2 or size < 2:
+                raise LegacyError("truncated VOC sound block")
             if rate is None:
-                sr_code = blob[body]
-                fmt = blob[body + 1]
-                rate = ext_rate or int(round(1000000.0 / (256 - sr_code)))
+                rate = ext_rate or int(round(1000000.0 / (256 - sub[0])))
                 channels = channels or 1
-                codec, bits = _voc_codec(fmt)
+                codec, bits = _voc_codec(sub[1])
             extents.append((body + 2, size - 2))
         elif btype == 2:  # continuation
             extents.append((body, size))
         elif btype == 8:  # extension (precedes a type-1 block)
-            (tc,) = struct.unpack("<H", blob[body : body + 2])
-            mode = blob[body + 3]
-            channels = 2 if mode else 1
+            sub = f.read(4)
+            if len(sub) < 4 or size < 4:
+                raise LegacyError("truncated VOC extension block")
+            (tc,) = struct.unpack("<H", sub[:2])
+            channels = 2 if sub[3] else 1
             ext_rate = int(round(256000000.0 / (65536 - tc) / channels))
         elif btype == 9:  # v1.20 extended sound data
+            sub = f.read(12)
+            if len(sub) < 12 or size < 12:
+                raise LegacyError("truncated VOC extended block")
             if rate is None:
-                rate, b9bits, b9ch, fmt = struct.unpack(
-                    "<IBBH", blob[body : body + 8]
-                )
+                rate, b9bits, b9ch, fmt = struct.unpack("<IBBH", sub[:8])
+                del b9bits
                 channels = b9ch
                 codec, bits = _voc_codec(fmt)
             extents.append((body + 12, size - 12))
         # types 3..7 (silence, markers, text, loops): no audio payload
         pos = body + size
-    if rate is None or codec is None or not extents:
+    if rate is None or codec is None or not extents or not channels:
         raise LegacyError("no sound data in VOC file")
     nbytes = sum(s for _, s in extents)
     frames = nbytes // (_STORAGE[codec] * channels)
@@ -130,6 +144,13 @@ def parse_voc(blob: bytes):
                      container=Container.VOC, codec=codec,
                      bits_per_sample=bits)
     return info, extents, True
+
+
+def parse_voc(blob: bytes):
+    """In-memory convenience wrapper used by tests."""
+    import io
+
+    return _walk_voc(io.BytesIO(blob))
 
 
 def _voc_codec(fmt: int):
@@ -146,9 +167,12 @@ def _voc_codec(fmt: int):
 
 def read_voc(path: str):
     with open(path, "rb") as f:
-        blob = f.read()
-    info, extents, little = parse_voc(blob)
-    raw = b"".join(blob[o : o + s] for o, s in extents)
+        info, extents, little = _walk_voc(f)
+        parts = []
+        for o, s in extents:
+            f.seek(o)
+            parts.append(f.read(s))
+        raw = b"".join(parts)
     x = _pcm_decode(raw, info.codec, little)
     n = x.size // info.channels
     info.frames = n
@@ -157,22 +181,12 @@ def read_voc(path: str):
 
 def read_voc_info(path: str) -> AudioInfo:
     with open(path, "rb") as f:
-        blob = f.read(1 << 16)
-        f.seek(0, 2)
-        total = f.tell()
-    del total
-    info, _, _ = parse_voc(blob + b"\0")  # ensure a terminator in view
-    # frames may be under-counted if extents continue past the sniff
-    # window; re-parse fully only when needed
-    if len(blob) == 1 << 16:
-        return read_voc(path)[1]
-    return info
+        return _walk_voc(f)[0]
 
 
 def open_voc_stream(path: str):
     with open(path, "rb") as f:
-        blob = f.read()
-    info, extents, little = parse_voc(blob)
+        info, extents, little = _walk_voc(f)
     if len(extents) != 1:
         return None  # multi-block payload: caller uses the whole-file read
     return _make_stream(path, info, extents[0][0], little)
@@ -311,13 +325,15 @@ def parse_nist(head: bytes, total: int):
     coding = fields.get("sample_coding", b"pcm").decode("ascii", "replace")
     byte_format = fields.get("sample_byte_format", b"01").decode()
     little = byte_format != "10"
-    if coding.startswith("pcm") and nbytes == 2:
+    # EXACT coding match: "pcm,embedded-shorten-v2.00" (TIMIT-style
+    # compressed SPHERE) must be rejected, not decoded as raw PCM.
+    if coding == "pcm" and nbytes == 2:
         codec, bits = SampleCodec.PCM_16, 16
-    elif coding.startswith("ulaw") or coding.startswith("mu-law"):
+    elif coding in ("ulaw", "mu-law"):
         codec, bits = SampleCodec.ULAW, 16
-    elif coding.startswith("alaw"):
+    elif coding == "alaw":
         codec, bits = SampleCodec.ALAW, 16
-    elif coding.startswith("pcm") and nbytes == 1:
+    elif coding == "pcm" and nbytes == 1:
         codec, bits = SampleCodec.PCM_S8, 8
     else:
         raise LegacyError(f"unsupported NIST coding {coding}/{nbytes}")
@@ -388,67 +404,80 @@ class NistStreamEncoder(PcmStreamEncoderBase):
 # ---------------------------------------------------------------------------
 
 
-def parse_svx(blob: bytes):
-    if len(blob) < 12 or blob[:4] != b"FORM" or blob[8:12] not in (
+def _walk_svx(f):
+    f.seek(0)
+    head = f.read(12)
+    if len(head) < 12 or head[:4] != b"FORM" or head[8:12] not in (
         b"8SVX", b"16SV",
     ):
         raise LegacyError("not an 8SVX/16SV file")
-    sixteen = blob[8:12] == b"16SV"
+    sixteen = head[8:12] == b"16SV"
+    f.seek(0, 2)
+    total = f.tell()
     pos = 12
     rate = None
-    channels = 1
     body_off = body_len = None
-    while pos + 8 <= len(blob):
-        cid = blob[pos : pos + 4]
-        (size,) = struct.unpack(">I", blob[pos + 4 : pos + 8])
+    while pos + 8 <= total:
+        f.seek(pos)
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid = hdr[:4]
+        (size,) = struct.unpack(">I", hdr[4:8])
         body = pos + 8
         if cid == b"VHDR" and size >= 14:
-            (rate,) = struct.unpack(">H", blob[body + 12 : body + 14])
-            if size >= 16 and blob[body + 15] != 0:
+            sub = f.read(16 if size >= 16 else 14)
+            if len(sub) < 14:
+                raise LegacyError("truncated VHDR")
+            (rate,) = struct.unpack(">H", sub[12:14])
+            if len(sub) >= 16 and sub[15] != 0:
                 raise LegacyError("compressed 8SVX not supported")
         elif cid == b"CHAN" and size >= 4:
-            (mask,) = struct.unpack(">I", blob[body : body + 4])
-            channels = 2 if mask == 6 else 1
+            (mask,) = struct.unpack(">I", f.read(4))
+            if mask == 6:
+                # Amiga stereo BODY data is PLANAR (all left, then all
+                # right); reject like libsndfile rather than serve a
+                # scrambled interleaved decode.
+                raise LegacyError("stereo 8SVX not supported")
         elif cid == b"BODY":
-            body_off, body_len = body, min(size, len(blob) - body)
+            body_off, body_len = body, min(size, max(0, total - body))
         pos = body + size + (size & 1)
     if rate is None or body_off is None:
         raise LegacyError("missing VHDR/BODY chunks")
     codec = SampleCodec.PCM_16 if sixteen else SampleCodec.PCM_S8
     bits = 16 if sixteen else 8
-    frames = body_len // (_STORAGE[codec] * channels)
-    info = AudioInfo(rate=int(rate), channels=channels, frames=frames,
+    frames = body_len // _STORAGE[codec]
+    info = AudioInfo(rate=int(rate), channels=1, frames=frames,
                      container=Container.SVX, codec=codec,
                      bits_per_sample=bits)
     return info, body_off, False  # big-endian
 
 
+def parse_svx(blob: bytes):
+    """In-memory convenience wrapper used by tests."""
+    import io
+
+    return _walk_svx(io.BytesIO(blob))
+
+
 def read_svx(path: str):
     with open(path, "rb") as f:
-        blob = f.read()
-    info, off, little = parse_svx(blob)
-    raw = blob[off : off + info.frames * _STORAGE[info.codec] * info.channels]
+        info, off, little = _walk_svx(f)
+        f.seek(off)
+        raw = f.read(info.frames * _STORAGE[info.codec])
     x = _pcm_decode(raw, info.codec, little)
-    n = x.size // info.channels
-    info.frames = n
-    return x[: n * info.channels].reshape(n, info.channels), info
+    info.frames = x.size
+    return x.reshape(-1, 1), info
 
 
 def read_svx_info(path: str) -> AudioInfo:
     with open(path, "rb") as f:
-        blob = f.read(1 << 16)
-        f.seek(0, 2)
-        total = f.tell()
-    if len(blob) < (1 << 16):
-        return parse_svx(blob)[0]
-    # chunk directory may exceed the window on huge files: full read
-    return read_svx(path)[1]
+        return _walk_svx(f)[0]
 
 
 def open_svx_stream(path: str):
     with open(path, "rb") as f:
-        blob = f.read()
-    info, off, little = parse_svx(blob)
+        info, off, little = _walk_svx(f)
     return _make_stream(path, info, off, little)
 
 

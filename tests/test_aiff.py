@@ -217,3 +217,30 @@ def test_aifc_streaming_source(tmp_path, rng, name):
     got = np.concatenate(parts, axis=0)
     src.close()
     np.testing.assert_array_equal(got, whole)
+
+
+def test_aifc_ulaw_quicktime_samplesize_convention(tmp_path, rng):
+    """AIFF-C's COMM sampleSize for compressed audio is the UNcompressed
+    width; QuickTime writes 16 for ulaw (libsndfile writes 8).  The
+    frame count must not be halved by a 16-bit storage assumption."""
+    from folve_tpu.audio import read_audio_info
+    from folve_tpu.audio.source import open_source
+    from tests.test_extra_formats import _sf_write
+
+    x = rng.uniform(-0.5, 0.5, (1000, 1)).astype(np.float32)
+    p = tmp_path / "qt.aifc"
+    _sf_write(p, x, 44100, SF_AIFF | AIFC_SUBS["ulaw"])
+    blob = bytearray(p.read_bytes())
+    i = blob.find(b"COMM")
+    # COMM body: channels(2) frames(4) sampleSize(2): patch 8 -> 16
+    assert blob[i + 14 : i + 16] == (8).to_bytes(2, "big")
+    blob[i + 14 : i + 16] = (16).to_bytes(2, "big")
+    p.write_bytes(bytes(blob))
+    info = read_audio_info(str(p))
+    assert info.frames == 1000
+    got, info2 = read_aiff(str(p))
+    assert got.shape[0] == 1000 and info2.frames == 1000
+    src = open_source(str(p))
+    streamed = src.read_float(10 ** 9)
+    src.close()
+    assert streamed.shape[0] == 1000
