@@ -103,38 +103,68 @@ static const double kAliasCi[8] = {-0.6,    -0.535,  -0.33,  -0.185,
 class Bits {
  public:
   Bits(const uint8_t* p, size_t n) : p_(p), n_(n) {}
-  uint32_t get(int nbits) {
-    uint32_t v = 0;
-    while (nbits > 0) {
-      if (pos_ >= n_) {
-        over_ = true;
-        return v << nbits;  // zeros past the end
-      }
-      int avail = 8 - bit_;
-      int take = nbits < avail ? nbits : avail;
-      v = (v << take) | ((p_[pos_] >> (avail - take)) & ((1u << take) - 1));
-      bit_ += take;
-      if (bit_ == 8) {
-        bit_ = 0;
-        pos_++;
-      }
-      nbits -= take;
+
+  inline void Fill() {
+    while (nacc_ <= 56 && byte_ < n_) {
+      acc_ = (acc_ << 8) | p_[byte_++];
+      nacc_ += 8;
     }
-    return v;
   }
-  uint32_t get1() { return get(1); }
-  size_t bitpos() const { return pos_ * 8 + bit_; }
+
+  inline uint32_t get(int nbits) {
+    if (nbits == 0) return 0;
+    if (nacc_ < nbits) {
+      Fill();
+      if (nacc_ < nbits) {  // past the end: zero-extended, flagged
+        over_ = true;
+        uint32_t v = nacc_
+            ? (uint32_t)((acc_ & ((1ull << nacc_) - 1)) << (nbits - nacc_))
+            : 0;
+        nacc_ = 0;
+        return v;
+      }
+    }
+    nacc_ -= nbits;
+    return (uint32_t)((acc_ >> nacc_) & ((1ull << nbits) - 1));
+  }
+
+  inline uint32_t get1() {
+    if (nacc_ == 0) {
+      Fill();
+      if (nacc_ == 0) {
+        over_ = true;
+        return 0;
+      }
+    }
+    return (uint32_t)((acc_ >> --nacc_) & 1);
+  }
+
+  size_t bitpos() const { return byte_ * 8 - (size_t)nacc_; }
+
   void seek_bits(size_t b) {
-    pos_ = b / 8;
-    bit_ = (int)(b % 8);
+    byte_ = b / 8;
+    acc_ = 0;
+    nacc_ = 0;
+    int bit = (int)(b % 8);
+    if (bit) {
+      Fill();
+      if (nacc_ >= bit) {
+        nacc_ -= bit;
+      } else {
+        over_ = true;
+        nacc_ = 0;
+      }
+    }
   }
+
   bool overrun() const { return over_; }
 
  private:
   const uint8_t* p_;
   size_t n_;
-  size_t pos_ = 0;
-  int bit_ = 0;
+  size_t byte_ = 0;
+  uint64_t acc_ = 0;
+  int nacc_ = 0;
   bool over_ = false;
 };
 
@@ -332,6 +362,11 @@ class Decoder {
                (size_t)take * channels_ * sizeof(float));
         pending_off_ += (size_t)take * channels_;
         produced += take;
+        if (pending_off_ == pending_.size()) {
+          // fully drained: recycle instead of growing without bound
+          pending_.clear();
+          pending_off_ = 0;
+        }
         continue;
       }
       if (eof_) break;
@@ -936,9 +971,12 @@ class Decoder {
           for (int i = 0; i < 12; i++) out36[off + i] += blk[i];
         }
       } else {
+        const float* __restrict__ inv = in;
         for (int i = 0; i < 36; i++) {
+          const float* __restrict__ row = tg.imdct36[i];
           float acc = 0;
-          for (int k = 0; k < 18; k++) acc += in[k] * tg.imdct36[i][k];
+#pragma omp simd reduction(+ : acc)
+          for (int k = 0; k < 18; k++) acc += inv[k] * row[k];
           out36[i] = acc * tg.win[bt][i];
         }
       }
@@ -959,24 +997,31 @@ class Decoder {
   // Shared by all three layers (Layer I/II feed it granule by granule).
   void SynthStep(int ch, const float* S, float* o) {
     const Trig& tg = trig();
-    const float* D = synth_window();
-    float* V = v_fifo_[ch];
+    const float* __restrict__ D = synth_window();
+    float* __restrict__ V = v_fifo_[ch];
     memmove(V + 64, V, (1024 - 64) * sizeof(float));  // shift FIFO
+    const float* __restrict__ Sv = S;
     for (int i = 0; i < 64; i++) {
+      const float* __restrict__ row = tg.synth_n[i];
       float acc = 0;
-      for (int k = 0; k < 32; k++) acc += tg.synth_n[i][k] * S[k];
+#pragma omp simd reduction(+ : acc)
+      for (int k = 0; k < 32; k++) acc += row[k] * Sv[k];
       V[i] = acc;
     }
-    for (int j = 0; j < 32; j++) {
-      float acc = 0;
-      for (int b = 0; b < 8; b++) {
-        // U[64b + j]     = V[128b + j]
-        // U[64b + 32 + j] = V[128b + 96 + j]
-        acc += D[64 * b + j] * V[128 * b + j];
-        acc += D[64 * b + 32 + j] * V[128 * b + 96 + j];
-      }
-      o[j] = acc;
+    // o[j] = sum_b D[64b+j]*V[128b+j] + D[64b+32+j]*V[128b+96+j]:
+    // accumulate per-b as elementwise 32-wide passes (vectorizes),
+    // instead of a 16-term scalar dot per output sample.
+    float acc32[32] = {0};
+    for (int b = 0; b < 8; b++) {
+      const float* __restrict__ d0 = D + 64 * b;
+      const float* __restrict__ d1 = D + 64 * b + 32;
+      const float* __restrict__ v0 = V + 128 * b;
+      const float* __restrict__ v1 = V + 128 * b + 96;
+#pragma omp simd
+      for (int j = 0; j < 32; j++)
+        acc32[j] += d0[j] * v0[j] + d1[j] * v1[j];
     }
+    memcpy(o, acc32, sizeof(acc32));
   }
 
   void Synth(int ch, const float* sbout, float* pcm) {
