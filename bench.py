@@ -394,23 +394,25 @@ def _codec_configs(out, rng):
     out["gapless_projection_pcie_8core_x"] = round(8 * serial, 0)
 
     try:  # mp3 needs the lame fixture encoder; skip when absent
-        from folve_tpu.audio.mp3 import read_mp3
         from folve_tpu.tools.mp3_oracle import lame_available, lame_encode
 
-        if lame_available():
-            import tempfile
-
-            with tempfile.NamedTemporaryFile(suffix=".mp3") as tf:
-                tf.write(lame_encode(x, rate, 192, mode=1))
-                tf.flush()
-                best = 1e9
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    data, _info = read_mp3(tf.name)
-                    best = min(best, time.perf_counter() - t0)
-                out["mp3_decode_x"] = round(data.shape[0] / rate / best, 1)
+        have_lame = lame_available()
     except Exception:
-        pass
+        have_lame = False
+    if have_lame:
+        import tempfile
+
+        from folve_tpu.audio.mp3 import read_mp3
+
+        with tempfile.NamedTemporaryFile(suffix=".mp3") as tf:
+            tf.write(lame_encode(x, rate, 192, mode=1))
+            tf.flush()
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                data, _info = read_mp3(tf.name)
+                best = min(best, time.perf_counter() - t0)
+            out["mp3_decode_x"] = round(data.shape[0] / rate / best, 1)
 
     try:  # vorbis needs a third-party-encoded fixture; skip if the
         # test oracle encoder is absent in this image

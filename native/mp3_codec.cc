@@ -157,6 +157,8 @@ class Bits {
     }
   }
 
+  // Diagnostic only: decode resilience comes from the zero-extended
+  // reads above, not from checking this flag.
   bool overrun() const { return over_; }
 
  private:
@@ -346,7 +348,8 @@ class Decoder {
     pos_ = first_frame_;
     reservoir_.clear();
     memset(overlap_, 0, sizeof(overlap_));
-    memset(v_fifo_, 0, sizeof(v_fifo_));
+    memset(v_ring_, 0, sizeof(v_ring_));
+    v_off_[0] = v_off_[1] = kVRing - 1024;
     pending_.clear();
     pending_off_ = 0;
     eof_ = false;
@@ -995,11 +998,21 @@ class Decoder {
 
   // One filterbank step: 32 subband samples -> 32 PCM samples.
   // Shared by all three layers (Layer I/II feed it granule by granule).
+  // V FIFO as a rotating window into an oversized ring: the write
+  // offset walks down 64 per step and the buffer re-bases only when it
+  // hits the front (1/64th of the old every-step 3.8 KB memmove).
+  static constexpr int kVRing = 1024 + 64 * 64;
+
   void SynthStep(int ch, const float* S, float* o) {
     const Trig& tg = trig();
     const float* __restrict__ D = synth_window();
-    float* __restrict__ V = v_fifo_[ch];
-    memmove(V + 64, V, (1024 - 64) * sizeof(float));  // shift FIFO
+    if (v_off_[ch] < 64) {  // re-base: current 1024 window to the top
+      memmove(v_ring_[ch] + kVRing - 1024, v_ring_[ch] + v_off_[ch],
+              1024 * sizeof(float));
+      v_off_[ch] = kVRing - 1024;
+    }
+    v_off_[ch] -= 64;
+    float* __restrict__ V = v_ring_[ch] + v_off_[ch];
     const float* __restrict__ Sv = S;
     for (int i = 0; i < 64; i++) {
       const float* __restrict__ row = tg.synth_n[i];
@@ -1408,7 +1421,8 @@ class Decoder {
   Scalefacs sf_prev_[2] = {};  // granule 0 scalefacs for scfsi reuse
   std::vector<uint8_t> reservoir_;
   float overlap_[2][32][18] = {};
-  float v_fifo_[2][1024] = {};
+  float v_ring_[2][kVRing] = {};
+  int v_off_[2] = {kVRing - 1024, kVRing - 1024};
   std::vector<float> pending_;
   size_t pending_off_ = 0;
   bool eof_ = false;
