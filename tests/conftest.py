@@ -30,6 +30,12 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+if _platform != "cpu":
+    # Real-chip runs: persist compiled executables across processes —
+    # remote compilation through the dev tunnel can take minutes per
+    # shape when the link degrades, while cached loads stay fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/folve_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
