@@ -478,6 +478,52 @@ def _encode_pcm(x: np.ndarray, codec: SampleCodec) -> bytes:
     raise WavError(f"cannot encode codec {codec}")
 
 
+class WavStreamEncoder:
+    """Streaming PCM WAV encoder with an exact-size header (same
+    FlacEncoder-shaped interface as the other PCM stream encoders)."""
+
+    _CODECS = {16: SampleCodec.PCM_16, 24: SampleCodec.PCM_24,
+               32: SampleCodec.PCM_32}
+
+    def __init__(self, rate: int, channels: int, bits: int,
+                 total_frames: int):
+        if bits not in self._CODECS:
+            raise WavError(f"unsupported WAV stream depth {bits}")
+        self.rate = rate
+        self.channels = channels
+        self.bits = bits
+        self.total_frames = total_frames
+        self.blocksize = 0
+
+    def header(self, metadata: Union[dict, None] = None) -> bytes:
+        import io as _io
+
+        buf = _io.BytesIO()
+        # Reuse write_wav's header logic with an empty payload, then
+        # patch the declared sizes for the real frame count.
+        write_wav(buf, np.zeros((0, self.channels), np.float32), self.rate,
+                  self._CODECS[self.bits], metadata)
+        blob = bytearray(buf.getvalue())
+        payload = self.total_frames * self.channels * self.bits // 8
+        blob[4:8] = struct.pack("<I", len(blob) - 8 + payload)
+        blob[-4:] = struct.pack("<I", payload)  # data chunk size
+        return bytes(blob)
+
+    def write_float(self, samples: np.ndarray) -> bytes:
+        return _encode_pcm(np.asarray(samples, np.float64),
+                           self._CODECS[self.bits])
+
+    def write_int(self, samples: np.ndarray) -> bytes:
+        scale = float(1 << (self.bits - 1))
+        return self.write_float(np.asarray(samples, np.float64) / scale)
+
+    def finish(self) -> bytes:
+        return b""
+
+    def close(self) -> None:
+        pass
+
+
 def write_wav(
     dst: Union[str, BinaryIO],
     data: np.ndarray,

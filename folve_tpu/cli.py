@@ -183,14 +183,63 @@ def cmd_serve(args) -> int:
     return serve_http_files(vfs, args.files_port)
 
 
+def _output_encoder(out: str, rate: int, channels: int, in_bits: int,
+                    total_frames: int):
+    """Streaming encoder for the offline CLI, chosen by extension."""
+    ext = os.path.splitext(out)[1].lower()
+    bits = min(in_bits, 24)
+    if bits not in (8, 16, 24):
+        bits = 24
+    pcm_bits = max(16, bits)
+    if ext == ".wav":
+        from folve_tpu.audio.wav import WavStreamEncoder
+
+        return WavStreamEncoder(rate, channels, 24, total_frames)
+    if ext in (".aiff", ".aif"):
+        from folve_tpu.audio.aiff import AiffStreamEncoder
+
+        return AiffStreamEncoder(rate, channels, pcm_bits, total_frames)
+    if ext in (".au", ".snd"):
+        from folve_tpu.audio.au import AuStreamEncoder
+
+        return AuStreamEncoder(rate, channels, pcm_bits, total_frames)
+    if ext == ".w64":
+        from folve_tpu.audio.w64 import W64StreamEncoder
+
+        return W64StreamEncoder(rate, channels, pcm_bits, total_frames)
+    if ext == ".caf":
+        from folve_tpu.audio.caf import CafStreamEncoder
+
+        return CafStreamEncoder(rate, channels, pcm_bits, total_frames)
+    if ext == ".voc":
+        from folve_tpu.audio.legacy import VocStreamEncoder
+
+        return VocStreamEncoder(rate, channels, 16, total_frames)
+    if ext in (".sf", ".ircam"):
+        from folve_tpu.audio.legacy import IrcamStreamEncoder
+
+        return IrcamStreamEncoder(rate, channels, 16, total_frames)
+    if ext in (".nist", ".sph"):
+        from folve_tpu.audio.legacy import NistStreamEncoder
+
+        return NistStreamEncoder(rate, channels, 16, total_frames)
+    if ext == ".pvf":
+        from folve_tpu.audio.legacy import PvfStreamEncoder
+
+        return PvfStreamEncoder(rate, channels, 16, total_frames)
+    from folve_tpu.audio.flac import FlacEncoder
+
+    return FlacEncoder(rate, channels, bits=bits,
+                       total_frames_hint=total_frames)
+
+
 def cmd_convolve(args) -> int:
-    """Offline one-shot: decode -> TPU convolve -> encode."""
+    """Offline one-shot: streaming decode -> TPU convolve -> streaming
+    encode.  Constant memory in the stream length (the runtime's
+    serving path streams the same way)."""
     import numpy as np
 
-    from folve_tpu.audio import read_audio
-    from folve_tpu.audio.flac import write_flac
-    from folve_tpu.audio.wav import write_wav
-    from folve_tpu.audio.types import SampleCodec
+    from folve_tpu.audio.source import open_source
     from folve_tpu.engine import chunk_step, init_state
     from folve_tpu.filters.compiler import compile_config_file
     from folve_tpu.filters.resolve import resolve_filter_config
@@ -202,7 +251,10 @@ def cmd_convolve(args) -> int:
 
         set_encoder_threads(args.flac_threads)
     t0 = time.time()
-    data, info = read_audio(args.input)
+    src = open_source(args.input)
+    if src is None:
+        sys.exit(f"not a supported audio file: {args.input}")
+    info = src.info
     config_dir = os.path.join(args.config_dir, args.initial_filter)
     conf = resolve_filter_config(
         config_dir, info.rate, info.channels, info.bits_per_sample
@@ -214,63 +266,47 @@ def cmd_convolve(args) -> int:
         print(f"warning: {w}", file=sys.stderr)
     bank = compiled.bank
     b = bank.fragm
-    n = data.shape[0]
-    t_total = -(-n // b)
-    padded = np.zeros((t_total * b, bank.ninp), dtype=np.float32)
-    padded[:n, : data.shape[1]] = data[:, : bank.ninp]
-    blocks = padded.reshape(t_total, b, bank.ninp).transpose(0, 2, 1)
+    enc = _output_encoder(args.output, info.rate, bank.nout,
+                          info.bits_per_sample, info.frames)
     state = init_state(bank)
     step = jax.jit(chunk_step)
-    outs = []
-    chunk = args.chunk_blocks
-    for start in range(0, t_total, chunk):
-        xs = blocks[start : start + chunk]
-        if xs.shape[0] < chunk and t_total > chunk:
-            pad = np.zeros((chunk - xs.shape[0],) + xs.shape[1:], np.float32)
-            xs = np.concatenate([xs, pad])
-        n_valid = max(0, min(n - start * b, xs.shape[0] * b))
-        state, y = step(bank, state, xs, n_valid)
-        outs.append(np.asarray(y))
-    y = np.concatenate(outs)[:t_total].transpose(0, 2, 1).reshape(-1, bank.nout)[:n]
-    max_out = float(np.max(np.abs(y))) if n else 0.0
+    chunk = max(1, args.chunk_blocks)
+    max_out = 0.0
+    done = 0
+    with open(args.output, "wb") as f:
+        f.write(enc.header())
+        while True:
+            data = src.read_float(chunk * b)
+            n = data.shape[0]
+            if n == 0:
+                break
+            padded = np.zeros((chunk * b, bank.ninp), dtype=np.float32)
+            padded[:n, : min(data.shape[1], bank.ninp)] = (
+                data[:, : bank.ninp]
+            )
+            xs = np.ascontiguousarray(
+                padded.reshape(chunk, b, bank.ninp).transpose(0, 2, 1)
+            )
+            state, y = step(bank, state, xs, n)
+            y = np.asarray(y).transpose(0, 2, 1).reshape(-1, bank.nout)[:n]
+            max_out = max(max_out, float(np.max(np.abs(y))) if n else 0.0)
+            f.write(enc.write_float(y))
+            done += n
+        f.write(enc.finish())
+    src.close()
     if max_out > 1.0:
         print(
             f"warning: output clipping (max={max_out:.3f}; multiply gain "
             f"with <= {1.0 / max_out:.5f} in {conf})",
             file=sys.stderr,
         )
-    out = args.output
-    ext = os.path.splitext(out)[1].lower()
-    bits = min(info.bits_per_sample, 24)
-    if bits not in (8, 16, 24):
-        bits = 24
-    if ext == ".wav":
-        write_wav(out, y, info.rate, SampleCodec.PCM_24)
-    elif ext in (".aiff", ".aif"):
-        from folve_tpu.audio.aiff import write_aiff
-
-        write_aiff(out, y, info.rate, bits=max(16, bits))
-    elif ext in (".au", ".snd"):
-        from folve_tpu.audio.au import write_au
-
-        write_au(out, y, info.rate, bits=max(16, bits))
-    elif ext == ".w64":
-        from folve_tpu.audio.w64 import write_w64
-
-        write_w64(out, y, info.rate, bits=max(16, bits))
-    elif ext == ".caf":
-        from folve_tpu.audio.caf import write_caf
-
-        write_caf(out, y, info.rate, bits=max(16, bits))
-    else:
-        write_flac(out, y, info.rate, bits=bits)
     dt = time.time() - t0
-    audio_sec = n / info.rate
+    audio_sec = done / info.rate
     ratio = audio_sec / dt if dt > 0 else 0.0
     speed = f"{ratio:.1f}" if ratio < 10 else f"{ratio:.0f}"
     print(
         f"convolved {audio_sec:.1f}s of audio in {dt:.2f}s "
-        f"({speed}x realtime) -> {out}"
+        f"({speed}x realtime) -> {args.output}"
     )
     return 0
 

@@ -119,3 +119,35 @@ def test_corrupt_legacy_headers_reject(tmp_path):
         parse_nist(b"NIST_1A\nxxxxxxxx\n" + bytes(32), 2000)
     with pytest.raises(LegacyError):
         parse_pvf(b"PVF1\nnot numbers\n", 100)
+
+
+def test_voc_continuation_blocks(tmp_path, rng):
+    """Type-1 sound data followed by type-2 continuation blocks: the
+    extents concatenate; the streaming opener falls back to the
+    in-memory source (multi-extent payload)."""
+    import struct
+
+    from folve_tpu.audio.legacy import read_voc
+    from folve_tpu.audio.source import open_source
+
+    x = np.round(rng.uniform(-0.5, 0.5, 3000).astype(np.float32) * 128) / 128
+    pcm = np.clip(np.round(x * 128), -128, 127).astype(np.int8)
+    u8 = (pcm.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    sr_code = 256 - round(1000000 / 22050)
+    head = b"Creative Voice File\x1a" + struct.pack("<HHH", 26, 0x010A,
+                                                    (~0x010A + 0x1234) & 0xFFFF)
+    b1 = bytes([1]) + (len(u8) // 2 + 2).to_bytes(3, "little") + bytes(
+        [sr_code, 0]) + u8[: len(u8) // 2]
+    b2 = bytes([2]) + (len(u8) - len(u8) // 2).to_bytes(3, "little") + u8[
+        len(u8) // 2 :]
+    p = tmp_path / "multi.voc"
+    p.write_bytes(head + b1 + b2 + b"\x00")
+    got, info = read_voc(str(p))
+    assert info.channels == 1 and got.shape[0] == 3000
+    expect = (np.frombuffer(u8, np.uint8).astype(np.float32) - 128.0) / 128.0
+    np.testing.assert_array_equal(got[:, 0], expect)
+    src = open_source(str(p))
+    assert type(src).__name__ == "_MemorySource"
+    streamed = src.read_float(10 ** 9)
+    src.close()
+    np.testing.assert_array_equal(streamed, got)
