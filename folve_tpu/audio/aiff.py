@@ -93,6 +93,8 @@ def _parse(f: BinaryIO):
     except OSError:
         pass
     comp = compression.lower()
+    if comp == b"twos":  # QuickTime alias for big-endian PCM
+        comp = b"none"
     block_align = samples_per_block = 0
     if comp in (b"none", b"sowt"):
         codec = {8: SampleCodec.PCM_S8, 16: SampleCodec.PCM_16,

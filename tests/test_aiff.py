@@ -244,3 +244,23 @@ def test_aifc_ulaw_quicktime_samplesize_convention(tmp_path, rng):
     streamed = src.read_float(10 ** 9)
     src.close()
     assert streamed.shape[0] == 1000
+
+
+def test_aifc_twos_alias(tmp_path, rng):
+    """QuickTime writes compression 'twos' for plain big-endian PCM."""
+    x = np.round(rng.uniform(-0.5, 0.5, (500, 2)).astype(np.float32)
+                 * 32768) / 32768
+    p = tmp_path / "t.aifc"
+    from folve_tpu.audio.aiff import write_aiff
+
+    write_aiff(str(p), x, 44100, bits=16)
+    blob = bytearray(p.read_bytes())
+    # rewrite as AIFC with a 'twos' COMM
+    blob[8:12] = b"AIFC"
+    i = blob.find(b"COMM")
+    size = int.from_bytes(blob[i + 4 : i + 8], "big")
+    body = blob[i + 8 : i + 8 + size] + b"twos"
+    out = blob[: i + 4] + len(body).to_bytes(4, "big") + body + blob[i + 8 + size :]
+    p.write_bytes(bytes(out))
+    got, info = read_aiff(str(p))
+    np.testing.assert_allclose(got, x, atol=1 / 32768)
