@@ -60,13 +60,18 @@ def _parse(f: BinaryIO):
         cid, size = hdr[:4], struct.unpack(">I", hdr[4:])[0]
         if cid == b"COMM":
             body = f.read(size)
+            if len(body) < 18:
+                raise AiffError("truncated COMM chunk")
             channels, nframes, bits = struct.unpack(">HIH", body[:8])
             rate = int(round(_decode_extended(body[8:18])))
             frames = nframes
             if is_aifc and len(body) >= 22:
                 compression = body[18:22]
         elif cid == b"SSND":
-            off, _block = struct.unpack(">II", f.read(8))
+            ssnd_hdr = f.read(8)
+            if len(ssnd_hdr) < 8:
+                raise AiffError("truncated SSND chunk")
+            off, _block = struct.unpack(">II", ssnd_hdr)
             sound_offset = f.tell() + off
             sound_size = size - 8 - off
             f.seek(size - 8 + (size & 1), io.SEEK_CUR)
