@@ -63,6 +63,25 @@ def sniff_container(path: str) -> Optional[Container]:
         return Container.SVX
     if magic[:5] == b"PVF1\n":
         return Container.PVF
+    if magic[:4] in (b" paf", b"fap "):
+        return Container.PAF
+    if magic[:4] == b"2BIT":
+        return Container.AVR
+    if magic[:12] == b"ALawSoundFil":  # "ALawSoundFile**"
+        return Container.WVE
+    if magic[:6] == b"MATLAB":  # MAT5 text header
+        return Container.MAT
+    # MAT4: first element header is type=0 (LE double), 1x1 "samplerate"
+    if magic[:8] == b"\x00\x00\x00\x00\x01\x00\x00\x00":
+        try:
+            with open(path, "rb") as f:
+                head = f.read(31)
+        except OSError:
+            return None
+        if head[16:20] == b"\x0b\x00\x00\x00" and \
+                head[20:30] == b"samplerate":
+            return Container.MAT
+        return None
     # MP3 last: it has no container magic, only frame sync / ID3 tags.
     from folve_tpu.audio.mp3 import sniff_mp3
 
@@ -72,7 +91,8 @@ def sniff_container(path: str) -> Optional[Container]:
 
 
 _LEGACY = {Container.VOC, Container.IRCAM, Container.NIST, Container.SVX,
-           Container.PVF}
+           Container.PVF, Container.PAF, Container.AVR, Container.WVE,
+           Container.MAT}
 
 
 def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:

@@ -542,3 +542,350 @@ class PvfStreamEncoder(PcmStreamEncoderBase):
     def header(self, metadata: Optional[dict] = None) -> bytes:
         del metadata
         return f"PVF1\n{self.channels} {self.rate} 16\n".encode("ascii")
+
+
+# ---------------------------------------------------------------------------
+# PAF (Ensoniq PARIS)
+# ---------------------------------------------------------------------------
+
+_PAF_CODECS = {0: (SampleCodec.PCM_16, 16), 2: (SampleCodec.PCM_S8, 8)}
+
+
+def parse_paf(head: bytes, total: int):
+    if head[:4] == b" paf":
+        little = False
+        e = ">"
+    elif head[:4] == b"fap ":
+        little = True
+        e = "<"
+    else:
+        raise LegacyError("not a PAF file")
+    if len(head) < 24:
+        raise LegacyError("truncated PAF header")
+    _ver, _endian, rate, fmt, channels = struct.unpack(
+        e + "IIIII", head[4:24]
+    )
+    codec_bits = _PAF_CODECS.get(fmt)
+    if codec_bits is None or channels == 0 or not (0 < rate < 10 ** 7):
+        # fmt 1 is the 24-bit block-packed variant; unsupported
+        raise LegacyError(f"unsupported PAF layout fmt={fmt}")
+    codec, bits = codec_bits
+    frames = max(0, total - 2048) // (_STORAGE[codec] * channels)
+    info = AudioInfo(rate=int(rate), channels=int(channels), frames=frames,
+                     container=Container.PAF, codec=codec,
+                     bits_per_sample=bits)
+    return info, 2048, little
+
+
+def read_paf_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(24)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_paf(head, total)[0]
+
+
+def open_paf_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(24)
+        f.seek(0, 2)
+        total = f.tell()
+    info, off, little = parse_paf(head, total)
+    return _make_stream(path, info, off, little)
+
+
+def read_paf(path: str):
+    f, info, off, fb, decode = open_paf_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read())
+    info.frames = x.shape[0]
+    return x, info
+
+
+class PafStreamEncoder(PcmStreamEncoderBase):
+    """PAF output: big-endian variant, PCM-16."""
+
+    _allowed_bits = (16,)
+    _little_endian = False
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        out = b" paf" + struct.pack(">IIIII", 0, 0, self.rate, 0,
+                                    self.channels)
+        return out + bytes(2048 - len(out))
+
+
+# ---------------------------------------------------------------------------
+# AVR (Audio Visual Research)
+# ---------------------------------------------------------------------------
+
+
+def parse_avr(head: bytes, total: int):
+    if head[:4] != b"2BIT" or len(head) < 32:
+        raise LegacyError("not an AVR file")
+    mono, rez, sign = struct.unpack(">HHH", head[12:18])
+    (rate,) = struct.unpack(">I", head[22:26])
+    rate &= 0x00FFFFFF  # top byte carries flags
+    (size,) = struct.unpack(">I", head[26:30])
+    channels = 2 if mono == 0xFFFF else 1
+    if rez == 16 and sign == 0xFFFF:
+        codec, bits = SampleCodec.PCM_16, 16
+    elif rez == 8 and sign == 0xFFFF:
+        codec, bits = SampleCodec.PCM_S8, 8
+    elif rez == 8:
+        codec, bits = SampleCodec.PCM_U8, 8
+    else:
+        raise LegacyError(f"unsupported AVR layout rez={rez} sign={sign}")
+    if not (0 < rate < 10 ** 7):
+        raise LegacyError("bad AVR rate")
+    frames = max(0, total - 128) // (_STORAGE[codec] * channels)
+    if size:
+        frames = min(frames, size)
+    info = AudioInfo(rate=int(rate), channels=channels, frames=frames,
+                     container=Container.AVR, codec=codec,
+                     bits_per_sample=bits)
+    return info, 128, False  # big-endian
+
+
+def read_avr_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(32)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_avr(head, total)[0]
+
+
+def open_avr_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(32)
+        f.seek(0, 2)
+        total = f.tell()
+    info, off, little = parse_avr(head, total)
+    return _make_stream(path, info, off, little)
+
+
+def read_avr(path: str):
+    f, info, off, fb, decode = open_avr_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read(info.frames * fb))
+    info.frames = x.shape[0]
+    return x, info
+
+
+class AvrStreamEncoder(PcmStreamEncoderBase):
+    """AVR output: big-endian signed PCM-16."""
+
+    _allowed_bits = (16,)
+    _little_endian = False
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        out = b"2BIT" + bytes(8)  # empty sample name
+        out += struct.pack(">HHHHH", 0xFFFF if self.channels == 2 else 0,
+                           16, 0xFFFF, 0, 0xFFFF)  # midi 0xffff = unpitched
+        out += struct.pack(">I", self.rate & 0x00FFFFFF)
+        out += struct.pack(">III", self.total_frames, 0, 0)
+        return out + bytes(128 - len(out))
+
+
+# ---------------------------------------------------------------------------
+# WVE (Psion A-law; always 8 kHz mono)
+# ---------------------------------------------------------------------------
+
+
+def parse_wve(head: bytes, total: int):
+    if head[:15] != b"ALawSoundFile**" or len(head) < 32:
+        raise LegacyError("not a WVE file")
+    frames = max(0, total - 32)
+    info = AudioInfo(rate=8000, channels=1, frames=frames,
+                     container=Container.WVE, codec=SampleCodec.ALAW,
+                     bits_per_sample=16)
+    return info, 32, False
+
+
+def read_wve_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(32)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_wve(head, total)[0]
+
+
+def open_wve_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(32)
+        f.seek(0, 2)
+        total = f.tell()
+    info, off, little = parse_wve(head, total)
+    return _make_stream(path, info, off, little)
+
+
+def read_wve(path: str):
+    f, info, off, fb, decode = open_wve_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read())
+    info.frames = x.shape[0]
+    return x, info
+
+
+# ---------------------------------------------------------------------------
+# MAT4 / MAT5 (Matlab audio files, libsndfile's wavedata convention)
+# ---------------------------------------------------------------------------
+
+
+def _mat_finish(rate, data, channels):
+    if rate is None or data is None:
+        raise LegacyError("missing samplerate/wavedata matrices")
+    n = data.shape[0]
+    info = AudioInfo(rate=int(round(rate)), channels=channels, frames=n,
+                     container=Container.MAT, codec=SampleCodec.PCM_16,
+                     bits_per_sample=16)
+    return data, info
+
+
+def read_mat4(path: str):
+    with open(path, "rb") as f:
+        blob = f.read()
+    pos = 0
+    rate = None
+    data = None
+    channels = 1
+    while pos + 20 <= len(blob):
+        mtype, mrows, ncols, imagf, namelen = struct.unpack(
+            "<IIIII", blob[pos : pos + 20]
+        )
+        if mtype > 9999 or namelen > 64 or mrows > 1 << 24 or ncols > 1 << 24:
+            raise LegacyError("bad MAT4 element")
+        name = blob[pos + 20 : pos + 20 + namelen].rstrip(b"\0")
+        body = pos + 20 + namelen
+        p_code = (mtype // 10) % 10  # precision digit
+        elem = {0: 8, 1: 4, 2: 4, 3: 2, 4: 2, 5: 1}.get(p_code)
+        if elem is None:
+            raise LegacyError(f"bad MAT4 precision {p_code}")
+        count = mrows * ncols * (2 if imagf else 1)
+        raw = blob[body : body + count * elem]
+        dt = {0: "<f8", 1: "<f4", 2: "<i4", 3: "<i2", 4: "<u2", 5: "u1"}[p_code]
+        vals = np.frombuffer(raw[: (len(raw) // elem) * elem], dt)
+        if name == b"samplerate" and vals.size:
+            rate = float(vals[0])
+        elif name == b"wavedata" and mrows:
+            channels = int(mrows) if mrows <= 64 else 1
+            n = vals.size // channels
+            m = vals[: n * channels].reshape(n, channels)  # column-major
+            if p_code == 3:  # int16
+                data = m.astype(np.float32) / 32768.0
+            elif p_code in (0, 1):
+                data = m.astype(np.float32)
+            elif p_code == 2:
+                data = m.astype(np.float32) / 2147483648.0
+            else:
+                raise LegacyError("unsupported MAT4 wavedata type")
+        pos = body + count * elem
+    return _mat_finish(rate, data, channels)
+
+
+def _mat5_element(blob, pos):
+    """-> (mtype, body_off, body_len, next_pos) handling the small
+    element format."""
+    if pos + 8 > len(blob):
+        return None
+    (tag,) = struct.unpack("<I", blob[pos : pos + 4])
+    if tag >> 16:  # small element: length in the high half
+        return tag & 0xFFFF, pos + 4, tag >> 16, pos + 8
+    (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+    if length > len(blob):
+        raise LegacyError("bad MAT5 element length")
+    padded = (length + 7) & ~7
+    return tag, pos + 8, length, pos + 8 + padded
+
+
+_MAT5_DTYPES = {1: "i1", 2: "u1", 3: "<i2", 4: "<u2", 5: "<i4", 6: "<u4",
+                7: "<f4", 9: "<f8"}
+
+
+def read_mat5(path: str):
+    with open(path, "rb") as f:
+        blob = f.read()
+    if len(blob) < 128 or blob[124:128] not in (b"\x00\x01IM", b"\x01\x00MI"):
+        # version+endian indicator; libsndfile writes little-endian 'IM'
+        if len(blob) < 128 or blob[126:128] != b"IM":
+            raise LegacyError("not a little-endian MAT5 file")
+    pos = 128
+    rate = None
+    data = None
+    channels = 1
+    while True:
+        el = _mat5_element(blob, pos)
+        if el is None:
+            break
+        mtype, off, length, pos = el
+        if mtype != 14:  # miMATRIX
+            continue
+        # inside: arrayflags, dims, name, real part
+        p = off
+        end = off + length
+        fields = []
+        while p < end and len(fields) < 4:
+            sub = _mat5_element(blob, p)
+            if sub is None or sub[1] + sub[2] > end + 8:
+                break
+            fields.append(sub)
+            p = sub[3]
+        if len(fields) < 4:
+            continue
+        (_, doff, dlen, _) = fields[1]
+        dims = np.frombuffer(blob[doff : doff + dlen], "<i4")
+        (_, noff, nlen, _) = fields[2]
+        name = blob[noff : noff + nlen].rstrip(b"\0")
+        (dtype_code, voff, vlen, _) = fields[3]
+        dt = _MAT5_DTYPES.get(dtype_code)
+        if dt is None:
+            continue
+        vals = np.frombuffer(blob[voff : voff + vlen], dt)
+        if name == b"samplerate" and vals.size:
+            rate = float(vals[0])
+        elif name == b"wavedata" and dims.size >= 2:
+            channels = int(dims[0]) if 0 < dims[0] <= 64 else 1
+            n = vals.size // channels
+            m = vals[: n * channels].reshape(n, channels)
+            if dt == "<i2":
+                data = m.astype(np.float32) / 32768.0
+            elif dt in ("<f4", "<f8"):
+                data = m.astype(np.float32)
+            elif dt == "<i4":
+                data = m.astype(np.float32) / 2147483648.0
+            else:
+                raise LegacyError("unsupported MAT5 wavedata type")
+    return _mat_finish(rate, data, channels)
+
+
+def read_mat4_info(path: str) -> AudioInfo:
+    return read_mat4(path)[1]
+
+
+def read_mat5_info(path: str) -> AudioInfo:
+    return read_mat5(path)[1]
+
+
+def read_mat(path: str):
+    with open(path, "rb") as f:
+        magic = f.read(6)
+    if magic == b"MATLAB":
+        return read_mat5(path)
+    return read_mat4(path)
+
+
+def read_mat_info(path: str) -> AudioInfo:
+    return read_mat(path)[1]
+
+
+def open_mat_stream(path: str):
+    # MAT matrices carry no incremental framing worth streaming; the
+    # source layer falls back to a whole-file _MemorySource (these are
+    # scientific interchange files, not production audio).
+    return None

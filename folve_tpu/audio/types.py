@@ -25,6 +25,10 @@ class Container(enum.Enum):
     NIST = "nist"
     SVX = "svx"
     PVF = "pvf"
+    PAF = "paf"
+    AVR = "avr"
+    WVE = "wve"
+    MAT = "mat"
     RAW = "raw"
 
 

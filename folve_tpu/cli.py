@@ -227,6 +227,14 @@ def _output_encoder(out: str, rate: int, channels: int, in_bits: int,
         from folve_tpu.audio.legacy import PvfStreamEncoder
 
         return PvfStreamEncoder(rate, channels, 16, total_frames)
+    if ext == ".paf":
+        from folve_tpu.audio.legacy import PafStreamEncoder
+
+        return PafStreamEncoder(rate, channels, 16, total_frames)
+    if ext == ".avr":
+        from folve_tpu.audio.legacy import AvrStreamEncoder
+
+        return AvrStreamEncoder(rate, channels, 16, total_frames)
     from folve_tpu.audio.flac import FlacEncoder
 
     return FlacEncoder(rate, channels, bits=bits,

@@ -59,8 +59,10 @@ def _fixtures(tmp_path, rng):
 
     # legacy encoders
     from folve_tpu.audio.legacy import (
+        AvrStreamEncoder,
         IrcamStreamEncoder,
         NistStreamEncoder,
+        PafStreamEncoder,
         PvfStreamEncoder,
         VocStreamEncoder,
     )
@@ -68,7 +70,9 @@ def _fixtures(tmp_path, rng):
     for name, enc_cls in (("voc", VocStreamEncoder),
                           ("ircam", IrcamStreamEncoder),
                           ("nist", NistStreamEncoder),
-                          ("pvf", PvfStreamEncoder)):
+                          ("pvf", PvfStreamEncoder),
+                          ("paf", PafStreamEncoder),
+                          ("avr", AvrStreamEncoder)):
         enc = enc_cls(RATE, 2, 16, x.shape[0])
         out[name] = enc.header() + enc.write_float(x) + enc.finish()
 
@@ -157,7 +161,11 @@ def test_fuzz_random_bytes(tmp_path, rng):
     magics = [b"", b"fLaC", b"RIFF", b"OggS", b"FORM", b".snd", b"caff",
               b"Creative Voice File\x1a", b"NIST_1A\n", b"PVF1\n",
               b"\x64\xa3\x03\x00", b"ID3\x03\x00\x00", b"\xff\xfb",
-              b"RIFF\xff\xff\xff\xffWAVE", b"FORM\x00\x00\x00\x0861SV"]
+              b"RIFF\xff\xff\xff\xffWAVE", b"FORM\x00\x00\x00\x0861SV",
+              b" paf", b"fap ", b"2BIT", b"ALawSoundFile**\x00",
+              b"MATLAB 5.0 MAT-file",
+              b"\x00\x00\x00\x00\x01\x00\x00\x00\x01\x00\x00\x00"
+              b"\x00\x00\x00\x00\x0b\x00\x00\x00samplerate\x00"]
     work = tmp_path / "g.bin"
     for magic in magics:
         for size in (0, 3, 12, 64, 700, 5000):

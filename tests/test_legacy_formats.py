@@ -151,3 +151,118 @@ def test_voc_continuation_blocks(tmp_path, rng):
     streamed = src.read_float(10 ** 9)
     src.close()
     np.testing.assert_array_equal(streamed, got)
+
+
+# ---------------------------------------------------------------------------
+# Round-4b additions: PAF / AVR / WVE / MAT4 / MAT5
+# ---------------------------------------------------------------------------
+
+SF_PAF, SF_AVR, SF_WVE, SF_MAT4, SF_MAT5 = (
+    0x050000, 0x120000, 0x190000, 0x0C0000, 0x0D0000,
+)
+SF_ALAW, SF_FLOAT, SF_DOUBLE = 0x0011, 0x0006, 0x0007
+
+
+@pytest.mark.parametrize("name,fmt,sub,container,ch,rate,tol", [
+    ("f.paf", SF_PAF, SF_PCM_16, Container.PAF, 2, RATE, 0),
+    ("f8.paf", SF_PAF, SF_PCM_S8, Container.PAF, 1, RATE, 0),
+    ("f.avr", SF_AVR, SF_PCM_16, Container.AVR, 2, RATE, 0),
+    ("f8.avr", SF_AVR, SF_PCM_S8, Container.AVR, 1, RATE, 0),
+    ("f.wve", SF_WVE, SF_ALAW, Container.WVE, 1, 8000, 0),
+    ("f.mat4", SF_MAT4, SF_PCM_16, Container.MAT, 2, RATE, 0),
+    ("fd.mat4", SF_MAT4, SF_DOUBLE, Container.MAT, 1, RATE, 0),
+    ("f.mat5", SF_MAT5, SF_PCM_16, Container.MAT, 2, RATE, 0),
+    ("ff.mat5", SF_MAT5, SF_FLOAT, Container.MAT, 1, RATE, 0),
+])
+def test_decodes_more_libsndfile_files(tmp_path, rng, name, fmt, sub,
+                                       container, ch, rate, tol):
+    x = _material(rng, frames=1500, ch=ch)
+    p = tmp_path / name
+    _sf_write(p, x, rate, fmt | sub)
+    assert sniff_container(str(p)) == container
+    got, info = read_audio(str(p))
+    assert info.container == container
+    oracle, orate = _sf_read(p)
+    assert orate == rate
+    assert got.shape == oracle.shape, (got.shape, oracle.shape)
+    np.testing.assert_allclose(got, oracle, atol=tol)
+    info2 = read_audio_info(str(p))
+    assert info2.frames == got.shape[0]
+    assert info2.rate == rate and info2.channels == ch
+
+
+@pytest.mark.parametrize("name,container", [
+    ("song.paf", Container.PAF),
+    ("song.avr", Container.AVR),
+])
+def test_paf_avr_through_filesystem(tmp_path, rng, name, container):
+    """PAF/AVR input -> convolved output in the ORIGINAL container,
+    readable by libsndfile."""
+    from tests.test_runtime import make_fs, read_all
+
+    fmt = {Container.PAF: SF_PAF, Container.AVR: SF_AVR}[container]
+    x = _material(rng, frames=3000, ch=2)
+    fs, src_dir = make_fs(tmp_path)
+    _sf_write(src_dir / name, x, RATE, fmt | SF_PCM_16)
+    h = fs.get_or_create_handler(f"/{name}")
+    blob = read_all(h)
+    fs.close_handler(f"/{name}", h)
+    out = tmp_path / f"out-{name}"
+    out.write_bytes(blob)
+    assert sniff_container(str(out)) == container
+    got, info = read_audio(str(out))
+    assert info.rate == RATE and info.channels == 2
+    assert got.shape[0] == x.shape[0]
+    oracle, orate = _sf_read(out)
+    assert orate == RATE and oracle.shape == got.shape
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_wve_mat_fall_back_to_flac(tmp_path, rng):
+    """WVE (A-law 8k mono only) and MAT (matrix interchange) can't carry
+    the convolved stream; output falls back to FLAC."""
+    from tests.test_runtime import make_fs, read_all
+
+    fs, src_dir = make_fs(tmp_path)
+    # the WVE fixture is 8 kHz (the format's only rate) — give the
+    # filter set an 8000 Hz config so it convolves instead of passing
+    # through untouched
+    (tmp_path / "filters" / "echo" / "filter-8000.conf").write_text(
+        "/convolver/new 1 1 64 512\n"
+        "/impulse/dirac 1 1 0.7 0\n"
+        "/impulse/dirac 1 1 0.3 100\n"
+    )
+    _sf_write(src_dir / "a.wve", _material(rng, 2000, 1), 8000,
+              SF_WVE | SF_ALAW)
+    _sf_write(src_dir / "b.mat5", _material(rng, 2000, 2), RATE,
+              SF_MAT5 | SF_PCM_16)
+    for name in ("a.wve", "b.mat5"):
+        h = fs.get_or_create_handler(f"/{name}")
+        blob = read_all(h)
+        fs.close_handler(f"/{name}", h)
+        assert blob[:4] == b"fLaC"
+
+
+def test_streaming_sources_new_legacy(tmp_path, rng):
+    """PAF/AVR/WVE stream chunk-wise; MAT uses the in-memory fallback."""
+    from folve_tpu.audio.source import open_source
+
+    cases = [("s.paf", SF_PAF | SF_PCM_16, 2, RATE),
+             ("s.avr", SF_AVR | SF_PCM_16, 2, RATE),
+             ("s.wve", SF_WVE | SF_ALAW, 1, 8000),
+             ("s.mat5", SF_MAT5 | SF_PCM_16, 2, RATE)]
+    for name, fmt, ch, rate in cases:
+        x = _material(rng, frames=2500, ch=ch)
+        p = tmp_path / name
+        _sf_write(p, x, rate, fmt)
+        whole, _ = read_audio(str(p))
+        src = open_source(str(p))
+        assert src is not None, name
+        chunks = []
+        while True:
+            blk = src.read_float(777)
+            if blk.shape[0] == 0:
+                break
+            chunks.append(blk)
+        src.close()
+        np.testing.assert_array_equal(np.concatenate(chunks), whole)
