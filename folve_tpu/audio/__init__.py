@@ -82,6 +82,36 @@ def sniff_container(path: str) -> Optional[Container]:
                 head[20:30] == b"samplerate":
             return Container.MAT
         return None
+    if magic[:2] == b"\xf0\x7e" and len(magic) >= 4 and magic[3] == 0x01:
+        return Container.SDS  # MIDI sample-dump header packet
+    # HTK and MPC2000 have weak/no magic: both checks demand a fully
+    # size-consistent header, so run them before the MP3 sync scan.
+    if len(magic) >= 12:
+        import os
+        import struct
+
+        try:
+            total = os.path.getsize(path)
+        except OSError:
+            return None
+        nsamp, period, samp_size, parm_kind = struct.unpack(
+            ">IIHH", magic[:12]
+        )
+        if (parm_kind == 0 and samp_size == 2 and period
+                and nsamp * 2 + 12 == total
+                and 100 <= round(1e7 / period) <= 400000):
+            return Container.HTK
+        if magic[0] == 1 and magic[1] == 4 and total >= 42:
+            try:
+                with open(path, "rb") as f:
+                    head = f.read(42)
+            except OSError:
+                return None
+            channels = 2 if head[21] else 1
+            (frames,) = struct.unpack("<I", head[26:30])
+            (mrate,) = struct.unpack("<H", head[40:42])
+            if mrate and frames * 2 * channels + 42 == total:
+                return Container.MPC
     # MP3 last: it has no container magic, only frame sync / ID3 tags.
     from folve_tpu.audio.mp3 import sniff_mp3
 
@@ -92,7 +122,7 @@ def sniff_container(path: str) -> Optional[Container]:
 
 _LEGACY = {Container.VOC, Container.IRCAM, Container.NIST, Container.SVX,
            Container.PVF, Container.PAF, Container.AVR, Container.WVE,
-           Container.MAT}
+           Container.MAT, Container.HTK, Container.SDS, Container.MPC}
 
 
 def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:

@@ -889,3 +889,217 @@ def open_mat_stream(path: str):
     # source layer falls back to a whole-file _MemorySource (these are
     # scientific interchange files, not production audio).
     return None
+
+
+# ---------------------------------------------------------------------------
+# HTK (speech-toolkit waveform; 12-byte header, BE PCM-16, mono)
+# ---------------------------------------------------------------------------
+
+
+def parse_htk(head: bytes, total: int):
+    if len(head) < 12:
+        raise LegacyError("truncated HTK header")
+    nsamples, period, samp_size, parm_kind = struct.unpack(">IIHH", head[:12])
+    # parmKind 0 == WAVEFORM; period in 100 ns units
+    if parm_kind != 0 or samp_size != 2 or period == 0:
+        raise LegacyError("not an HTK waveform file")
+    rate = int(round(1e7 / period))
+    if not (100 <= rate <= 400000) or nsamples * 2 + 12 != total:
+        raise LegacyError("inconsistent HTK header")
+    info = AudioInfo(rate=rate, channels=1, frames=nsamples,
+                     container=Container.HTK, codec=SampleCodec.PCM_16,
+                     bits_per_sample=16)
+    return info, 12, False  # big-endian
+
+
+def sniff_htk(path: str) -> bool:
+    """HTK has no magic; accept only a fully consistent header."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            f.seek(0, 2)
+            total = f.tell()
+        parse_htk(head, total)
+        return True
+    except (LegacyError, OSError):
+        return False
+
+
+def read_htk_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(12)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_htk(head, total)[0]
+
+
+def open_htk_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(12)
+        f.seek(0, 2)
+        total = f.tell()
+    info, off, little = parse_htk(head, total)
+    return _make_stream(path, info, off, little)
+
+
+def read_htk(path: str):
+    f, info, off, fb, decode = open_htk_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read())
+    info.frames = x.shape[0]
+    return x, info
+
+
+# ---------------------------------------------------------------------------
+# MPC2K (Akai MPC-2000 sample; 42-byte header, LE PCM-16)
+# ---------------------------------------------------------------------------
+
+
+def parse_mpc(head: bytes, total: int):
+    if len(head) < 42 or head[0] != 1 or head[1] != 4:
+        raise LegacyError("not an MPC2000 file")
+    channels = 2 if head[21] else 1
+    (frames,) = struct.unpack("<I", head[26:30])
+    (rate,) = struct.unpack("<H", head[40:42])
+    if rate == 0 or frames * 2 * channels + 42 != total:
+        raise LegacyError("inconsistent MPC2000 header")
+    info = AudioInfo(rate=int(rate), channels=channels, frames=frames,
+                     container=Container.MPC, codec=SampleCodec.PCM_16,
+                     bits_per_sample=16)
+    return info, 42, True  # little-endian
+
+
+def sniff_mpc(path: str) -> bool:
+    """Two-byte magic only; require full header consistency."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(42)
+            f.seek(0, 2)
+            total = f.tell()
+        parse_mpc(head, total)
+        return True
+    except (LegacyError, OSError):
+        return False
+
+
+def read_mpc_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(42)
+        f.seek(0, 2)
+        total = f.tell()
+    return parse_mpc(head, total)[0]
+
+
+def open_mpc_stream(path: str):
+    with open(path, "rb") as f:
+        head = f.read(42)
+        f.seek(0, 2)
+        total = f.tell()
+    info, off, little = parse_mpc(head, total)
+    return _make_stream(path, info, off, little)
+
+
+def read_mpc(path: str):
+    f, info, off, fb, decode = open_mpc_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read(info.frames * fb))
+    info.frames = x.shape[0]
+    return x, info
+
+
+class MpcStreamEncoder(PcmStreamEncoderBase):
+    """MPC2000 output: little-endian PCM-16, mono or stereo."""
+
+    _allowed_bits = (16,)
+    _little_endian = True
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        if self.channels not in (1, 2):
+            raise LegacyError("MPC2000 carries 1 or 2 channels")
+        out = bytearray(42)
+        out[0], out[1] = 1, 4
+        out[2:20] = b"folve.mpc".ljust(18)
+        out[21] = self.channels - 1
+        struct.pack_into("<III", out, 26, self.total_frames,
+                         self.total_frames, self.total_frames)
+        out[39] = 1  # observed fixed byte in oracle files
+        struct.pack_into("<H", out, 40, min(self.rate, 0xFFFF))
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# SDS (MIDI Sample Dump Standard; 7-bit packed packets, mono)
+# ---------------------------------------------------------------------------
+
+
+def _septets(b3, lsb_first=True):
+    s = [v & 0x7F for v in b3]
+    return s[0] | (s[1] << 7) | (s[2] << 14) if lsb_first else 0
+
+
+def parse_sds_header(head: bytes):
+    if len(head) < 21 or head[:2] != b"\xf0\x7e" or head[3] != 0x01:
+        raise LegacyError("not an SDS dump header")
+    fmt = head[6]
+    if fmt not in (8, 16):
+        raise LegacyError(f"unsupported SDS word size {fmt}")
+    period = _septets(head[7:10])
+    length = _septets(head[10:13])
+    if period == 0:
+        raise LegacyError("bad SDS sample period")
+    rate = int(round(1e9 / period))
+    return fmt, rate, length
+
+
+def read_sds(path: str):
+    with open(path, "rb") as f:
+        blob = f.read()
+    fmt, rate, length = parse_sds_header(blob[:21])
+    vals = []
+    pos = 21
+    per = 3 if fmt == 16 else 2
+    while pos + 127 <= len(blob):
+        if blob[pos : pos + 2] != b"\xf0\x7e" or blob[pos + 3] != 0x02:
+            break
+        data = blob[pos + 5 : pos + 125]
+        arr = np.frombuffer(data, np.uint8).astype(np.int64) & 0x7F
+        arr = arr.reshape(-1, per)
+        if fmt == 16:
+            # 21-bit big-endian septets, left-justified 16-bit samples
+            v = (arr[:, 0] << 14) | (arr[:, 1] << 7) | arr[:, 2]
+            vals.append((v >> 5) - 32768)
+        else:
+            v = (arr[:, 0] << 7) | arr[:, 1]
+            vals.append((v >> 6) - 128)
+        pos += 127
+    flat = (np.concatenate(vals) if vals
+            else np.zeros(0, np.int64))[:length]
+    x = (flat.astype(np.float32) /
+         (32768.0 if fmt == 16 else 128.0)).reshape(-1, 1)
+    info = AudioInfo(rate=rate, channels=1, frames=x.shape[0],
+                     container=Container.SDS, codec=SampleCodec.PCM_16,
+                     bits_per_sample=fmt)
+    return x, info
+
+
+def read_sds_info(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        head = f.read(21)
+        f.seek(0, 2)
+        total = f.tell()
+    fmt, rate, length = parse_sds_header(head)
+    per_packet = 40 if fmt == 16 else 60
+    packets = max(0, (total - 21)) // 127
+    frames = min(length, packets * per_packet)
+    return AudioInfo(rate=rate, channels=1, frames=frames,
+                     container=Container.SDS, codec=SampleCodec.PCM_16,
+                     bits_per_sample=fmt)
+
+
+def open_sds_stream(path: str):
+    # packets are tiny (127 B); these are sampler-era files — whole read
+    return None

@@ -227,7 +227,8 @@ def open_source(path: str) -> Optional[AudioSource]:
             return Mp3Source(path)
         if container in (Container.VOC, Container.IRCAM, Container.NIST,
                          Container.SVX, Container.PVF, Container.PAF,
-                         Container.AVR, Container.WVE, Container.MAT):
+                         Container.AVR, Container.WVE, Container.MAT,
+                         Container.HTK, Container.SDS, Container.MPC):
             from folve_tpu.audio import legacy
 
             opener = getattr(legacy, f"open_{container.value}_stream")

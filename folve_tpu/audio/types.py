@@ -29,6 +29,9 @@ class Container(enum.Enum):
     AVR = "avr"
     WVE = "wve"
     MAT = "mat"
+    HTK = "htk"
+    SDS = "sds"
+    MPC = "mpc"
     RAW = "raw"
 
 

@@ -235,6 +235,10 @@ def _output_encoder(out: str, rate: int, channels: int, in_bits: int,
         from folve_tpu.audio.legacy import AvrStreamEncoder
 
         return AvrStreamEncoder(rate, channels, 16, total_frames)
+    if ext == ".mpc":
+        from folve_tpu.audio.legacy import MpcStreamEncoder
+
+        return MpcStreamEncoder(rate, channels, 16, total_frames)
     from folve_tpu.audio.flac import FlacEncoder
 
     return FlacEncoder(rate, channels, bits=bits,

@@ -287,7 +287,7 @@ class ConvolveFileHandler(FileHandler):
                 out_bits = 24
         elif in_container in (Container.VOC, Container.IRCAM,
                               Container.NIST, Container.PVF, Container.PAF,
-                              Container.AVR):
+                              Container.AVR, Container.MPC):
             out_bits = 16  # these legacy containers are 16-bit PCM out
         else:
             out_bits = min(self._in_info.bits_per_sample, 24)
@@ -320,6 +320,8 @@ class ConvolveFileHandler(FileHandler):
             from folve_tpu.audio.legacy import PafStreamEncoder as encoder_cls
         elif in_container == Container.AVR:
             from folve_tpu.audio.legacy import AvrStreamEncoder as encoder_cls
+        elif in_container == Container.MPC:
+            from folve_tpu.audio.legacy import MpcStreamEncoder as encoder_cls
         if encoder_cls is not None:
             self._encoder = encoder_cls(
                 rate=self._in_info.rate,

@@ -163,7 +163,8 @@ def test_fuzz_random_bytes(tmp_path, rng):
               b"\x64\xa3\x03\x00", b"ID3\x03\x00\x00", b"\xff\xfb",
               b"RIFF\xff\xff\xff\xffWAVE", b"FORM\x00\x00\x00\x0861SV",
               b" paf", b"fap ", b"2BIT", b"ALawSoundFile**\x00",
-              b"MATLAB 5.0 MAT-file",
+              b"MATLAB 5.0 MAT-file", b"\xf0\x7e\x00\x01", b"\x01\x04",
+              b"\x00\x00\x01\xf4\x00\x00\x02\x71\x00\x02\x00\x00",
               b"\x00\x00\x00\x00\x01\x00\x00\x00\x01\x00\x00\x00"
               b"\x00\x00\x00\x00\x0b\x00\x00\x00samplerate\x00"]
     work = tmp_path / "g.bin"

@@ -266,3 +266,87 @@ def test_streaming_sources_new_legacy(tmp_path, rng):
             chunks.append(blk)
         src.close()
         np.testing.assert_array_equal(np.concatenate(chunks), whole)
+
+
+# ---------------------------------------------------------------------------
+# HTK / SDS / MPC2000
+# ---------------------------------------------------------------------------
+
+SF_HTK, SF_SDS, SF_MPC2K = 0x100000, 0x110000, 0x210000
+
+
+@pytest.mark.parametrize("name,fmt,sub,container,ch,rate", [
+    ("f.htk", SF_HTK, SF_PCM_16, Container.HTK, 1, 16000),
+    ("f.sds", SF_SDS, SF_PCM_16, Container.SDS, 1, 16000),
+    ("f8.sds", SF_SDS, SF_PCM_S8, Container.SDS, 1, 22050),
+    ("f.mpc", SF_MPC2K, SF_PCM_16, Container.MPC, 1, 44100),
+    ("f2.mpc", SF_MPC2K, SF_PCM_16, Container.MPC, 2, 44100),
+])
+def test_decodes_htk_sds_mpc(tmp_path, rng, name, fmt, sub, container, ch,
+                             rate):
+    x = _material(rng, frames=1500, ch=ch)
+    if sub == SF_PCM_S8:
+        x = np.round(x * 128) / 128
+    p = tmp_path / name
+    _sf_write(p, x, rate, fmt | sub)
+    assert sniff_container(str(p)) == container
+    got, info = read_audio(str(p))
+    assert info.container == container
+    oracle, orate = _sf_read(p)
+    assert orate == rate
+    assert got.shape == oracle.shape, (got.shape, oracle.shape)
+    if fmt == SF_SDS:
+        # libsndfile's own SDS reader zero-fills the final partial
+        # packet; our decoder recovers the written samples exactly, so
+        # compare against the source material instead.
+        np.testing.assert_array_equal(got, x.astype(np.float32))
+    else:
+        np.testing.assert_array_equal(got, oracle)
+    info2 = read_audio_info(str(p))
+    assert info2.frames == got.shape[0]
+    assert info2.rate == rate and info2.channels == ch
+
+
+def test_mpc_through_filesystem(tmp_path, rng):
+    """Stereo MPC2000 input -> convolved output stays MPC2000 and the
+    oracle reads it back."""
+    from tests.test_runtime import make_fs, read_all
+
+    x = _material(rng, frames=3000, ch=2)
+    fs, src_dir = make_fs(tmp_path)
+    _sf_write(src_dir / "song.mpc", x, RATE, SF_MPC2K | SF_PCM_16)
+    h = fs.get_or_create_handler("/song.mpc")
+    blob = read_all(h)
+    fs.close_handler("/song.mpc", h)
+    out = tmp_path / "out.mpc"
+    out.write_bytes(blob)
+    assert sniff_container(str(out)) == Container.MPC
+    got, info = read_audio(str(out))
+    assert info.rate == RATE and info.channels == 2
+    assert got.shape[0] == x.shape[0]
+    oracle, orate = _sf_read(out)
+    assert orate == RATE and oracle.shape == got.shape
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_htk_sds_streaming(tmp_path, rng):
+    """HTK streams chunk-wise; SDS (7-bit packets) uses the in-memory
+    fallback — both match the whole-file decode."""
+    from folve_tpu.audio.source import open_source
+
+    for name, fmt, rate in (("s.htk", SF_HTK | SF_PCM_16, 16000),
+                            ("s.sds", SF_SDS | SF_PCM_16, 16000)):
+        x = _material(rng, frames=2500, ch=1)
+        p = tmp_path / name
+        _sf_write(p, x, rate, fmt)
+        whole, _ = read_audio(str(p))
+        src = open_source(str(p))
+        assert src is not None, name
+        chunks = []
+        while True:
+            blk = src.read_float(777)
+            if blk.shape[0] == 0:
+                break
+            chunks.append(blk)
+        src.close()
+        np.testing.assert_array_equal(np.concatenate(chunks), whole)
