@@ -112,6 +112,13 @@ def sniff_container(path: str) -> Optional[Container]:
             (mrate,) = struct.unpack("<H", head[40:42])
             if mrate and frames * 2 * channels + 42 == total:
                 return Container.MPC
+    # SD2 is headerless BE PCM; metadata lives in a Mac resource fork
+    # side file, so detection is extension + companion-file based.
+    if path.lower().endswith(".sd2"):
+        from folve_tpu.audio.legacy import sniff_sd2
+
+        if sniff_sd2(path):
+            return Container.SD2
     # MP3 last: it has no container magic, only frame sync / ID3 tags.
     from folve_tpu.audio.mp3 import sniff_mp3
 
@@ -122,7 +129,8 @@ def sniff_container(path: str) -> Optional[Container]:
 
 _LEGACY = {Container.VOC, Container.IRCAM, Container.NIST, Container.SVX,
            Container.PVF, Container.PAF, Container.AVR, Container.WVE,
-           Container.MAT, Container.HTK, Container.SDS, Container.MPC}
+           Container.MAT, Container.HTK, Container.SDS, Container.MPC,
+           Container.SD2}
 
 
 def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:

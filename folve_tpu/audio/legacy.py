@@ -35,6 +35,17 @@ def _pcm_decode(raw: bytes, codec: SampleCodec, little: bool) -> np.ndarray:
         return (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
     if codec == SampleCodec.PCM_S8:
         return np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    if codec == SampleCodec.PCM_24:
+        raw = raw[: len(raw) - len(raw) % 3]
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+        v = ((b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]) if not little else (
+            (b[:, 2] << 16) | (b[:, 1] << 8) | b[:, 0])
+        v = (v ^ 0x800000) - 0x800000  # sign-extend 24 bits
+        return v.astype(np.float32) / 8388608.0
+    if codec == SampleCodec.PCM_32:
+        raw = raw[: len(raw) - len(raw) % 4]
+        return np.frombuffer(raw, "<i4" if little else ">i4").astype(
+            np.float32) / 2147483648.0
     if codec == SampleCodec.FLOAT:
         raw = raw[: len(raw) - len(raw) % 4]
         return np.frombuffer(raw, "<f4" if little else ">f4").astype(np.float32)
@@ -54,6 +65,7 @@ def _pcm_decode(raw: bytes, codec: SampleCodec, little: bool) -> np.ndarray:
 _STORAGE = {
     SampleCodec.PCM_16: 2, SampleCodec.PCM_U8: 1, SampleCodec.PCM_S8: 1,
     SampleCodec.FLOAT: 4, SampleCodec.ULAW: 1, SampleCodec.ALAW: 1,
+    SampleCodec.PCM_24: 3, SampleCodec.PCM_32: 4,
 }
 
 
@@ -761,6 +773,8 @@ def read_mat4(path: str):
         )
         if mtype > 9999 or namelen > 64 or mrows > 1 << 24 or ncols > 1 << 24:
             raise LegacyError("bad MAT4 element")
+        if (mtype // 1000) % 10:
+            raise LegacyError("big-endian MAT4 files are not supported")
         name = blob[pos + 20 : pos + 20 + namelen].rstrip(b"\0")
         body = pos + 20 + namelen
         p_code = (mtype // 10) % 10  # precision digit
@@ -1103,3 +1117,135 @@ def read_sds_info(path: str) -> AudioInfo:
 def open_sds_stream(path: str):
     # packets are tiny (127 B); these are sampler-era files — whole read
     return None
+
+
+# ---------------------------------------------------------------------------
+# SD2 (Sound Designer II: headerless BE PCM + Mac resource-fork metadata)
+# ---------------------------------------------------------------------------
+
+_APPLEDOUBLE_MAGIC = 0x00051607
+
+
+def _sd2_rsrc_path(path: str) -> Optional[str]:
+    import os
+
+    d, base = os.path.split(path)
+    for cand in (os.path.join(d, "._" + base), path + ".rsrc"):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _resource_fork_strings(blob: bytes) -> dict:
+    """Classic Mac resource fork -> {STR resource id: pascal-string
+    payload}.  Accepts either a bare fork or an AppleDouble wrapper."""
+    if len(blob) >= 26 and struct.unpack(">I", blob[:4])[0] == \
+            _APPLEDOUBLE_MAGIC:
+        (nent,) = struct.unpack(">H", blob[24:26])
+        for i in range(nent):
+            off = 26 + 12 * i
+            if off + 12 > len(blob):
+                break
+            eid, eoff, elen = struct.unpack(">III", blob[off : off + 12])
+            if eid == 2:  # resource fork entry
+                blob = blob[eoff : eoff + elen]
+                break
+        else:
+            raise LegacyError("AppleDouble file has no resource fork")
+    if len(blob) < 16:
+        raise LegacyError("truncated resource fork")
+    data_off, map_off, data_len, map_len = struct.unpack(">IIII", blob[:16])
+    if map_off + 28 > len(blob) or data_off > len(blob):
+        raise LegacyError("bad resource fork header")
+    m = blob[map_off : map_off + map_len]
+    if len(m) < 30:
+        raise LegacyError("truncated resource map")
+    type_off, _name_off = struct.unpack(">HH", m[24:28])
+    if type_off + 2 > len(m):
+        raise LegacyError("bad resource type list")
+    (ntypes,) = struct.unpack(">H", m[type_off : type_off + 2])
+    out = {}
+    p = type_off + 2
+    for _ in range(min(ntypes + 1, 64)):
+        if p + 8 > len(m):
+            break
+        rtype, cnt, ref_off = struct.unpack(">4sHH", m[p : p + 8])
+        p += 8
+        if rtype != b"STR ":
+            continue
+        rp = type_off + ref_off
+        for _ in range(min(cnt + 1, 64)):
+            if rp + 12 > len(m):
+                break
+            (rid,) = struct.unpack(">H", m[rp : rp + 2])
+            d_off = int.from_bytes(m[rp + 4 : rp + 8], "big") & 0xFFFFFF
+            dp = data_off + d_off
+            if dp + 4 <= len(blob):
+                (dl,) = struct.unpack(">I", blob[dp : dp + 4])
+                payload = blob[dp + 4 : dp + 4 + dl]
+                if payload and payload[0] + 1 <= len(payload):
+                    out[rid] = payload[1 : 1 + payload[0]]
+            rp += 12
+    return out
+
+
+_SD2_CODECS = {1: (SampleCodec.PCM_S8, 8), 2: (SampleCodec.PCM_16, 16),
+               3: (SampleCodec.PCM_24, 24), 4: (SampleCodec.PCM_32, 32)}
+
+
+def parse_sd2(path: str, total: int):
+    rsrc = _sd2_rsrc_path(path)
+    if rsrc is None:
+        raise LegacyError("SD2 file has no resource fork")
+    with open(rsrc, "rb") as f:
+        strings = _resource_fork_strings(f.read(1 << 20))
+    try:
+        size = int(strings[1000])
+        rate = int(round(float(strings[1001])))
+        channels = int(strings[1002])
+    except (KeyError, ValueError) as e:
+        raise LegacyError(f"bad SD2 resource strings: {e}") from None
+    codec_bits = _SD2_CODECS.get(size)
+    if codec_bits is None or channels < 1 or channels > 64 or \
+            not (100 <= rate <= 400000):
+        raise LegacyError("unsupported SD2 layout")
+    codec, bits = codec_bits
+    frames = total // (size * channels)
+    info = AudioInfo(rate=rate, channels=channels, frames=frames,
+                     container=Container.SD2, codec=codec,
+                     bits_per_sample=bits)
+    return info, 0, False  # big-endian, data starts at byte 0
+
+
+def sniff_sd2(path: str) -> bool:
+    import os
+
+    if not path.lower().endswith(".sd2"):
+        return False
+    try:
+        parse_sd2(path, os.path.getsize(path))
+        return True
+    except (LegacyError, OSError):
+        return False
+
+
+def read_sd2_info(path: str) -> AudioInfo:
+    import os
+
+    return parse_sd2(path, os.path.getsize(path))[0]
+
+
+def open_sd2_stream(path: str):
+    import os
+
+    info, off, little = parse_sd2(path, os.path.getsize(path))
+    return _make_stream(path, info, off, little)
+
+
+def read_sd2(path: str):
+    f, info, off, fb, decode = open_sd2_stream(path)
+    with f:
+        f.seek(off)
+        x = decode(f.read())
+    info.frames = x.shape[0]
+    return x, info

@@ -228,7 +228,8 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container in (Container.VOC, Container.IRCAM, Container.NIST,
                          Container.SVX, Container.PVF, Container.PAF,
                          Container.AVR, Container.WVE, Container.MAT,
-                         Container.HTK, Container.SDS, Container.MPC):
+                         Container.HTK, Container.SDS, Container.MPC,
+                         Container.SD2):
             from folve_tpu.audio import legacy
 
             opener = getattr(legacy, f"open_{container.value}_stream")

@@ -32,6 +32,7 @@ class Container(enum.Enum):
     HTK = "htk"
     SDS = "sds"
     MPC = "mpc"
+    SD2 = "sd2"
     RAW = "raw"
 
 

@@ -350,3 +350,62 @@ def test_htk_sds_streaming(tmp_path, rng):
             chunks.append(blk)
         src.close()
         np.testing.assert_array_equal(np.concatenate(chunks), whole)
+
+
+SF_SD2, SF_PCM_24 = 0x160000, 0x0003
+
+
+@pytest.mark.parametrize("name,sub,ch", [
+    ("a.sd2", SF_PCM_16, 2),
+    ("b.sd2", SF_PCM_24, 2),
+    ("c.sd2", SF_PCM_S8, 1),
+])
+def test_decodes_sd2(tmp_path, rng, name, sub, ch):
+    """SD2: headerless BE PCM + '._name' resource-fork side file."""
+    x = _material(rng, frames=1500, ch=ch)
+    p = tmp_path / name
+    _sf_write(p, x, RATE, SF_SD2 | sub)
+    assert (tmp_path / f"._{name}").exists()  # the oracle wrote the fork
+    assert sniff_container(str(p)) == Container.SD2
+    got, info = read_audio(str(p))
+    assert info.container == Container.SD2
+    oracle, orate = _sf_read(p)
+    assert orate == RATE
+    assert got.shape == oracle.shape
+    np.testing.assert_array_equal(got, oracle)
+    info2 = read_audio_info(str(p))
+    assert info2.rate == RATE and info2.channels == ch
+
+
+def test_sd2_without_fork_not_claimed(tmp_path, rng):
+    """A bare .sd2 with no resource fork cannot be identified."""
+    p = tmp_path / "naked.sd2"
+    p.write_bytes(bytes(rng.integers(0, 256, 1000, dtype=np.uint8)))
+    assert sniff_container(str(p)) is None
+
+
+def test_sd2_fork_mutation_robust(tmp_path, rng):
+    """Mutating the resource fork never crashes the prober — it either
+    parses or raises ValueError/OSError (the fuzz contract)."""
+    x = _material(rng, frames=600, ch=1)
+    p = tmp_path / "m.sd2"
+    _sf_write(p, x, RATE, SF_SD2 | SF_PCM_16)
+    fork = tmp_path / "._m.sd2"
+    orig = bytearray(fork.read_bytes())
+    for trial in range(120):
+        mutated = bytearray(orig)
+        kind = trial % 3
+        if kind == 0:
+            for _ in range(int(rng.integers(1, 6))):
+                i = int(rng.integers(0, len(mutated)))
+                mutated[i] = int(rng.integers(0, 256))
+        elif kind == 1:
+            mutated = mutated[: int(rng.integers(0, len(mutated)))]
+        else:
+            mutated += bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+        fork.write_bytes(bytes(mutated))
+        try:
+            sniff_container(str(p))
+            read_audio(str(p))
+        except (ValueError, OSError):
+            pass
