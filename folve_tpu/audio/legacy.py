@@ -1034,6 +1034,8 @@ class MpcStreamEncoder(PcmStreamEncoderBase):
         del metadata
         if self.channels not in (1, 2):
             raise LegacyError("MPC2000 carries 1 or 2 channels")
+        if self.rate > 0xFFFF:
+            raise LegacyError("MPC2000 cannot carry rates above 65535 Hz")
         out = bytearray(42)
         out[0], out[1] = 1, 4
         out[2:20] = b"folve.mpc".ljust(18)
@@ -1041,7 +1043,7 @@ class MpcStreamEncoder(PcmStreamEncoderBase):
         struct.pack_into("<III", out, 26, self.total_frames,
                          self.total_frames, self.total_frames)
         out[39] = 1  # observed fixed byte in oracle files
-        struct.pack_into("<H", out, 40, min(self.rate, 0xFFFF))
+        struct.pack_into("<H", out, 40, self.rate)
         return bytes(out)
 
 
@@ -1050,9 +1052,10 @@ class MpcStreamEncoder(PcmStreamEncoderBase):
 # ---------------------------------------------------------------------------
 
 
-def _septets(b3, lsb_first=True):
+def _septets(b3):
+    """Three LSB-first MIDI septets -> 21-bit value."""
     s = [v & 0x7F for v in b3]
-    return s[0] | (s[1] << 7) | (s[2] << 14) if lsb_first else 0
+    return s[0] | (s[1] << 7) | (s[2] << 14)
 
 
 def parse_sds_header(head: bytes):
