@@ -173,3 +173,25 @@ def test_fuzz_random_bytes(tmp_path, rng):
             blob = magic + bytes(rng.integers(0, 256, size, dtype=np.uint8))
             work.write_bytes(blob)
             _probe(work)
+
+
+def test_cross_sniff_matrix(tmp_path, rng):
+    """Every fixture sniffs as ITS OWN container — none of the
+    weak-magic formats (HTK size-consistency, MPC2000 2-byte magic,
+    MP3 sync scan) may claim another container's file."""
+    from folve_tpu.audio import Container
+
+    expect = {"flac": Container.FLAC, "wav": Container.WAV,
+              "aiff": Container.AIFF, "au": Container.AU,
+              "w64": Container.W64, "caf": Container.CAF,
+              "voc": Container.VOC, "ircam": Container.IRCAM,
+              "nist": Container.NIST, "pvf": Container.PVF,
+              "paf": Container.PAF, "avr": Container.AVR,
+              "mp3": Container.MP3, "mp2": Container.MP3,
+              "oggflac": Container.OGG}
+    fixtures = _fixtures(tmp_path, rng)
+    work = tmp_path / "x.bin"  # extension must not matter (except .sd2)
+    for name, blob in fixtures.items():
+        work.write_bytes(blob)
+        got = sniff_container(str(work))
+        assert got == expect[name], (name, got)
