@@ -8,6 +8,7 @@ tiny-final-frame FLAC bug is exactly the class these catch.)
 """
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -288,3 +289,44 @@ def test_flac_parallel_decode_equals_serial(
     finally:
         set_encoder_threads(0)
     np.testing.assert_array_equal(serial, parallel)
+
+
+@settings(**COMMON)
+@given(
+    frames=st.integers(0, 3000),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 22050, 44100, 48000]),
+    fmt=st.sampled_from(["voc", "ircam", "nist", "pvf", "paf", "avr",
+                         "mpc"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_legacy_encoder_roundtrip_exact(frames, channels, rate, fmt, seed):
+    """Every legacy streaming encoder round-trips through our own
+    reader sample-exact at arbitrary lengths/rates/channel counts."""
+    from folve_tpu.audio import legacy, read_audio
+
+    enc_cls = {"voc": legacy.VocStreamEncoder,
+               "ircam": legacy.IrcamStreamEncoder,
+               "nist": legacy.NistStreamEncoder,
+               "pvf": legacy.PvfStreamEncoder,
+               "paf": legacy.PafStreamEncoder,
+               "avr": legacy.AvrStreamEncoder,
+               "mpc": legacy.MpcStreamEncoder}[fmt]
+    rng = np.random.default_rng(seed)
+    x = _quantized(
+        rng.uniform(-1.0, 0.999, (frames, channels)).astype(np.float64), 16
+    ).astype(np.float32)
+    enc = enc_cls(rate, channels, 16, frames)
+    blob = enc.header() + enc.write_float(x) + enc.finish()
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=f".{fmt}", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    try:
+        got, info = read_audio(path)
+    finally:
+        os.unlink(path)
+    assert info.rate == rate and info.channels == channels
+    assert got.shape == (frames, channels)
+    np.testing.assert_array_equal(got, x)
