@@ -105,7 +105,9 @@ def _engine_configs(out, rng):
         return iters * s * t * bank.fragm / rate / dt, dt
 
     # --- config 5: batched serving (headline value).
-    s5, t5, iters5 = (4, 4, 2) if smoke else (32, 32, 20)
+    # 64x64 chosen by on-chip sweep (S,T in {16..128}^2): 22.2kx vs
+    # 19.2kx at 32x32; larger configs regress (DEVNOTES round 4b).
+    s5, t5, iters5 = (4, 4, 2) if smoke else (64, 64, 20)
     value, dt5 = run(bank, s5, t5, iters5)
     out["metric"] = (
         f"audio-sec/sec/chip (realtimex), {size}-tap stereo 44.1kHz, "
