@@ -84,6 +84,8 @@ def sniff_container(path: str) -> Optional[Container]:
         return None
     if magic[:2] == b"\xf0\x7e" and len(magic) >= 4 and magic[3] == 0x01:
         return Container.SDS  # MIDI sample-dump header packet
+    if magic[:12] == b"Extended Ins":  # "Extended Instrument: " (XI)
+        return Container.XI
     # HTK and MPC2000 have weak/no magic: both checks demand a fully
     # size-consistent header, so run them before the MP3 sync scan.
     if len(magic) >= 12:
@@ -130,7 +132,7 @@ def sniff_container(path: str) -> Optional[Container]:
 _LEGACY = {Container.VOC, Container.IRCAM, Container.NIST, Container.SVX,
            Container.PVF, Container.PAF, Container.AVR, Container.WVE,
            Container.MAT, Container.HTK, Container.SDS, Container.MPC,
-           Container.SD2}
+           Container.SD2, Container.XI}
 
 
 def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:

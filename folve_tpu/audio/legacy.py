@@ -1123,6 +1123,85 @@ def open_sds_stream(path: str):
 
 
 # ---------------------------------------------------------------------------
+# XI (FastTracker II Extended Instrument: DPCM-coded sample data)
+# ---------------------------------------------------------------------------
+#
+# Layout (as libsndfile reads/writes it — validated against the oracle
+# by header-mutation probes, tests/test_legacy_formats.py):
+#   0   "Extended Instrument: " (21-byte magic)
+#   21  instrument name (22), 0x1A marker @43, software (20), version u16
+#   66  keymap/envelope block the audio layer ignores (230 bytes)
+#   296 u16 LE sample count  (must be >= 1)
+#   298 40-byte sample headers; byte 14 of the FIRST one carries the
+#       0x10 16-bit flag.  Stored sample lengths are untrustworthy —
+#       the frame count comes from the bytes after the headers.
+#   298+n*40  DPCM payload: cumulative s8 (<<8 on output) or s16 LE
+#       deltas, wrapping at the accumulator's natural width.
+# XI is mono, and the container has no samplerate (it is an instrument
+# format pitched by note); the oracle reports a fixed 44100.
+
+_XI_MAGIC = b"Extended Instrument: "
+
+
+def parse_xi(head: bytes, total: int):
+    if len(head) < 338 or head[:21] != _XI_MAGIC or head[43] != 0x1A:
+        raise LegacyError("not an XI instrument")
+    (nsamples,) = struct.unpack("<H", head[296:298])
+    if nsamples < 1:
+        raise LegacyError("XI with no samples")
+    offset = 298 + nsamples * 40
+    if offset > total:
+        raise LegacyError("XI sample headers past EOF")
+    wide = bool(head[312] & 0x10)  # first sample header's type byte
+    codec = SampleCodec.DPCM_16 if wide else SampleCodec.DPCM_8
+    frames = max(0, total - offset) // (2 if wide else 1)
+    info = AudioInfo(rate=44100, channels=1, frames=frames,
+                     container=Container.XI, codec=codec,
+                     bits_per_sample=16 if wide else 8)
+    return info, offset
+
+
+def read_xi_info(path: str) -> AudioInfo:
+    import os
+
+    with open(path, "rb") as f:
+        head = f.read(338)
+    return parse_xi(head, os.path.getsize(path))[0]
+
+
+def read_xi(path: str):
+    import os
+
+    with open(path, "rb") as f:
+        head = f.read(338)
+        info, offset = parse_xi(head, os.path.getsize(path))
+        f.seek(offset)
+        raw = f.read()
+    if info.codec == SampleCodec.DPCM_16:
+        deltas = np.frombuffer(raw[: len(raw) - len(raw) % 2], "<i2")
+        acc = np.cumsum(deltas.astype(np.int64))
+        x = ((acc + 32768) & 0xFFFF) - 32768  # wrap like a C short
+        x = x.astype(np.float32) / 32768.0
+    else:
+        deltas = np.frombuffer(raw, np.int8)
+        acc = np.cumsum(deltas.astype(np.int64))
+        x = ((acc + 128) & 0xFF) - 128  # wrap like a C char, then <<8
+        x = x.astype(np.float32) / 128.0
+    info.frames = x.shape[0]
+    return x.reshape(-1, 1), info
+
+
+def open_xi_stream(path: str):
+    # DPCM needs the running sum from sample 0; XI instrument samples
+    # are small, so the whole-read _MemorySource fallback handles them.
+    return None
+
+
+def sniff_xi(head: bytes) -> bool:
+    return head[:12] == _XI_MAGIC[:12]
+
+
+# ---------------------------------------------------------------------------
 # SD2 (Sound Designer II: headerless BE PCM + Mac resource-fork metadata)
 # ---------------------------------------------------------------------------
 

@@ -229,7 +229,7 @@ def open_source(path: str) -> Optional[AudioSource]:
                          Container.SVX, Container.PVF, Container.PAF,
                          Container.AVR, Container.WVE, Container.MAT,
                          Container.HTK, Container.SDS, Container.MPC,
-                         Container.SD2):
+                         Container.SD2, Container.XI):
             from folve_tpu.audio import legacy
 
             opener = getattr(legacy, f"open_{container.value}_stream")

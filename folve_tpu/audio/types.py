@@ -33,6 +33,7 @@ class Container(enum.Enum):
     SDS = "sds"
     MPC = "mpc"
     SD2 = "sd2"
+    XI = "xi"
     RAW = "raw"
 
 
@@ -51,6 +52,8 @@ class SampleCodec(enum.Enum):
     IMA_ADPCM = "ima_adpcm"
     MS_ADPCM = "ms_adpcm"
     MP3 = "mp3"
+    DPCM_8 = "dpcm_8"
+    DPCM_16 = "dpcm_16"
 
 
 _BITS = {
@@ -66,6 +69,8 @@ _BITS = {
     SampleCodec.IMA_ADPCM: 4,
     SampleCodec.MS_ADPCM: 4,
     SampleCodec.MP3: 16,
+    SampleCodec.DPCM_8: 8,
+    SampleCodec.DPCM_16: 16,
 }
 
 

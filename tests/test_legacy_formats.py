@@ -409,3 +409,96 @@ def test_sd2_fork_mutation_robust(tmp_path, rng):
             read_audio(str(p))
         except (ValueError, OSError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# XI (FastTracker II instrument, DPCM sample data)
+# ---------------------------------------------------------------------------
+
+SF_XI, SF_DPCM_8, SF_DPCM_16 = 0x0F0000, 0x0050, 0x0051
+
+
+@pytest.mark.parametrize("name,sub", [
+    ("a.xi", SF_DPCM_16),
+    ("b.xi", SF_DPCM_8),
+])
+def test_decodes_xi(tmp_path, rng, name, sub):
+    """XI DPCM decodes sample-exact vs the oracle's own read-back."""
+    x = _material(rng, frames=2000, ch=1)
+    p = tmp_path / name
+    _sf_write(p, x, RATE, SF_XI | sub)
+    assert sniff_container(str(p)) == Container.XI
+    got, info = read_audio(str(p))
+    assert info.container == Container.XI
+    oracle, orate = _sf_read(p)
+    assert got.shape == oracle.shape
+    np.testing.assert_array_equal(got, oracle)
+    info2 = read_audio_info(str(p))
+    assert info2.frames == got.shape[0] and info2.channels == 1
+    assert info2.rate == orate  # the format carries no rate; match oracle
+
+
+def test_xi_dpcm_wraparound(tmp_path):
+    """The delta accumulator wraps at its natural width (probed against
+    the oracle: 30000+30000 -> -5536 as a C short)."""
+    import struct
+
+    from folve_tpu.audio.legacy import read_xi
+
+    head = bytearray(338)
+    head[:21] = b"Extended Instrument: "
+    head[43] = 0x1A
+    head[296:298] = (1).to_bytes(2, "little")
+    head[312] = 0x10  # 16-bit flag
+    p = tmp_path / "wrap.xi"
+    p.write_bytes(bytes(head) + struct.pack("<3h", 30000, 30000, -30000))
+    x, info = read_xi(str(p))
+    np.testing.assert_array_equal(
+        np.round(x[:, 0] * 32768).astype(int), [30000, -5536, 30000])
+    head[312] = 0x00  # 8-bit
+    p.write_bytes(bytes(head) + struct.pack("3b", 100, 100, -100))
+    x, info = read_xi(str(p))
+    np.testing.assert_array_equal(
+        np.round(x[:, 0] * 128).astype(int), [100, -56, 100])
+
+
+def test_xi_through_filesystem_flac_fallback(tmp_path, rng):
+    """XI input convolves; output falls back to FLAC (XI is a mono
+    instrument container, not an interchange target)."""
+    from tests.test_runtime import make_fs, read_all
+
+    x = _material(rng, frames=2500, ch=1)
+    fs, src_dir = make_fs(tmp_path, conf_text=(
+        "/convolver/new 1 1 64 512\n"
+        "/impulse/dirac 1 1 0.7 0\n"
+        "/impulse/dirac 1 1 0.3 100\n"
+    ))
+    _sf_write(src_dir / "song.xi", x, RATE, SF_XI | SF_DPCM_16)
+    h = fs.get_or_create_handler("/song.xi")
+    blob = read_all(h)
+    fs.close_handler("/song.xi", h)
+    assert blob[:4] == b"fLaC"
+
+
+def test_xi_corrupt_headers_reject():
+    from folve_tpu.audio.legacy import LegacyError, parse_xi
+
+    good = bytearray(338)
+    good[:21] = b"Extended Instrument: "
+    good[43] = 0x1A
+    good[296:298] = (1).to_bytes(2, "little")
+    parse_xi(bytes(good), 400)  # sanity: accepted
+    with pytest.raises(LegacyError):
+        parse_xi(bytes(good)[:200], 400)  # truncated header
+    bad = bytearray(good)
+    bad[43] = 0
+    with pytest.raises(LegacyError):
+        parse_xi(bytes(bad), 400)  # marker byte missing
+    bad = bytearray(good)
+    bad[296:298] = (0).to_bytes(2, "little")
+    with pytest.raises(LegacyError):
+        parse_xi(bytes(bad), 400)  # no samples
+    bad = bytearray(good)
+    bad[296:298] = (500).to_bytes(2, "little")
+    with pytest.raises(LegacyError):
+        parse_xi(bytes(bad), 400)  # sample headers past EOF
