@@ -118,6 +118,17 @@ def _parse(f: BinaryIO):
     elif comp == b"raw ":
         codec = SampleCodec.PCM_U8
         bits = 8
+    elif comp == b"gsm ":
+        # GSM 6.10 in AIFC: plain 33-byte/160-sample frames (no WAV49
+        # block pairing).  Stateful across frames -> streaming happens
+        # via GsmSource, not the chunked PCM path.
+        if channels != 1:
+            raise AiffError("GSM 6.10 is mono-only")
+        codec = SampleCodec.GSM610
+        bits = 16
+        block_align = 33
+        samples_per_block = 160
+        frames = min(frames, (sound_size // 33) * 160)
     elif comp == b"ima4":
         # Apple/QT IMA: 34-byte chunks of 64 samples per channel,
         # channel chunks interleaved; each chunk carries its own
@@ -136,7 +147,7 @@ def _parse(f: BinaryIO):
         frames = min(frames, sound_size // channels)
     elif comp == b"fl64":
         frames = min(frames, sound_size // (8 * channels))
-    elif comp != b"ima4" and bits and channels:
+    elif comp not in (b"ima4", b"gsm ") and bits and channels:
         frames = min(frames, sound_size // max(1, channels * (bits // 8)))
     info = AudioInfo(
         rate=rate,
@@ -197,6 +208,10 @@ def _decode_payload(raw: bytes, info: AudioInfo, little: bool) -> np.ndarray:
         x = _alaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
     elif c == SampleCodec.IMA_ADPCM:
         return _decode_ima4(raw, ch)
+    elif c == SampleCodec.GSM610:
+        from folve_tpu.audio.gsm import decode_gsm
+
+        return decode_gsm(raw, wav49=False)
     else:
         raise AiffError(f"cannot decode {c}")
     n = (len(x) // ch) * ch
@@ -299,6 +314,10 @@ def open_aiff_stream(path: str):
         src = _Ima4Source(f, info)
         src._offset = offset
         return None, src, offset, 0, None
+    if info.codec == SampleCodec.GSM610:
+        from folve_tpu.audio.gsm import GsmSource
+
+        return None, GsmSource(f, info, offset, _size, wav49=False), offset, 0, None
     little = comp == b"sowt"
     storage = {
         SampleCodec.ULAW: 1, SampleCodec.ALAW: 1, SampleCodec.PCM_U8: 1,

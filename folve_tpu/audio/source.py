@@ -188,7 +188,17 @@ def open_source(path: str) -> Optional[AudioSource]:
     container = sniff_container(path)
     try:
         if container == Container.WAV:
-            return WavSource(path)
+            src = WavSource(path)
+            from folve_tpu.audio.types import SampleCodec
+
+            if src.info.codec == SampleCodec.GSM610:
+                # GSM state is continuous across blocks — the blockwise
+                # WavSource path would decode with stale history.
+                from folve_tpu.audio.gsm import GsmSource
+
+                return GsmSource(src._f, src.info, src._data_offset,
+                                 src._data_size, wav49=True)
+            return src
         if container == Container.FLAC:
             # Pass the path: FlacDecoder reads it once into the native
             # side's copy; routing bytes through here would pin a second
@@ -208,7 +218,10 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.W64:
             from folve_tpu.audio.w64 import open_w64_stream
 
-            return PcmChunkSource(*open_w64_stream(path))
+            stream = open_w64_stream(path)
+            if stream[0] is None:  # GSM: ready-made stateful source
+                return stream[1]
+            return PcmChunkSource(*stream)
         if container == Container.CAF:
             from folve_tpu.audio.caf import open_caf_stream
 

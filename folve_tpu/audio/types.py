@@ -54,6 +54,7 @@ class SampleCodec(enum.Enum):
     MP3 = "mp3"
     DPCM_8 = "dpcm_8"
     DPCM_16 = "dpcm_16"
+    GSM610 = "gsm610"
 
 
 _BITS = {
@@ -71,6 +72,7 @@ _BITS = {
     SampleCodec.MP3: 16,
     SampleCodec.DPCM_8: 8,
     SampleCodec.DPCM_16: 16,
+    SampleCodec.GSM610: 16,
 }
 
 

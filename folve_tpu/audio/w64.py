@@ -33,6 +33,7 @@ WAVE_FORMAT_PCM = 1
 WAVE_FORMAT_IEEE_FLOAT = 3
 WAVE_FORMAT_ALAW = 6
 WAVE_FORMAT_MULAW = 7
+WAVE_FORMAT_GSM610 = 0x31  # Microsoft GSM 6.10 (WAV49 framing)
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -67,6 +68,10 @@ def _parse(blob: bytes):
     )
     if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
         (tag,) = struct.unpack("<H", fmt[24:26])  # subformat GUID head
+    if tag == WAVE_FORMAT_GSM610:
+        if channels != 1:
+            raise W64Error("GSM 6.10 is mono-only")
+        bits = 16  # fmt declares 0 bits; decode is 16-bit
     if channels == 0 or rate == 0 or bits == 0:
         raise W64Error("bad fmt fields")
     return tag, channels, rate, bits, data_off, data_len
@@ -129,6 +134,16 @@ def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
     with open(path, "rb") as f:
         blob = f.read()
     tag, channels, rate, bits, off, length = _parse(blob)
+    if tag == WAVE_FORMAT_GSM610:
+        from folve_tpu.audio.gsm import decode_gsm
+
+        data = decode_gsm(blob[off : off + length], wav49=True)
+        info = AudioInfo(
+            rate=rate, channels=1, frames=data.shape[0],
+            container=Container.W64, codec=SampleCodec.GSM610,
+            bits_per_sample=16, block_align=65, samples_per_block=320,
+        )
+        return data, info
     codec = _CODEC.get((tag, bits))
     if codec is None:
         raise W64Error(f"unsupported format tag={tag} bits={bits}")
@@ -175,6 +190,19 @@ def open_w64_stream(path: str):
         )
         if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
             (tag,) = struct.unpack("<H", fmt[24:26])
+        if tag == WAVE_FORMAT_GSM610:
+            if channels != 1:
+                raise W64Error("GSM 6.10 is mono-only")
+            from folve_tpu.audio.gsm import GsmSource, gsm_frames_in
+
+            info = AudioInfo(
+                rate=rate, channels=1,
+                frames=gsm_frames_in(int(data_len), wav49=True),
+                container=Container.W64, codec=SampleCodec.GSM610,
+                bits_per_sample=16, block_align=65, samples_per_block=320,
+            )
+            src = GsmSource(f, info, data_off, int(data_len), wav49=True)
+            return None, src, data_off, 0, None
         codec = _CODEC.get((tag, bits))
         if codec is None or channels == 0:
             raise W64Error("unsupported w64 format")
@@ -195,9 +223,13 @@ def open_w64_stream(path: str):
 
 
 def read_w64_info(path: str) -> AudioInfo:
-    f, info, _off, _fb, _dec = open_w64_stream(path)
+    f, src_or_info, _off, _fb, _dec = open_w64_stream(path)
+    if f is None:  # GSM: ready-made source in slot 1
+        info = src_or_info.info
+        src_or_info.close()
+        return info
     f.close()
-    return info
+    return src_or_info
 
 
 class W64StreamEncoder(PcmStreamEncoderBase):

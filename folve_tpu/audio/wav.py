@@ -23,6 +23,7 @@ _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
 _WAVE_FORMAT_IMA_ADPCM = 0x0011  # a.k.a. DVI ADPCM
+_WAVE_FORMAT_GSM610 = 0x0031  # Microsoft GSM 6.10 (WAV49 framing)
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -171,8 +172,29 @@ def _parse_header(f: BinaryIO):
             samples_per_block = struct.unpack("<H", fmt[18:20])[0]
         if not (1 <= samples_per_block <= derived):
             samples_per_block = derived
+    elif tag == _WAVE_FORMAT_GSM610:
+        codec = SampleCodec.GSM610
+        bits = 16  # fmt declares 0 bits; decode is 16-bit
+        if channels != 1:
+            raise WavError("GSM 6.10 is mono-only")
+        if block_align != 65:
+            raise WavError(f"GSM 6.10 block align {block_align} != 65")
+        samples_per_block = 320
     else:
         raise WavError(f"unsupported WAVE format tag 0x{tag:04x}")
+
+    if codec == SampleCodec.GSM610:
+        # Blockwise ceil — a partial tail block decodes zero-padded
+        # (matches the libsndfile behavior the reference inherits;
+        # the fact chunk is ignored, probed in tests/test_gsm.py).
+        frames = -(-data_size // block_align) * samples_per_block
+        del fact_frames
+        info = AudioInfo(
+            rate=rate, channels=channels, frames=frames,
+            container=Container.WAV, codec=codec, bits_per_sample=bits,
+            block_align=block_align, samples_per_block=samples_per_block,
+        )
+        return info, data_offset, data_size
 
     block_coded = codec in (SampleCodec.IMA_ADPCM, SampleCodec.MS_ADPCM)
     if block_coded:
@@ -357,6 +379,10 @@ def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
         return _decode_ima_adpcm(raw, info)
     if c == SampleCodec.MS_ADPCM:
         return _decode_ms_adpcm(raw, info)
+    if c == SampleCodec.GSM610:
+        from folve_tpu.audio.gsm import decode_gsm
+
+        return decode_gsm(raw, wav49=True)
     if c == SampleCodec.PCM_16:
         x = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.float32) / 32768.0
     elif c == SampleCodec.PCM_24:
