@@ -126,13 +126,20 @@ def sniff_mp3(path: str) -> bool:
 
 
 class Mp3Source:
-    """Streaming MP3 decode source (AudioSource protocol)."""
+    """Streaming MP3 decode source (AudioSource protocol).
 
-    def __init__(self, path: str):
+    Accepts a path or raw MPEG bitstream bytes; ``container`` lets a
+    wrapping container (MPEG-in-WAV, fmt tags 0x50/0x55 — what
+    libsndfile 1.1 decodes for the reference) report itself."""
+
+    def __init__(self, path_or_bytes, container: Container = Container.MP3):
         lib = _get_lib()
         self._lib = lib
-        with open(path, "rb") as f:
-            data = f.read()
+        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+            data = bytes(path_or_bytes)
+        else:
+            with open(path_or_bytes, "rb") as f:
+                data = f.read()
         self._h = lib.folve_mp3_open(data, len(data))
         if not self._h:
             raise Mp3Error("cannot open mp3 stream")
@@ -146,7 +153,7 @@ class Mp3Source:
             rate=int(info.rate),
             channels=int(info.channels),
             frames=max(0, int(info.frames)),
-            container=Container.MP3,
+            container=container,
             codec=SampleCodec.MP3,
             bits_per_sample=16,  # nominal: mp3 is float internally
         )

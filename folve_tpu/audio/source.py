@@ -198,6 +198,16 @@ def open_source(path: str) -> Optional[AudioSource]:
 
                 return GsmSource(src._f, src.info, src._data_offset,
                                  src._data_size, wav49=True)
+            if src.info.codec == SampleCodec.MP3:
+                # MPEG-in-WAV: hand the data-chunk bitstream to the
+                # native MPEG decoder (same whole-payload policy as a
+                # bare .mp3).
+                from folve_tpu.audio.mp3 import Mp3Source
+
+                src._f.seek(src._data_offset)
+                raw = src._f.read(src._data_size)
+                src.close()
+                return Mp3Source(raw, container=Container.WAV)
             return src
         if container == Container.FLAC:
             # Pass the path: FlacDecoder reads it once into the native

@@ -24,6 +24,8 @@ _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
 _WAVE_FORMAT_IMA_ADPCM = 0x0011  # a.k.a. DVI ADPCM
 _WAVE_FORMAT_GSM610 = 0x0031  # Microsoft GSM 6.10 (WAV49 framing)
+_WAVE_FORMAT_MPEG = 0x0050  # MPEG-1 Layer I/II bitstream in data chunk
+_WAVE_FORMAT_MPEGLAYER3 = 0x0055
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -41,7 +43,16 @@ def _open(src: Union[str, bytes, BinaryIO]) -> BinaryIO:
 
 def read_wav_info(src) -> AudioInfo:
     f = _open(src)
-    info, _, _ = _parse_header(f)
+    info, offset, size = _parse_header(f)
+    if info.codec == SampleCodec.MP3:
+        # fmt/fact lie or are absent for MPEG-in-WAV; the bitstream is
+        # authoritative (the native opener's frame-header walk is fast).
+        from folve_tpu.audio.mp3 import Mp3Source
+
+        f.seek(offset)
+        src2 = Mp3Source(f.read(size), container=Container.WAV)
+        info = src2.info
+        src2.close()
     return info
 
 
@@ -180,8 +191,22 @@ def _parse_header(f: BinaryIO):
         if block_align != 65:
             raise WavError(f"GSM 6.10 block align {block_align} != 65")
         samples_per_block = 320
+    elif tag in (_WAVE_FORMAT_MPEG, _WAVE_FORMAT_MPEGLAYER3):
+        # MPEG audio bitstream in the data chunk (libsndfile 1.1
+        # decodes these for the reference).  Authoritative rate /
+        # channels / frames come from the bitstream itself, not the
+        # fmt chunk — callers re-probe via Mp3Source.
+        codec = SampleCodec.MP3
+        bits = 16
     else:
         raise WavError(f"unsupported WAVE format tag 0x{tag:04x}")
+
+    if codec == SampleCodec.MP3:
+        info = AudioInfo(
+            rate=rate, channels=channels, frames=fact_frames or 0,
+            container=Container.WAV, codec=codec, bits_per_sample=bits,
+        )
+        return info, data_offset, data_size
 
     if codec == SampleCodec.GSM610:
         # Blockwise ceil — a partial tail block decodes zero-padded
@@ -479,6 +504,12 @@ def read_wav(src) -> tuple[np.ndarray, AudioInfo]:
     info, offset, size = _parse_header(f)
     f.seek(offset)
     raw = f.read(size)
+    if info.codec == SampleCodec.MP3:
+        from folve_tpu.audio.mp3 import Mp3Source
+        from folve_tpu.audio.source import drain_source
+
+        data, sinfo = drain_source(Mp3Source(raw, container=Container.WAV))
+        return data, sinfo
     return _decode_pcm(raw, info), info
 
 

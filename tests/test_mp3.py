@@ -316,3 +316,83 @@ def test_layer2_through_filesystem(tmp_path, rng):
     assert blob[:4] == b"fLaC"
     got, info = read_flac(blob)
     assert info.rate == RATE and got.shape[0] > RATE / 2
+
+
+# --- MPEG-in-WAV (fmt tags 0x50/0x55) --------------------------------------
+# libsndfile 1.1 decodes MPEG audio wrapped in a WAV data chunk for the
+# reference (when built with mpg123 — the bundled test oracle is not, so
+# the payload oracle here is mpg123 on the raw bitstream, same as above).
+
+
+def _wrap_mpeg_in_wav(blob: bytes, rate: int, channels: int, tag=0x0055) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, 16000, 1, 0)
+    fmt += struct.pack("<H", 12) + struct.pack("<HHHIH", 1, 2, 0, 0, 0)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(blob)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(blob)) + blob
+    return out
+
+
+@pytest.mark.parametrize("tag,layer", [(0x0055, 3), (0x0050, 2)])
+def test_mpeg_in_wav_matches_mpg123(tmp_path, rng, tag, layer):
+    x = _material(rng)
+    if layer == 3:
+        blob = lame_encode(x, RATE, 128, mode=1)
+    else:
+        from folve_tpu.tools.mp3_oracle import twolame_available, twolame_encode
+
+        if not twolame_available():
+            pytest.skip("no twolame fixture encoder")
+        blob = twolame_encode(x, RATE, 192)
+    p = tmp_path / "m.wav"
+    p.write_bytes(_wrap_mpeg_in_wav(blob, RATE, 2, tag=tag))
+
+    assert sniff_container(str(p)) == Container.WAV
+    info = read_audio_info(str(p))
+    assert info.rate == RATE and info.channels == 2
+    got, ginfo = read_audio(str(p))
+    assert ginfo.container == Container.WAV
+    assert got.shape[0] == info.frames
+    oracle = mpg123_decode(blob)
+    err = _err_db(got, oracle)
+    assert err < -90, f"tag 0x{tag:04x}: err {err:.1f} dB vs oracle"
+
+
+def test_mpeg_in_wav_streaming_source(tmp_path, rng):
+    from folve_tpu.audio.source import open_source
+
+    x = _material(rng)
+    blob = lame_encode(x, RATE, 128)
+    p = tmp_path / "m.wav"
+    p.write_bytes(_wrap_mpeg_in_wav(blob, RATE, 2))
+    whole, _ = read_audio(str(p))
+
+    src = open_source(str(p))
+    assert src is not None and src.info.container == Container.WAV
+    chunks = []
+    while True:
+        blk = src.read_float(3001)
+        if blk.shape[0] == 0:
+            break
+        chunks.append(blk)
+    src.close()
+    np.testing.assert_array_equal(np.concatenate(chunks), whole)
+
+
+def test_mpeg_in_wav_through_filesystem(tmp_path, rng):
+    from folve_tpu.audio.flac import read_flac
+    from tests.test_runtime import make_fs, read_all
+
+    x = _material(rng, seconds=1.0)
+    fs, src_dir = make_fs(tmp_path)
+    (src_dir / "song.wav").write_bytes(
+        _wrap_mpeg_in_wav(lame_encode(x, RATE, 192), RATE, 2)
+    )
+    h = fs.get_or_create_handler("/song.wav")
+    blob = read_all(h)
+    fs.close_handler("/song.wav", h)
+    assert blob[:4] == b"fLaC"
+    got, info = read_flac(blob)
+    assert info.rate == RATE and got.shape[0] > RATE / 2
