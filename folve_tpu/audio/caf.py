@@ -33,9 +33,9 @@ def _parse_desc(body: bytes):
     rate, fmt_id, flags, bpp, fpp, channels, bits = struct.unpack(
         ">d4sIIIII", body[:32]
     )
-    if fmt_id not in (b"lpcm", b"ulaw", b"alaw"):
+    if fmt_id not in (b"lpcm", b"ulaw", b"alaw", b"alac"):
         raise CafError(f"unsupported CAF codec {fmt_id!r}")
-    if channels == 0 or bits == 0 or rate <= 0:
+    if channels == 0 or rate <= 0 or (bits == 0 and fmt_id != b"alac"):
         raise CafError("bad desc fields")
     del bpp, fpp
     return rate, flags, channels, bits, fmt_id
@@ -76,6 +76,10 @@ def read_caf(path: str) -> tuple[np.ndarray, AudioInfo]:
     if desc is None or data is None:
         raise CafError("missing desc/data chunks")
     rate, flags, channels, bits, fmt_id = desc
+    if fmt_id == b"alac":
+        from folve_tpu.audio.alac import read_caf_alac
+
+        return read_caf_alac(path)
     x, codec = _decode_payload(data, flags, int(bits), int(channels),
                                fmt_id)
     bits_out = 16 if codec in (SampleCodec.ULAW, SampleCodec.ALAW) else int(bits)
@@ -179,6 +183,11 @@ def open_caf_stream(path: str):
             raise CafError("missing desc/data chunks")
         rate, flags, channels, bits, fmt_id = desc
         channels, bits = int(channels), int(bits)
+        if fmt_id == b"alac":
+            from folve_tpu.audio.alac import AlacSource
+
+            f.seek(0)
+            return None, AlacSource(f), data_off, 0, None
         if fmt_id in (b"ulaw", b"alaw"):
             codec = SampleCodec.ULAW if fmt_id == b"ulaw" else SampleCodec.ALAW
             frame_bytes = channels  # one byte stored, 16-bit decoded
@@ -207,9 +216,13 @@ def open_caf_stream(path: str):
 
 
 def read_caf_info(path: str) -> AudioInfo:
-    f, info, _off, _fb, _dec = open_caf_stream(path)
+    f, src_or_info, _off, _fb, _dec = open_caf_stream(path)
+    if f is None:  # ALAC: ready-made source in slot 1
+        info = src_or_info.info
+        src_or_info.close()
+        return info
     f.close()
-    return info
+    return src_or_info
 
 class CafStreamEncoder(PcmStreamEncoderBase):
     """Streaming CAF encoder: big-endian PCM behind an exact-size

@@ -235,7 +235,10 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.CAF:
             from folve_tpu.audio.caf import open_caf_stream
 
-            return PcmChunkSource(*open_caf_stream(path))
+            stream = open_caf_stream(path)
+            if stream[0] is None:  # ALAC: ready-made packet source
+                return stream[1]
+            return PcmChunkSource(*stream)
         if container == Container.OGG:
             from folve_tpu.audio.oggflac import OggFlacSource, sniff_ogg_codec
 

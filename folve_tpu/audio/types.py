@@ -55,6 +55,7 @@ class SampleCodec(enum.Enum):
     DPCM_8 = "dpcm_8"
     DPCM_16 = "dpcm_16"
     GSM610 = "gsm610"
+    ALAC = "alac"
 
 
 _BITS = {
@@ -73,6 +74,7 @@ _BITS = {
     SampleCodec.DPCM_8: 8,
     SampleCodec.DPCM_16: 16,
     SampleCodec.GSM610: 16,
+    SampleCodec.ALAC: 16,
 }
 
 
