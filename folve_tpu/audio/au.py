@@ -35,6 +35,12 @@ _ENC_CODEC = {
     7: SampleCodec.DOUBLE,
     27: SampleCodec.PCM_16,  # A-law
 }
+# CCITT G.72x ADPCM encodings: continuous sub-byte code streams with
+# continuous predictor state (decoded by native/g72x_codec.cc via a
+# stateful source, not the chunked PCM path).  enc -> code bits.
+_ENC_G72X = {23: 4, 25: 3, 26: 5}
+_G72X_CODEC = {23: SampleCodec.G721_32, 25: SampleCodec.G723_24,
+               26: SampleCodec.G723_40}
 
 
 def _mulaw_table() -> np.ndarray:
@@ -62,22 +68,29 @@ def _parse_header(blob: bytes):
     if len(blob) < 24 or blob[:4] != _MAGIC:
         raise AuError("not an AU file")
     offset, size, enc, rate, channels = struct.unpack(">IIIII", blob[4:24])
-    if enc not in _ENC_BITS:
+    if enc not in _ENC_BITS and enc not in _ENC_G72X:
         raise AuError(f"unsupported AU encoding {enc}")
     if channels == 0 or rate == 0 or offset < 24:
         raise AuError("bad AU header")
     avail = max(0, len(blob) - offset)
     if size == 0xFFFFFFFF or size > avail:
         size = avail  # unknown/overstated length: till EOF
-    bits = _ENC_BITS[enc]
-    frames = size // (channels * (bits // 8))
+    if enc in _ENC_G72X:
+        frames = size * 8 // _ENC_G72X[enc]
+    else:
+        bits = _ENC_BITS[enc]
+        frames = size // (channels * (bits // 8))
     return offset, size, enc, rate, channels, frames
 
 
 def read_au_info(path: str) -> AudioInfo:
-    f, info, _off, _fb, _dec = open_au_stream(path)
+    f, src_or_info, _off, _fb, _dec = open_au_stream(path)
+    if f is None:  # G.72x: ready-made source in slot 1
+        info = src_or_info.info
+        src_or_info.close()
+        return info
     f.close()
-    return info
+    return src_or_info
 
 
 def _decode_payload(raw: bytes, enc: int, channels: int) -> np.ndarray:
@@ -118,6 +131,18 @@ def read_au(path: str) -> tuple[np.ndarray, AudioInfo]:
     with open(path, "rb") as f:
         blob = f.read()
     offset, size, enc, rate, channels, frames = _parse_header(blob)
+    if enc in _ENC_G72X:
+        from folve_tpu.audio.g72x import decode_g72x
+
+        if channels != 1:
+            raise AuError("G.72x is mono-only")
+        data = decode_g72x(blob[offset : offset + size], _ENC_G72X[enc])
+        info = AudioInfo(
+            rate=rate, channels=1, frames=data.shape[0],
+            container=Container.AU, codec=_G72X_CODEC[enc],
+            bits_per_sample=16,
+        )
+        return data, info
     data = _decode_payload(blob[offset : offset + size], enc, channels)
     info = AudioInfo(
         rate=rate, channels=channels, frames=data.shape[0],
@@ -139,11 +164,25 @@ def open_au_stream(path: str):
         if len(hdr) < 24 or hdr[:4] != _MAGIC:
             raise AuError("not an AU file")
         offset, size, enc, rate, channels = struct.unpack(">IIIII", hdr[4:24])
-        if enc not in _ENC_BITS or channels == 0 or rate == 0 or offset < 24:
+        if (enc not in _ENC_BITS and enc not in _ENC_G72X) or \
+                channels == 0 or rate == 0 or offset < 24:
             raise AuError("bad AU header")
         avail = max(0, total - offset)
         if size == 0xFFFFFFFF or size > avail:
             size = avail
+        if enc in _ENC_G72X:
+            from folve_tpu.audio.g72x import G72xSource
+
+            if channels != 1:
+                raise AuError("G.72x is mono-only")
+            bits_code = _ENC_G72X[enc]
+            info = AudioInfo(
+                rate=rate, channels=1, frames=size * 8 // bits_code,
+                container=Container.AU, codec=_G72X_CODEC[enc],
+                bits_per_sample=16,
+            )
+            return None, G72xSource(f, info, offset, size, bits_code), \
+                offset, 0, None
         bits = _ENC_BITS[enc]
         frames = size // (channels * (bits // 8))
         info = AudioInfo(

@@ -198,6 +198,13 @@ def open_source(path: str) -> Optional[AudioSource]:
 
                 return GsmSource(src._f, src.info, src._data_offset,
                                  src._data_size, wav49=True)
+            if src.info.codec == SampleCodec.G721_32:
+                # G.721-in-WAV: continuous code stream with continuous
+                # predictor state — stateful source like GSM.
+                from folve_tpu.audio.g72x import G721_32_BITS, G72xSource
+
+                return G72xSource(src._f, src.info, src._data_offset,
+                                  src._data_size, G721_32_BITS)
             if src.info.codec == SampleCodec.MP3:
                 # MPEG-in-WAV: hand the data-chunk bitstream to the
                 # native MPEG decoder (same whole-payload policy as a
@@ -224,7 +231,10 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.AU:
             from folve_tpu.audio.au import open_au_stream
 
-            return PcmChunkSource(*open_au_stream(path))
+            stream = open_au_stream(path)
+            if stream[0] is None:  # G.72x: ready-made stateful source
+                return stream[1]
+            return PcmChunkSource(*stream)
         if container == Container.W64:
             from folve_tpu.audio.w64 import open_w64_stream
 

@@ -56,6 +56,9 @@ class SampleCodec(enum.Enum):
     DPCM_16 = "dpcm_16"
     GSM610 = "gsm610"
     ALAC = "alac"
+    G721_32 = "g721_32"  # CCITT G.721 ADPCM, 32 kbps (4-bit codes)
+    G723_24 = "g723_24"  # CCITT G.723 ADPCM, 24 kbps (3-bit codes)
+    G723_40 = "g723_40"  # CCITT G.723 ADPCM, 40 kbps (5-bit codes)
 
 
 _BITS = {
@@ -75,6 +78,9 @@ _BITS = {
     SampleCodec.DPCM_16: 16,
     SampleCodec.GSM610: 16,
     SampleCodec.ALAC: 16,
+    SampleCodec.G721_32: 16,
+    SampleCodec.G723_24: 16,
+    SampleCodec.G723_40: 16,
 }
 
 

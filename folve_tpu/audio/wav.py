@@ -24,6 +24,7 @@ _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
 _WAVE_FORMAT_IMA_ADPCM = 0x0011  # a.k.a. DVI ADPCM
 _WAVE_FORMAT_GSM610 = 0x0031  # Microsoft GSM 6.10 (WAV49 framing)
+_WAVE_FORMAT_G721_ADPCM = 0x0040  # CCITT G.721 32 kbps (continuous 4-bit)
 _WAVE_FORMAT_MPEG = 0x0050  # MPEG-1 Layer I/II bitstream in data chunk
 _WAVE_FORMAT_MPEGLAYER3 = 0x0055
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
@@ -191,6 +192,15 @@ def _parse_header(f: BinaryIO):
         if block_align != 65:
             raise WavError(f"GSM 6.10 block align {block_align} != 65")
         samples_per_block = 320
+    elif tag == _WAVE_FORMAT_G721_ADPCM:
+        # The data chunk is ONE continuous 4-bit code stream (the
+        # nominal 64-byte block align carries no framing and the
+        # predictor state runs across it — probed in
+        # tools/g72x_probe.py).
+        codec = SampleCodec.G721_32
+        if channels != 1:
+            raise WavError("G.721 is mono-only")
+        bits = 16  # fmt declares 4 coded bits; decode is 16-bit
     elif tag in (_WAVE_FORMAT_MPEG, _WAVE_FORMAT_MPEGLAYER3):
         # MPEG audio bitstream in the data chunk (libsndfile 1.1
         # decodes these for the reference).  Authoritative rate /
@@ -218,6 +228,16 @@ def _parse_header(f: BinaryIO):
             rate=rate, channels=channels, frames=frames,
             container=Container.WAV, codec=codec, bits_per_sample=bits,
             block_align=block_align, samples_per_block=samples_per_block,
+        )
+        return info, data_offset, data_size
+
+    if codec == SampleCodec.G721_32:
+        # Continuous sub-byte stream; the fact chunk is ignored like
+        # the other coded formats (data-derived count, two codes/byte).
+        del fact_frames
+        info = AudioInfo(
+            rate=rate, channels=1, frames=data_size * 2,
+            container=Container.WAV, codec=codec, bits_per_sample=bits,
         )
         return info, data_offset, data_size
 
@@ -408,6 +428,10 @@ def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
         from folve_tpu.audio.gsm import decode_gsm
 
         return decode_gsm(raw, wav49=True)
+    if c == SampleCodec.G721_32:
+        from folve_tpu.audio.g72x import G721_32_BITS, decode_g72x
+
+        return decode_g72x(raw, G721_32_BITS)
     if c == SampleCodec.PCM_16:
         x = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.float32) / 32768.0
     elif c == SampleCodec.PCM_24:
