@@ -109,7 +109,10 @@ class Decoder {
     mant -= 8;
     const word temp1 = FAC[mant];
     const int temp2 = 6 - exp;
-    const word temp3 = (word)(1 << (temp2 - 1));
+    // Spec asl(1, temp2-1): a LEFT shift by a negative count is an
+    // arithmetic right shift, so xmaxc >= 56 (exp == 6, loud signals)
+    // yields 0 -- `1 << -1` is C++ UB and miscompiles under -O2.
+    const word temp3 = temp2 > 0 ? (word)(1 << (temp2 - 1)) : 0;
     std::memset(erp, 0, 40 * sizeof(word));
     for (int i = 0; i < 13; ++i) {
       word temp = (word)((xMc[i] << 1) - 7);  // -7 .. +7

@@ -66,6 +66,25 @@ def test_sample_exact_vs_libgsm(tmp_path, rng, ext, fmt, container):
 @pytest.mark.parametrize("ext,fmt", [
     ("wav", SF_WAV), ("aiff", SF_AIFF), ("w64", SF_W64),
 ])
+def test_sample_exact_at_full_scale(tmp_path, rng, ext, fmt):
+    """Full-scale noise drives xmaxc >= 56 (exp == 6), where the spec's
+    asl(1, -1) in APCM inverse quantization means a RIGHT shift to 0 --
+    a `1 << -1` there is C++ UB that miscompiled the whole dequant path
+    under -O2 (regression: decoder output saturated on loud material)."""
+    x = (np.round(rng.uniform(-1, 1, (3200, 1)) * 32767) / 32768).astype(np.float32)
+    p = tmp_path / f"loud.{ext}"
+    _sf_write(p, x, RATE, fmt | SF_GSM)
+    got, _ = read_audio(str(p))
+    oracle, _ = _sf_read(p)
+    n = min(got.shape[0], oracle.shape[0])
+    np.testing.assert_array_equal(
+        np.round(got[:n, 0] * 32768), np.round(oracle[:n, 0] * 32768)
+    )
+
+
+@pytest.mark.parametrize("ext,fmt", [
+    ("wav", SF_WAV), ("aiff", SF_AIFF), ("w64", SF_W64),
+])
 def test_stream_matches_whole_file(tmp_path, rng, ext, fmt):
     """Chunked odd-size streaming reads == whole-file decode (state is
     continuous across coded blocks — a fresh-state blockwise reader
