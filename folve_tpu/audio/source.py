@@ -34,9 +34,15 @@ class WavSource:
     is sequential within a block, so reads decode whole covering blocks
     and slice)."""
 
-    def __init__(self, path_or_file):
+    def __init__(self, path_or_file, parsed=None):
         self._f = _open(path_or_file)
-        self.info, self._data_offset, self._data_size = _parse_header(self._f)
+        if parsed is not None:
+            # (info, data_offset, data_size) from a non-RIFF container
+            # carrying a WAV fmt payload (Wave64) — the read logic below
+            # only depends on these three.
+            self.info, self._data_offset, self._data_size = parsed
+        else:
+            self.info, self._data_offset, self._data_size = _parse_header(self._f)
         from folve_tpu.audio.types import SampleCodec
 
         if self.info.codec in (SampleCodec.ALAW, SampleCodec.ULAW):
@@ -238,10 +244,9 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.W64:
             from folve_tpu.audio.w64 import open_w64_stream
 
-            stream = open_w64_stream(path)
-            if stream[0] is None:  # GSM: ready-made stateful source
-                return stream[1]
-            return PcmChunkSource(*stream)
+            # Always a ready-made source: WavSource over the parsed
+            # GUID chunks, or the stateful GSM/G.721 sources.
+            return open_w64_stream(path)[1]
         if container == Container.CAF:
             from folve_tpu.audio.caf import open_caf_stream
 

@@ -29,12 +29,7 @@ GUID_WAVE = b"wave" + _TAIL
 GUID_FMT = b"fmt " + _TAIL
 GUID_DATA = b"data" + _TAIL
 
-WAVE_FORMAT_PCM = 1
-WAVE_FORMAT_IEEE_FLOAT = 3
-WAVE_FORMAT_ALAW = 6
-WAVE_FORMAT_MULAW = 7
-WAVE_FORMAT_GSM610 = 0x31  # Microsoft GSM 6.10 (WAV49 framing)
-WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+WAVE_FORMAT_PCM = 1  # tag interpretation lives in wav.interpret_fmt
 
 
 def _align8(n: int) -> int:
@@ -61,99 +56,31 @@ def _parse(blob: bytes):
         pos += _align8(size)
     if fmt is None or data_off is None:
         raise W64Error("missing fmt/data chunks")
-    if len(fmt) < 16:
-        raise W64Error("short fmt chunk")
-    tag, channels, rate, _brate, _balign, bits = struct.unpack(
-        "<HHIIHH", fmt[:16]
-    )
-    if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
-        (tag,) = struct.unpack("<H", fmt[24:26])  # subformat GUID head
-    if tag == WAVE_FORMAT_GSM610:
-        if channels != 1:
-            raise W64Error("GSM 6.10 is mono-only")
-        bits = 16  # fmt declares 0 bits; decode is 16-bit
-    if channels == 0 or rate == 0 or bits == 0:
-        raise W64Error("bad fmt fields")
-    return tag, channels, rate, bits, data_off, data_len
+    return fmt, data_off, data_len
 
 
-_CODEC = {
-    (WAVE_FORMAT_PCM, 8): SampleCodec.PCM_U8,
-    (WAVE_FORMAT_PCM, 16): SampleCodec.PCM_16,
-    (WAVE_FORMAT_PCM, 24): SampleCodec.PCM_24,
-    (WAVE_FORMAT_PCM, 32): SampleCodec.PCM_32,
-    (WAVE_FORMAT_IEEE_FLOAT, 32): SampleCodec.FLOAT,
-    (WAVE_FORMAT_IEEE_FLOAT, 64): SampleCodec.DOUBLE,
-    (WAVE_FORMAT_ALAW, 8): SampleCodec.ALAW,
-    (WAVE_FORMAT_MULAW, 8): SampleCodec.ULAW,
-}
+def _interpret(fmt: bytes, data_len: int) -> AudioInfo:
+    """fmt payload -> AudioInfo via the shared WAV fmt interpreter —
+    Wave64 carries a byte-identical WAVEFORMAT(EX) chunk, so every WAV
+    sample codec (PCM/float/G.711/IMA/MS-ADPCM/GSM/G.721) decodes here
+    too, like libsndfile's shared wav_w64 parser gives the reference."""
+    from folve_tpu.audio.wav import WavError, interpret_fmt
 
-# G.711 stores one byte per sample but decodes to 16-bit range.
-_STORAGE_OVERRIDE = {SampleCodec.ALAW: 1, SampleCodec.ULAW: 1}
-_BITS_OVERRIDE = {SampleCodec.ALAW: 16, SampleCodec.ULAW: 16}
-
-
-def _decode_payload(raw: bytes, codec, bits: int, channels: int) -> np.ndarray:
-    """Raw data bytes (any whole-frame slice) -> float32 [n, ch].
-    Truncated payloads short-decode rather than raising from frombuffer."""
-    elem = _STORAGE_OVERRIDE.get(codec, max(1, bits // 8))
-    raw = raw[: (len(raw) // elem) * elem]
-    if codec == SampleCodec.ULAW:
-        from folve_tpu.audio.au import _mulaw_table
-
-        data = _mulaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
-    elif codec == SampleCodec.ALAW:
-        from folve_tpu.audio.au import _alaw_table
-
-        data = _alaw_table()[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
-    elif codec == SampleCodec.PCM_U8:
-        data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif codec == SampleCodec.PCM_16:
-        data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-    elif codec == SampleCodec.PCM_24:
-        b = np.frombuffer(raw[: (len(raw) // 3) * 3], np.uint8).reshape(-1, 3)
-        v = (
-            b[:, 0].astype(np.int32)
-            | (b[:, 1].astype(np.int32) << 8)
-            | (b[:, 2].astype(np.int32) << 16)
-        )
-        v = np.where(v >= 1 << 23, v - (1 << 24), v)
-        data = v.astype(np.float32) / float(1 << 23)
-    elif codec == SampleCodec.PCM_32:
-        data = np.frombuffer(raw, "<i4").astype(np.float64) / float(1 << 31)
-    elif codec == SampleCodec.FLOAT:
-        data = np.frombuffer(raw, "<f4").astype(np.float64)
-    else:
-        data = np.frombuffer(raw, "<f8")
-    data = np.asarray(data, np.float32)
-    n = data.size // channels
-    return data[: n * channels].reshape(n, channels)
+    try:
+        return interpret_fmt(fmt, data_len, None, Container.W64,
+                             allow_mpeg=False)
+    except WavError as e:
+        raise W64Error(str(e)) from None
 
 
 def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
     with open(path, "rb") as f:
         blob = f.read()
-    tag, channels, rate, bits, off, length = _parse(blob)
-    if tag == WAVE_FORMAT_GSM610:
-        from folve_tpu.audio.gsm import decode_gsm
+    fmt, off, length = _parse(blob)
+    info = _interpret(fmt, int(length))
+    from folve_tpu.audio.wav import _decode_pcm
 
-        data = decode_gsm(blob[off : off + length], wav49=True)
-        info = AudioInfo(
-            rate=rate, channels=1, frames=data.shape[0],
-            container=Container.W64, codec=SampleCodec.GSM610,
-            bits_per_sample=16, block_align=65, samples_per_block=320,
-        )
-        return data, info
-    codec = _CODEC.get((tag, bits))
-    if codec is None:
-        raise W64Error(f"unsupported format tag={tag} bits={bits}")
-    data = _decode_payload(blob[off : off + length], codec, bits, channels)
-    info = AudioInfo(
-        rate=rate, channels=channels, frames=data.shape[0],
-        container=Container.W64, codec=codec,
-        bits_per_sample=_BITS_OVERRIDE.get(codec, bits),
-    )
-    return data, info
+    return _decode_pcm(blob[off : off + length], info), info
 
 
 def open_w64_stream(path: str):
@@ -183,53 +110,37 @@ def open_w64_stream(path: str):
             pos += _align8(size)
             if fmt is not None and data_len is not None:
                 break
-        if fmt is None or data_off is None or len(fmt) < 16:
+        if fmt is None or data_off is None:
             raise W64Error("missing fmt/data chunks")
-        tag, channels, rate, _brate, _balign, bits = struct.unpack(
-            "<HHIIHH", fmt[:16]
-        )
-        if tag == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
-            (tag,) = struct.unpack("<H", fmt[24:26])
-        if tag == WAVE_FORMAT_GSM610:
-            if channels != 1:
-                raise W64Error("GSM 6.10 is mono-only")
-            from folve_tpu.audio.gsm import GsmSource, gsm_frames_in
+        info = _interpret(fmt, int(data_len))
+        if info.codec == SampleCodec.GSM610:
+            # Decoder state is continuous across coded blocks — needs
+            # the stateful forward-streaming source.
+            from folve_tpu.audio.gsm import GsmSource
 
-            info = AudioInfo(
-                rate=rate, channels=1,
-                frames=gsm_frames_in(int(data_len), wav49=True),
-                container=Container.W64, codec=SampleCodec.GSM610,
-                bits_per_sample=16, block_align=65, samples_per_block=320,
-            )
             src = GsmSource(f, info, data_off, int(data_len), wav49=True)
-            return None, src, data_off, 0, None
-        codec = _CODEC.get((tag, bits))
-        if codec is None or channels == 0:
-            raise W64Error("unsupported w64 format")
-        storage = _STORAGE_OVERRIDE.get(codec, bits // 8)
-        frames = int(data_len) // (channels * storage)
-        info = AudioInfo(
-            rate=rate, channels=channels, frames=frames,
-            container=Container.W64, codec=codec,
-            bits_per_sample=_BITS_OVERRIDE.get(codec, bits),
-        )
+        elif info.codec == SampleCodec.G721_32:
+            from folve_tpu.audio.g72x import G721_32_BITS, G72xSource
+
+            src = G72xSource(f, info, data_off, int(data_len), G721_32_BITS)
+        else:
+            # Everything else (PCM/float/G.711/IMA/MS-ADPCM) reads
+            # through the WAV source logic — frame-granular for sample
+            # codecs, covering-block reads for the ADPCMs.
+            from folve_tpu.audio.source import WavSource
+
+            src = WavSource(f, parsed=(info, data_off, int(data_len)))
+        return None, src, data_off, 0, None
     except Exception:
         f.close()
         raise
-    frame_bytes = channels * storage
-    return f, info, data_off, frame_bytes, (
-        lambda raw: _decode_payload(raw, codec, bits, channels)
-    )
 
 
 def read_w64_info(path: str) -> AudioInfo:
-    f, src_or_info, _off, _fb, _dec = open_w64_stream(path)
-    if f is None:  # GSM: ready-made source in slot 1
-        info = src_or_info.info
-        src_or_info.close()
-        return info
-    f.close()
-    return src_or_info
+    _f, src, _off, _fb, _dec = open_w64_stream(path)
+    info = src.info
+    src.close()
+    return info
 
 
 class W64StreamEncoder(PcmStreamEncoderBase):

@@ -115,6 +115,20 @@ def _parse_header(f: BinaryIO):
             data_size = max(0, file_end - data_offset)
     except OSError:
         pass  # unseekable: trust the header
+    info = interpret_fmt(fmt, data_size, fact_frames)
+    return info, data_offset, data_size
+
+
+def interpret_fmt(fmt: bytes, data_size: int, fact_frames=None,
+                  container: Container = Container.WAV,
+                  allow_mpeg: bool = True) -> AudioInfo:
+    """WAVEFORMAT(EX[TENSIBLE]) fmt-chunk bytes -> AudioInfo.
+
+    Shared by the RIFF/RF64 parser above and the Wave64 reader (Wave64
+    carries a byte-identical fmt payload behind GUID chunk framing), so
+    every WAV sample codec — PCM/float/G.711/IMA/MS-ADPCM/GSM/G.721 —
+    is decoded identically in both containers, like libsndfile's shared
+    wav_w64 fmt parser gives the reference."""
     if len(fmt) < 16:
         raise WavError("fmt chunk too short")
     tag, channels, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
@@ -201,7 +215,7 @@ def _parse_header(f: BinaryIO):
         if channels != 1:
             raise WavError("G.721 is mono-only")
         bits = 16  # fmt declares 4 coded bits; decode is 16-bit
-    elif tag in (_WAVE_FORMAT_MPEG, _WAVE_FORMAT_MPEGLAYER3):
+    elif tag in (_WAVE_FORMAT_MPEG, _WAVE_FORMAT_MPEGLAYER3) and allow_mpeg:
         # MPEG audio bitstream in the data chunk (libsndfile 1.1
         # decodes these for the reference).  Authoritative rate /
         # channels / frames come from the bitstream itself, not the
@@ -212,11 +226,10 @@ def _parse_header(f: BinaryIO):
         raise WavError(f"unsupported WAVE format tag 0x{tag:04x}")
 
     if codec == SampleCodec.MP3:
-        info = AudioInfo(
+        return AudioInfo(
             rate=rate, channels=channels, frames=fact_frames or 0,
-            container=Container.WAV, codec=codec, bits_per_sample=bits,
+            container=container, codec=codec, bits_per_sample=bits,
         )
-        return info, data_offset, data_size
 
     if codec == SampleCodec.GSM610:
         # Blockwise ceil — a partial tail block decodes zero-padded
@@ -224,22 +237,20 @@ def _parse_header(f: BinaryIO):
         # the fact chunk is ignored, probed in tests/test_gsm.py).
         frames = -(-data_size // block_align) * samples_per_block
         del fact_frames
-        info = AudioInfo(
+        return AudioInfo(
             rate=rate, channels=channels, frames=frames,
-            container=Container.WAV, codec=codec, bits_per_sample=bits,
+            container=container, codec=codec, bits_per_sample=bits,
             block_align=block_align, samples_per_block=samples_per_block,
         )
-        return info, data_offset, data_size
 
     if codec == SampleCodec.G721_32:
         # Continuous sub-byte stream; the fact chunk is ignored like
         # the other coded formats (data-derived count, two codes/byte).
         del fact_frames
-        info = AudioInfo(
+        return AudioInfo(
             rate=rate, channels=1, frames=data_size * 2,
-            container=Container.WAV, codec=codec, bits_per_sample=bits,
+            container=container, codec=codec, bits_per_sample=bits,
         )
-        return info, data_offset, data_size
 
     block_coded = codec in (SampleCodec.IMA_ADPCM, SampleCodec.MS_ADPCM)
     if block_coded:
@@ -259,18 +270,17 @@ def _parse_header(f: BinaryIO):
         del fact_frames
     else:
         frames = data_size // block_align
-    info = AudioInfo(
+    return AudioInfo(
         rate=rate,
         channels=channels,
         frames=frames,
-        container=Container.WAV,
+        container=container,
         codec=codec,
         bits_per_sample=bits,
         block_align=block_align if block_coded else 0,
         samples_per_block=samples_per_block,
         codec_params=codec_params,
     )
-    return info, data_offset, data_size
 
 
 # IMA/DVI ADPCM tables (IMA ADPCM Reference Algorithm, 1992).

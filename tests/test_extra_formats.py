@@ -293,7 +293,9 @@ def test_chunk_source_bit_identical(tmp_path, rng, fmt, write):
     write(str(p), x, RATE, bits=16)
     whole, info = read_audio(str(p))
     src = open_source(str(p))
-    assert type(src).__name__ == "PcmChunkSource"
+    # W64 streams through the shared WavSource (same chunked reads);
+    # the others through PcmChunkSource.
+    assert type(src).__name__ in ("PcmChunkSource", "WavSource")
     got = []
     for n in (1, 7, 512, 4096, 4096):  # uneven chunk sizes
         got.append(src.read_float(n))
@@ -343,7 +345,7 @@ def test_chunk_source_constant_memory_multi_gb(tmp_path, rng):
         f.write(b"\0\0")
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
     src = open_source(str(p))
-    assert type(src).__name__ == "PcmChunkSource"
+    assert type(src).__name__ == "WavSource"  # chunked, not whole-file
     assert src.info.frames == frames
     total = 0
     for _ in range(20):
@@ -383,3 +385,35 @@ def test_g711_in_w64_and_caf(tmp_path, rng, fmt, sub, container, ch):
     assert orate == RATE and got.shape == oracle.shape
     np.testing.assert_array_equal(got, oracle)
     assert read_audio_info(str(p)).frames == oracle.shape[0]
+
+
+SF_SUB_IMA, SF_SUB_MS = 0x0012, 0x0013
+
+
+@pytest.mark.parametrize("sub,codec_name", [
+    (SF_SUB_IMA, "ima_adpcm"),
+    (SF_SUB_MS, "ms_adpcm"),
+])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_adpcm_in_w64(tmp_path, rng, sub, codec_name, ch):
+    """Wave64 carries a byte-identical WAVEFORMAT fmt chunk, so every
+    WAV sample codec decodes in W64 too — here the block-coded ADPCMs
+    through the shared fmt interpreter, sample-exact vs libsndfile and
+    bit-identical between whole-file and chunked-streaming reads."""
+    from folve_tpu.audio.source import open_source
+
+    x = _material(rng, frames=4421, ch=ch)
+    p = tmp_path / "a.w64"
+    _sf_write(p, x, RATE, SF_W64 | sub)
+    assert sniff_container(str(p)) == Container.W64
+    got, info = read_audio(str(p))
+    assert info.codec.value == codec_name
+    oracle, orate = _sf_read(p)
+    assert orate == RATE and got.shape == oracle.shape
+    np.testing.assert_array_equal(got, oracle)
+    src = open_source(str(p))
+    chunks = []
+    for n in (1, 7, 512, 4096, 4096):
+        chunks.append(src.read_float(n))
+    src.close()
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0), got)
