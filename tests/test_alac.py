@@ -121,6 +121,26 @@ def test_decoder_bit_exact_int(tmp_path, rng, bits, ch):
     np.testing.assert_array_equal(dec, vals)
 
 
+@pytest.mark.parametrize("ch", [1, 2])
+def test_alac_20bit_compressible(tmp_path, rng, ch):
+    """20-bit ALAC decodes bit-exactly on compressible material.  The
+    oracle ENCODER corrupts escape (verbatim) frames at 20-bit — it
+    stores 16-bit-wide raw samples and its own decoder reads back
+    garbage (see the native decoder's header note) — so material here
+    is gentle enough that every frame stays compressed; at stereo even
+    moderate noise trips the escape, hence the quiet noise floor."""
+    t = np.arange(30000) / RATE
+    x = 0.4 * np.sin(2 * np.pi * np.array([330.0, 523.0])[:ch] * t[:, None])
+    x += 0.0005 * rng.standard_normal((30000, ch))
+    vals = np.round(np.clip(x, -1, 1) * ((1 << 19) - 1)).astype(np.int64)
+    p = tmp_path / "t20.caf"
+    _sf_write_int(p, vals, 20)
+    got, info = read_audio(str(p))
+    assert info.bits_per_sample == 20 and info.frames == 30000
+    g = np.round(np.asarray(got, np.float64) * (1 << 19)).astype(np.int64)
+    np.testing.assert_array_equal(g, vals)
+
+
 def test_quiet_zero_runs(tmp_path, rng):
     """Near-silence exercises the zero-run entropy mode heavily."""
     vals = _vals(rng, 30000, 2, 16, kind="quiet")
