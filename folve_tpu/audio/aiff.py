@@ -129,6 +129,17 @@ def _parse(f: BinaryIO):
         block_align = 33
         samples_per_block = 160
         frames = min(frames, (sound_size // 33) * 160)
+    elif comp == b"dwvw":
+        # TX16W Delta Word Variable Width at the COMM-declared depth
+        # (12/16/24).  One continuous bitstream, no framing: the COMM
+        # frame count is the only source of truth for the length (the
+        # payload size only bounds it — each sample costs >= 1 bit).
+        if channels != 1:
+            raise AiffError("DWVW is mono-only")
+        if bits not in (12, 16, 24):
+            raise AiffError(f"unsupported DWVW depth {bits}")
+        codec = SampleCodec.DWVW
+        frames = min(frames, sound_size * 8)
     elif comp == b"ima4":
         # Apple/QT IMA: 34-byte chunks of 64 samples per channel,
         # channel chunks interleaved; each chunk carries its own
@@ -147,7 +158,7 @@ def _parse(f: BinaryIO):
         frames = min(frames, sound_size // channels)
     elif comp == b"fl64":
         frames = min(frames, sound_size // (8 * channels))
-    elif comp not in (b"ima4", b"gsm ") and bits and channels:
+    elif comp not in (b"ima4", b"gsm ", b"dwvw") and bits and channels:
         frames = min(frames, sound_size // max(1, channels * (bits // 8)))
     info = AudioInfo(
         rate=rate,
@@ -212,6 +223,11 @@ def _decode_payload(raw: bytes, info: AudioInfo, little: bool) -> np.ndarray:
         from folve_tpu.audio.gsm import decode_gsm
 
         return decode_gsm(raw, wav49=False)
+    elif c == SampleCodec.DWVW:
+        from folve_tpu.audio.dwvw import decode_dwvw
+
+        return decode_dwvw(raw, info.bits_per_sample,
+                           max_frames=info.frames)
     else:
         raise AiffError(f"cannot decode {c}")
     n = (len(x) // ch) * ch
@@ -318,6 +334,10 @@ def open_aiff_stream(path: str):
         from folve_tpu.audio.gsm import GsmSource
 
         return None, GsmSource(f, info, offset, _size, wav49=False), offset, 0, None
+    if info.codec == SampleCodec.DWVW:
+        from folve_tpu.audio.dwvw import DwvwSource
+
+        return None, DwvwSource(f, info, offset, _size), offset, 0, None
     little = comp == b"sowt"
     storage = {
         SampleCodec.ULAW: 1, SampleCodec.ALAW: 1, SampleCodec.PCM_U8: 1,

@@ -59,6 +59,7 @@ class SampleCodec(enum.Enum):
     G721_32 = "g721_32"  # CCITT G.721 ADPCM, 32 kbps (4-bit codes)
     G723_24 = "g723_24"  # CCITT G.723 ADPCM, 24 kbps (3-bit codes)
     G723_40 = "g723_40"  # CCITT G.723 ADPCM, 40 kbps (5-bit codes)
+    DWVW = "dwvw"        # TX16W Delta Word Variable Width (12/16/24-bit)
 
 
 _BITS = {
@@ -81,6 +82,7 @@ _BITS = {
     SampleCodec.G721_32: 16,
     SampleCodec.G723_24: 16,
     SampleCodec.G723_40: 16,
+    SampleCodec.DWVW: 16,  # declared depth (12/16/24) comes from COMM
 }
 
 

@@ -276,8 +276,16 @@ class ConvolveFileHandler(FileHandler):
             else:
                 out_bits = 16
         elif in_container == Container.AIFF:
+            # AIFC compressed variants re-encode as plain PCM at the
+            # nearest depth.  (The reference nominally keeps the full
+            # input format here, but its libsndfile writers for the
+            # coded variants patch chunk sizes with a close-time seek
+            # that folve's append-only ConversionBuffer swallows — a
+            # PCM header with exact sizes up front is strictly better.)
             out_bits = self._in_info.bits_per_sample
-            if out_bits not in (16, 24, 32):
+            if out_bits == 12:  # DWVW-12
+                out_bits = 16
+            elif out_bits not in (16, 24, 32):
                 out_bits = 24
         elif in_container in (Container.AU, Container.W64, Container.CAF):
             # "else: original format" (convolve-file-handler.cc:249-251)
