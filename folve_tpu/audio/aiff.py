@@ -276,7 +276,13 @@ def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
     info, offset, size, comp = _parse(f)
     f.seek(offset)
     raw = f.read(max(0, size))  # short read on truncated files is fine
-    return _decode_payload(raw, info, comp == b"sowt"), info
+    x = _decode_payload(raw, info, comp == b"sowt")
+    if comp == b"gsm " and x.shape[0] > info.frames:
+        # A partial tail block decodes blockwise (160-sample ceil); the
+        # COMM frame count is authoritative in AIFC (unlike WAV, where
+        # libsndfile ignores the fact chunk — probed in test_gsm.py).
+        x = x[: info.frames]
+    return x, info
 
 
 class _Ima4Source:

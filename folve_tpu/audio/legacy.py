@@ -246,6 +246,7 @@ _IRCAM_CODECS = {
     0x00001: (SampleCodec.PCM_S8, 8),
     0x00002: (SampleCodec.PCM_16, 16),
     0x00004: (SampleCodec.FLOAT, 32),
+    0x40004: (SampleCodec.PCM_32, 32),  # 32-bit linear int
     0x10001: (SampleCodec.ALAW, 16),
     0x20001: (SampleCodec.ULAW, 16),
 }
@@ -347,6 +348,10 @@ def parse_nist(head: bytes, total: int):
         codec, bits = SampleCodec.ALAW, 16
     elif coding == "pcm" and nbytes == 1:
         codec, bits = SampleCodec.PCM_S8, 8
+    elif coding == "pcm" and nbytes == 3:
+        codec, bits = SampleCodec.PCM_24, 24
+    elif coding == "pcm" and nbytes == 4:
+        codec, bits = SampleCodec.PCM_32, 32
     else:
         raise LegacyError(f"unsupported NIST coding {coding}/{nbytes}")
     frames = max(0, total - hdr_size) // (_STORAGE[codec] * channels)
@@ -508,13 +513,15 @@ def parse_pvf(head: bytes, total: int):
         channels, rate, bits = (int(v) for v in head[5:nl].split())
     except ValueError:
         raise LegacyError("bad PVF fields") from None
-    if bits != 16 or channels == 0:
+    codec = {8: SampleCodec.PCM_S8, 16: SampleCodec.PCM_16,
+             32: SampleCodec.PCM_32}.get(bits)
+    if codec is None or channels == 0:
         raise LegacyError(f"unsupported PVF layout {channels}/{bits}")
     offset = nl + 1
-    frames = max(0, total - offset) // (2 * channels)
+    frames = max(0, total - offset) // (_STORAGE[codec] * channels)
     info = AudioInfo(rate=rate, channels=channels, frames=frames,
-                     container=Container.PVF, codec=SampleCodec.PCM_16,
-                     bits_per_sample=16)
+                     container=Container.PVF, codec=codec,
+                     bits_per_sample=bits)
     return info, offset, False  # big-endian payload
 
 
@@ -560,7 +567,77 @@ class PvfStreamEncoder(PcmStreamEncoderBase):
 # PAF (Ensoniq PARIS)
 # ---------------------------------------------------------------------------
 
-_PAF_CODECS = {0: (SampleCodec.PCM_16, 16), 2: (SampleCodec.PCM_S8, 8)}
+_PAF_CODECS = {
+    0: (SampleCodec.PCM_16, 16),
+    1: (SampleCodec.PCM_24, 24),  # block-packed, see _decode_paf24
+    2: (SampleCodec.PCM_S8, 8),
+}
+
+# PAF 24-bit block layout (probed against the oracle with impulse
+# files): the payload is a sequence of 32-byte units, each carrying 10
+# samples as 3-byte little-endian values in the unit's LOGICAL byte
+# stream (last 2 bytes pad); for the big-endian ' paf' variant the
+# logical stream is the physical one with every int32's bytes reversed.
+# Units round-robin across channels (unit k belongs to channel k % ch).
+_PAF24_UNIT = 32
+_PAF24_SPB = 10
+
+
+def _decode_paf24(raw: bytes, channels: int, little: bool) -> np.ndarray:
+    nu = len(raw) // (_PAF24_UNIT * channels) * channels
+    raw = raw[: nu * _PAF24_UNIT]
+    if nu == 0:
+        return np.zeros((0, channels), np.float32)
+    b = np.frombuffer(raw, np.uint8).reshape(-1, 4)
+    if not little:
+        b = b[:, ::-1]  # undo the big-endian int32 word order
+    logical = np.ascontiguousarray(b).reshape(nu, _PAF24_UNIT)
+    trip = logical[:, : _PAF24_SPB * 3].reshape(nu, _PAF24_SPB, 3)
+    v = (trip[..., 0].astype(np.int32)
+         | (trip[..., 1].astype(np.int32) << 8)
+         | (trip[..., 2].astype(np.int32) << 16))
+    v = (v << 8) >> 8  # sign-extend 24 bits
+    # units: [ch0 u0][ch1 u0]...[ch0 u1]... -> [frame, ch]
+    v = v.reshape(nu // channels, channels, _PAF24_SPB)
+    x = v.transpose(0, 2, 1).reshape(-1, channels)
+    return x.astype(np.float32) / 8388608.0
+
+
+class _Paf24Source:
+    """Block-granular source for PAF 24-bit (stateless 32-byte units):
+    reads decode whole covering unit groups and slice."""
+
+    def __init__(self, f, info, offset, little):
+        self._f = f
+        self.info = info
+        self._offset = offset
+        self._little = little
+        self._pos = 0
+
+    def read_float(self, nframes: int) -> np.ndarray:
+        take = max(0, min(nframes, self.info.frames - self._pos))
+        if take == 0:
+            return np.zeros((0, self.info.channels), np.float32)
+        gb = _PAF24_UNIT * self.info.channels  # bytes per frame group
+        g0 = self._pos // _PAF24_SPB
+        g1 = -(-(self._pos + take) // _PAF24_SPB)
+        self._f.seek(self._offset + g0 * gb)
+        decoded = _decode_paf24(self._f.read((g1 - g0) * gb),
+                                self.info.channels, self._little)
+        out = decoded[self._pos - g0 * _PAF24_SPB :][:take]
+        self._pos += out.shape[0]
+        if out.shape[0] == 0:
+            self._pos = self.info.frames  # never wedge the pump loop
+        return out
+
+    def seek(self, frame: int) -> None:
+        self._pos = max(0, min(frame, self.info.frames))
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        except Exception:
+            pass
 
 
 def parse_paf(head: bytes, total: int):
@@ -579,10 +656,13 @@ def parse_paf(head: bytes, total: int):
     )
     codec_bits = _PAF_CODECS.get(fmt)
     if codec_bits is None or channels == 0 or not (0 < rate < 10 ** 7):
-        # fmt 1 is the 24-bit block-packed variant; unsupported
         raise LegacyError(f"unsupported PAF layout fmt={fmt}")
     codec, bits = codec_bits
-    frames = max(0, total - 2048) // (_STORAGE[codec] * channels)
+    if fmt == 1:  # 24-bit: 32-byte units of 10 samples per channel
+        groups = max(0, total - 2048) // (_PAF24_UNIT * channels)
+        frames = groups * _PAF24_SPB
+    else:
+        frames = max(0, total - 2048) // (_STORAGE[codec] * channels)
     info = AudioInfo(rate=int(rate), channels=int(channels), frames=frames,
                      container=Container.PAF, codec=codec,
                      bits_per_sample=bits)
@@ -603,11 +683,19 @@ def open_paf_stream(path: str):
         f.seek(0, 2)
         total = f.tell()
     info, off, little = parse_paf(head, total)
+    if info.codec == SampleCodec.PCM_24:
+        src = _Paf24Source(open(path, "rb"), info, off, little)
+        return None, src, off, 0, None
     return _make_stream(path, info, off, little)
 
 
 def read_paf(path: str):
-    f, info, off, fb, decode = open_paf_stream(path)
+    stream = open_paf_stream(path)
+    if stream[0] is None:  # 24-bit block source
+        from folve_tpu.audio.source import drain_source
+
+        return drain_source(stream[1])
+    f, info, off, fb, decode = stream
     with f:
         f.seek(off)
         x = decode(f.read())
@@ -873,6 +961,8 @@ def read_mat5(path: str):
                 data = m.astype(np.float32)
             elif dt == "<i4":
                 data = m.astype(np.float32) / 2147483648.0
+            elif dt == "u1":  # miUINT8, offset-binary
+                data = (m.astype(np.float32) - 128.0) / 128.0
             else:
                 raise LegacyError("unsupported MAT5 wavedata type")
     return _mat_finish(rate, data, channels)
@@ -1062,7 +1152,7 @@ def parse_sds_header(head: bytes):
     if len(head) < 21 or head[:2] != b"\xf0\x7e" or head[3] != 0x01:
         raise LegacyError("not an SDS dump header")
     fmt = head[6]
-    if fmt not in (8, 16):
+    if fmt not in (8, 16, 24):
         raise LegacyError(f"unsupported SDS word size {fmt}")
     period = _septets(head[7:10])
     length = _septets(head[10:13])
@@ -1078,28 +1168,32 @@ def read_sds(path: str):
     fmt, rate, length = parse_sds_header(blob[:21])
     vals = []
     pos = 21
-    per = 3 if fmt == 16 else 2
+    # Septets per sample; the payload carries the FULL septet precision
+    # in offset binary — nominal "8/16/24-bit" dumps actually hold
+    # 14/21/28 significant bits (2/3/4 septets; libsndfile keeps every
+    # bit through its float path, so matching it exactly means keeping
+    # them all rather than truncating to the nominal width).
+    per = {8: 2, 16: 3, 24: 4}[fmt]
+    mid = 1 << (7 * per - 1)
     while pos + 127 <= len(blob):
         if blob[pos : pos + 2] != b"\xf0\x7e" or blob[pos + 3] != 0x02:
             break
         data = blob[pos + 5 : pos + 125]
         arr = np.frombuffer(data, np.uint8).astype(np.int64) & 0x7F
-        arr = arr.reshape(-1, per)
-        if fmt == 16:
-            # 21-bit big-endian septets, left-justified 16-bit samples
-            v = (arr[:, 0] << 14) | (arr[:, 1] << 7) | arr[:, 2]
-            vals.append((v >> 5) - 32768)
-        else:
-            v = (arr[:, 0] << 7) | arr[:, 1]
-            vals.append((v >> 6) - 128)
+        arr = arr[: (arr.size // per) * per].reshape(-1, per)
+        v = np.zeros(arr.shape[0], np.int64)
+        for c in range(per):  # big-endian septets
+            v = (v << 7) | arr[:, c]
+        vals.append(v - mid)
         pos += 127
     flat = (np.concatenate(vals) if vals
             else np.zeros(0, np.int64))[:length]
-    x = (flat.astype(np.float32) /
-         (32768.0 if fmt == 16 else 128.0)).reshape(-1, 1)
-    info = AudioInfo(rate=rate, channels=1, frames=x.shape[0],
-                     container=Container.SDS, codec=SampleCodec.PCM_16,
-                     bits_per_sample=fmt)
+    x = (flat.astype(np.float64) / mid).astype(np.float32).reshape(-1, 1)
+    info = AudioInfo(
+        rate=rate, channels=1, frames=x.shape[0],
+        container=Container.SDS,
+        codec=SampleCodec.PCM_24 if fmt == 24 else SampleCodec.PCM_16,
+        bits_per_sample=fmt)
     return x, info
 
 
@@ -1109,12 +1203,13 @@ def read_sds_info(path: str) -> AudioInfo:
         f.seek(0, 2)
         total = f.tell()
     fmt, rate, length = parse_sds_header(head)
-    per_packet = 40 if fmt == 16 else 60
+    per_packet = {8: 60, 16: 40, 24: 30}[fmt]
     packets = max(0, (total - 21)) // 127
     frames = min(length, packets * per_packet)
-    return AudioInfo(rate=rate, channels=1, frames=frames,
-                     container=Container.SDS, codec=SampleCodec.PCM_16,
-                     bits_per_sample=fmt)
+    return AudioInfo(
+        rate=rate, channels=1, frames=frames, container=Container.SDS,
+        codec=SampleCodec.PCM_24 if fmt == 24 else SampleCodec.PCM_16,
+        bits_per_sample=fmt)
 
 
 def open_sds_stream(path: str):

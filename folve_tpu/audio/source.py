@@ -276,6 +276,8 @@ def open_source(path: str) -> Optional[AudioSource]:
             opener = getattr(legacy, f"open_{container.value}_stream")
             stream = opener(path)
             if stream is not None:
+                if stream[0] is None:  # ready-made block source (PAF24)
+                    return stream[1]
                 return PcmChunkSource(*stream)
             # multi-extent VOC payloads: small legacy files, whole read
             from folve_tpu.audio import read_audio
