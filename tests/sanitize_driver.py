@@ -406,8 +406,49 @@ def check_vorbis() -> None:
     print("vorbis: ok")
 
 
+def check_dwvw() -> None:
+    """DWVW codec: round-trip at every depth, chunked-reservoir decode,
+    truncation short-stop, and garbage-bitstream fuzz (the decoder must
+    never read past its reservoir whatever the widths do)."""
+    import ctypes
+
+    from folve_tpu.audio.dwvw import _lib, decode_dwvw, encode_dwvw
+
+    rng = np.random.default_rng(11)
+    for bits in (12, 16, 24):
+        lim = (1 << (bits - 1)) - 1
+        vals = np.round(rng.uniform(-1, 1, 5000) * lim).astype(np.int32)
+        vals[7] = -lim - 1  # most-negative escape
+        payload = encode_dwvw(vals, bits)
+        dec = decode_dwvw(payload, bits, max_frames=5000)
+        got = np.round(dec[:, 0] * (1 << (bits - 1))).astype(np.int32)
+        assert np.array_equal(got, vals), f"dwvw {bits} roundtrip"
+        # chunked feeding through the reservoir, odd sizes
+        lib = _lib()
+        h = lib.folve_dwvw_create(bits)
+        out = np.empty(len(payload) * 8 + 64, np.int32)
+        n = 0
+        for i in range(0, len(payload), 13):
+            chunk = payload[i : i + 13]
+            n += lib.folve_dwvw_decode(
+                h, chunk, len(chunk),
+                out[n:].ctypes.data_as(ctypes.c_void_p), out.size - n)
+        lib.folve_dwvw_close(h)
+        assert np.array_equal(out[:5000], vals), f"dwvw {bits} chunked"
+        # truncations
+        for cut in (1, 7, len(payload) // 2, len(payload) - 1):
+            decode_dwvw(payload[:cut], bits, max_frames=5000)
+        # garbage
+        for _ in range(50):
+            blob = rng.integers(0, 256, rng.integers(1, 400),
+                                dtype=np.uint8).tobytes()
+            decode_dwvw(blob, bits, max_frames=10000)
+    print("dwvw: ok")
+
+
 if __name__ == "__main__":
     check_flac()
     check_vorbis()
+    check_dwvw()
     check_fuse()
     print("SANITIZE_DRIVER_OK")
