@@ -285,47 +285,12 @@ def read_aiff(src) -> tuple[np.ndarray, AudioInfo]:
     return x, info
 
 
-class _Ima4Source:
-    """Block-granular source for AIFC 'ima4' (34-byte/64-sample chunks
-    per channel): reads decode whole covering chunk groups and slice."""
-
-    def __init__(self, f, info: AudioInfo):
-        self._f = f
-        self.info = info
-        self._pos = 0
-
-    def read_float(self, nframes: int) -> np.ndarray:
-        take = max(0, min(nframes, self.info.frames - self._pos))
-        if take == 0:
-            return np.zeros((0, self.info.channels), np.float32)
-        ba = self.info.block_align
-        b0 = self._pos // 64
-        b1 = -(-(self._pos + take) // 64)
-        self._f.seek(self._offset + b0 * ba)
-        decoded = _decode_ima4(self._f.read((b1 - b0) * ba),
-                               self.info.channels)
-        out = decoded[self._pos - b0 * 64 :][:take]
-        self._pos += out.shape[0]
-        if out.shape[0] == 0:
-            self._pos = self.info.frames  # never wedge the pump loop
-        return out
-
-    def seek(self, frame: int) -> None:
-        self._pos = max(0, min(frame, self.info.frames))
-
-    def close(self) -> None:
-        try:
-            self._f.close()
-        except Exception:
-            pass
-
-
 def open_aiff_stream(path: str):
     """(file, info, data_offset, frame_bytes, decode) for a chunked
     source — constant memory per open stream, like the reference's
     libsndfile streaming reads (sound-processor.cc:76-84).  For 'ima4'
-    the returned object is a ready-made block-granular source instead
-    (first tuple element None)."""
+    the returned object is a ready-made block-granular BlockSource
+    instead (first tuple element None)."""
     f = open(path, "rb")
     try:
         info, offset, _size, comp = _parse(f)
@@ -333,8 +298,10 @@ def open_aiff_stream(path: str):
         f.close()
         raise
     if info.codec == SampleCodec.IMA_ADPCM:
-        src = _Ima4Source(f, info)
-        src._offset = offset
+        from folve_tpu.audio.source import BlockSource
+
+        src = BlockSource(f, info, offset, 34 * info.channels, 64,
+                          lambda raw: _decode_ima4(raw, info.channels))
         return None, src, offset, 0, None
     if info.codec == SampleCodec.GSM610:
         from folve_tpu.audio.gsm import GsmSource

@@ -603,43 +603,6 @@ def _decode_paf24(raw: bytes, channels: int, little: bool) -> np.ndarray:
     return x.astype(np.float32) / 8388608.0
 
 
-class _Paf24Source:
-    """Block-granular source for PAF 24-bit (stateless 32-byte units):
-    reads decode whole covering unit groups and slice."""
-
-    def __init__(self, f, info, offset, little):
-        self._f = f
-        self.info = info
-        self._offset = offset
-        self._little = little
-        self._pos = 0
-
-    def read_float(self, nframes: int) -> np.ndarray:
-        take = max(0, min(nframes, self.info.frames - self._pos))
-        if take == 0:
-            return np.zeros((0, self.info.channels), np.float32)
-        gb = _PAF24_UNIT * self.info.channels  # bytes per frame group
-        g0 = self._pos // _PAF24_SPB
-        g1 = -(-(self._pos + take) // _PAF24_SPB)
-        self._f.seek(self._offset + g0 * gb)
-        decoded = _decode_paf24(self._f.read((g1 - g0) * gb),
-                                self.info.channels, self._little)
-        out = decoded[self._pos - g0 * _PAF24_SPB :][:take]
-        self._pos += out.shape[0]
-        if out.shape[0] == 0:
-            self._pos = self.info.frames  # never wedge the pump loop
-        return out
-
-    def seek(self, frame: int) -> None:
-        self._pos = max(0, min(frame, self.info.frames))
-
-    def close(self) -> None:
-        try:
-            self._f.close()
-        except Exception:
-            pass
-
-
 def parse_paf(head: bytes, total: int):
     if head[:4] == b" paf":
         little = False
@@ -684,7 +647,12 @@ def open_paf_stream(path: str):
         total = f.tell()
     info, off, little = parse_paf(head, total)
     if info.codec == SampleCodec.PCM_24:
-        src = _Paf24Source(open(path, "rb"), info, off, little)
+        from folve_tpu.audio.source import BlockSource
+
+        src = BlockSource(
+            open(path, "rb"), info, off, _PAF24_UNIT * info.channels,
+            _PAF24_SPB,
+            lambda raw: _decode_paf24(raw, info.channels, little))
         return None, src, off, 0, None
     return _make_stream(path, info, off, little)
 

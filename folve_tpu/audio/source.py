@@ -133,6 +133,46 @@ class PcmChunkSource:
             pass
 
 
+class BlockSource:
+    """Block-granular source for codecs whose blocks are independent
+    (AIFC 'ima4', PAF 24-bit): reads decode whole covering blocks and
+    slice.  Shared so the covering-block math and the never-wedge guard
+    live in exactly one place."""
+
+    def __init__(self, f, info: AudioInfo, data_offset: int,
+                 block_bytes: int, samples_per_block: int, decode):
+        self._f = f
+        self.info = info
+        self._off = data_offset
+        self._bb = block_bytes
+        self._spb = samples_per_block
+        self._decode = decode  # whole-block raw bytes -> float32 [n, ch]
+        self._pos = 0
+
+    def read_float(self, nframes: int) -> np.ndarray:
+        take = max(0, min(nframes, self.info.frames - self._pos))
+        if take == 0:
+            return np.zeros((0, self.info.channels), np.float32)
+        b0 = self._pos // self._spb
+        b1 = -(-(self._pos + take) // self._spb)  # ceil
+        self._f.seek(self._off + b0 * self._bb)
+        decoded = self._decode(self._f.read((b1 - b0) * self._bb))
+        out = decoded[self._pos - b0 * self._spb :][:take]
+        self._pos += out.shape[0]
+        if out.shape[0] == 0:
+            self._pos = self.info.frames  # never wedge the pump loop
+        return out
+
+    def seek(self, frame: int) -> None:
+        self._pos = max(0, min(frame, self.info.frames))
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        except Exception:
+            pass
+
+
 class _MemorySource:
     """Fallback source over a decoded array (only for multi-extent VOC
     payloads, which are tiny DOS-era files)."""
@@ -246,7 +286,7 @@ def open_source(path: str) -> Optional[AudioSource]:
 
             # Always a ready-made source: WavSource over the parsed
             # GUID chunks, or the stateful GSM/G.721 sources.
-            return open_w64_stream(path)[1]
+            return open_w64_stream(path)
         if container == Container.CAF:
             from folve_tpu.audio.caf import open_caf_stream
 

@@ -84,9 +84,10 @@ def read_w64(path: str) -> tuple[np.ndarray, AudioInfo]:
 
 
 def open_w64_stream(path: str):
-    """(file, info, data_offset, frame_bytes, decode) for a chunked
-    source — only the chunk directory is read up front, so a multi-GB
-    Wave64 costs constant memory per open stream."""
+    """Ready-made streaming AudioSource for a Wave64 file — only the
+    chunk directory is read up front, so a multi-GB Wave64 costs
+    constant memory per open stream.  PCM/float/G.711/ADPCM go through
+    the shared WavSource; GSM/G.721 use their stateful sources."""
     f = open(path, "rb")
     try:
         blob = f.read(1 << 16)
@@ -130,14 +131,14 @@ def open_w64_stream(path: str):
             from folve_tpu.audio.source import WavSource
 
             src = WavSource(f, parsed=(info, data_off, int(data_len)))
-        return None, src, data_off, 0, None
+        return src
     except Exception:
         f.close()
         raise
 
 
 def read_w64_info(path: str) -> AudioInfo:
-    _f, src, _off, _fb, _dec = open_w64_stream(path)
+    src = open_w64_stream(path)
     info = src.info
     src.close()
     return info

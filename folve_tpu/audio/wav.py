@@ -269,7 +269,18 @@ def interpret_fmt(fmt: bytes, data_size: int, fact_frames=None,
         # a fact value inconsistent with both the input and the blocks.
         del fact_frames
     else:
-        frames = data_size // block_align
+        # Simple sample codecs: frame size comes from channels x the
+        # codec's storage width, like libsndfile's computed blockwidth.
+        # The declared block_align is NOT trusted here — a corrupt
+        # value would mis-size the stream (wrong frame count, reads
+        # past the data chunk) while libsndfile decodes it fine.
+        storage = {
+            SampleCodec.PCM_U8: 1, SampleCodec.PCM_16: 2,
+            SampleCodec.PCM_24: 3, SampleCodec.PCM_32: 4,
+            SampleCodec.FLOAT: 4, SampleCodec.DOUBLE: 8,
+            SampleCodec.ALAW: 1, SampleCodec.ULAW: 1,
+        }[codec]
+        frames = data_size // (channels * storage)
     return AudioInfo(
         rate=rate,
         channels=channels,

@@ -52,6 +52,23 @@ def test_info_only(rng, tmp_path):
     )
 
 
+def test_corrupt_block_align_does_not_missize_stream(rng):
+    """For simple sample codecs the frame count derives from
+    channels x storage width (libsndfile's computed blockwidth), NOT
+    the declared block_align — a corrupt alignment field must not
+    inflate the frame count and read past the data chunk."""
+    import struct
+
+    x = rng.uniform(-0.5, 0.5, (100, 2)).astype(np.float32)
+    buf = io.BytesIO()
+    write_wav(buf, x, 44100, SampleCodec.PCM_16)
+    blob = bytearray(buf.getvalue())
+    i = blob.index(b"fmt ")
+    struct.pack_into("<H", blob, i + 8 + 12, 2)  # block_align: 4 -> 2
+    data, info = read_wav(bytes(blob))
+    assert info.frames == 100 and data.shape == (100, 2)
+
+
 def test_rejects_garbage():
     with pytest.raises(WavError):
         read_wav(b"not a wav file at all........")

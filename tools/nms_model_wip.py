@@ -118,6 +118,7 @@ class NMS:
     def decode_code(self, code):
         if self.bits == 4: dqln,wi,fi,sb,ws = DQLN4,WI4,FI4,8,5
         elif self.bits == 3: dqln,wi,fi,sb,ws = DQLN3,WI3,FI3,4,0
+        else: raise NotImplementedError(f"bits={self.bits} (2-bit tables not recovered)")
         sezi = self.predictor_zero()
         sez = i16(sezi >> 1)
         se = i16((sezi + self.predictor_pole()) >> 1)
