@@ -101,6 +101,37 @@ def test_aiff_roundtrip_exact(frames, channels, bits, seed):
     np.testing.assert_allclose(got, x, atol=0.6 / scale)
 
 
+@settings(**COMMON)
+@given(
+    frames=st.integers(0, 2000),
+    bits=st.sampled_from([12, 16, 24]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dwvw_roundtrip_exact(frames, bits, seed):
+    """DWVW encode->decode is the identity for any integer sequence at
+    the codec's depth, extremes included (the most-negative value uses
+    the max-width escape bit)."""
+    from folve_tpu.audio.dwvw import decode_dwvw, encode_dwvw
+
+    rng = np.random.default_rng(seed)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    vals = rng.integers(lo, hi + 1, frames, dtype=np.int32)
+    payload = encode_dwvw(vals, bits)
+    dec = decode_dwvw(payload, bits, max_frames=frames)
+    got = np.round(dec[:, 0] * (1 << (bits - 1))).astype(np.int32)
+    np.testing.assert_array_equal(got, vals)
+
+
+@settings(deadline=None, max_examples=60)
+@given(blob=st.binary(min_size=0, max_size=2048))
+def test_dwvw_decoder_never_crashes_on_garbage(blob):
+    from folve_tpu.audio.dwvw import decode_dwvw
+
+    for bits in (12, 16, 24):
+        out = decode_dwvw(blob, bits, max_frames=8192)
+        assert out.shape[0] <= 8192
+
+
 @settings(deadline=None, max_examples=60)
 @given(blob=st.binary(min_size=0, max_size=2048))
 def test_flac_decoder_never_crashes_on_garbage(blob):
