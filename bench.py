@@ -439,6 +439,38 @@ def _codec_configs(out, rng):
         pass
 
 
+def _backend_watchdog(timeout_s: float = 180.0) -> None:
+    """Fail loudly if the TPU backend cannot initialize.
+
+    Backend init (`make_c_api_client`) blocks with no timeout of its
+    own; when the tunnel endpoint is wedged (observed: a killed client
+    can leave the chip held remotely for a while) the whole bench would
+    hang forever and the driver records nothing.  Probe `jax.devices()`
+    on a daemon thread; on timeout emit an honest one-line JSON error
+    and exit non-zero instead of hanging."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "metric": "audio-sec/sec/chip (realtimex), 131072-tap stereo"
+                      " 44.1kHz, batched serving",
+            "value": 0, "unit": "x realtime", "vs_baseline": 0,
+            "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                     "(tunnel endpoint unresponsive); no measurement",
+        }))
+        os._exit(3)
+
+
 def main():
     import jax
 
@@ -452,6 +484,7 @@ def main():
     except Exception:
         pass
 
+    _backend_watchdog()
     rng = np.random.default_rng(42)
     out = {}
     _engine_configs(out, rng)
