@@ -770,8 +770,12 @@ class Encoder {
     return k;
   }
 
-  // Encode a rice-partitioned residual; returns encoded bit cost if
-  // dry_run, else writes to bw.
+  // Encode a rice-partitioned residual.  Parameters are chosen per
+  // partition by estimated bit cost; partitions whose raw encoding is
+  // cheaper than Rice escape to raw, and a stream needing any k > 14
+  // switches the whole residual to coding method 1 (5-bit "Rice2"
+  // params, k up to 30) — without it, hot 24-bit residuals capped at
+  // k=14 degenerate into kilobit unary runs per sample.
   void WriteResidual(BitWriter& bw, const int64_t* res, uint32_t n, uint32_t order,
                      uint32_t blocksize) const {
     // Choose a partition order that divides the blocksize; cap 2^po <= 64.
@@ -779,33 +783,55 @@ class Encoder {
     while (porder < 6 && (blocksize % (1u << (porder + 1))) == 0 &&
            (blocksize >> (porder + 1)) > order && (n >> (porder + 1)) >= 64)
       porder++;
-    bw.WriteBits(0, 2);  // method 0: 4-bit rice params
-    bw.WriteBits(porder, 4);
     uint32_t parts = 1u << porder;
+    struct Part {
+      uint32_t k;
+      uint32_t rawbits;  // 0 = rice, else raw escape at this width
+    };
+    Part plan[64];
+    bool need_rice2 = false;
+    {
+      uint32_t idx = 0;
+      for (uint32_t p = 0; p < parts; p++) {
+        uint32_t count = (blocksize >> porder) - (p == 0 ? order : 0);
+        uint64_t sum = 0, max_abs = 0;
+        for (uint32_t i = 0; i < count; i++) {
+          int64_t e = res[idx + i];
+          uint64_t a = (uint64_t)(e < 0 ? -e : e);
+          sum += a;
+          if (a > max_abs) max_abs = a;
+        }
+        uint32_t k = BestRiceParam(sum, count, 30);
+        // cost(k) ~ count*(k+1) + sum(folded >> k); folded_sum ~ 2*sum.
+        uint64_t rice_cost = (uint64_t)count * (k + 1) + ((2 * sum) >> k);
+        uint32_t rawbits = Bits64(max_abs << 1) + 1;  // |Fold(e)| width
+        if (rawbits > 31) rawbits = 31;
+        uint64_t raw_cost = 5 + (uint64_t)count * rawbits;
+        if (raw_cost < rice_cost) {
+          plan[p] = {0, rawbits};
+        } else {
+          plan[p] = {k, 0};
+          if (k > 14) need_rice2 = true;
+        }
+        idx += count;
+      }
+    }
+    const uint32_t pbits = need_rice2 ? 5 : 4;
+    const uint32_t escape = need_rice2 ? 31 : 15;
+    bw.WriteBits(need_rice2 ? 1 : 0, 2);
+    bw.WriteBits(porder, 4);
     uint32_t idx = 0;
     for (uint32_t p = 0; p < parts; p++) {
       uint32_t count = (blocksize >> porder) - (p == 0 ? order : 0);
-      uint64_t sum = 0;
-      uint64_t max_folded = 0;
-      for (uint32_t i = 0; i < count; i++) {
-        int64_t e = res[idx + i];
-        uint64_t a = (uint64_t)(e < 0 ? -e : e);
-        sum += a;
-        if (a > max_folded) max_folded = a;
-      }
-      max_folded = max_folded << 1;  // |Fold(e)| bound
-      uint32_t k = BestRiceParam(sum, count, 14);
-      // Escape to raw if values don't fit rice reasonably (very rare).
-      bool escape = (max_folded >> k) > (1u << 16);
-      uint32_t rawbits = Bits64(max_folded) + 1;
-      if (escape && rawbits <= 31) {
-        bw.WriteBits(15, 4);  // escape code
-        bw.WriteBits(rawbits, 5);
+      if (plan[p].rawbits) {
+        bw.WriteBits(escape, (int)pbits);
+        bw.WriteBits(plan[p].rawbits, 5);
         for (uint32_t i = 0; i < count; i++)
-          bw.WriteSigned((int32_t)res[idx + i], (int)rawbits);
+          bw.WriteSigned((int32_t)res[idx + i], (int)plan[p].rawbits);
       } else {
-        bw.WriteBits(k, 4);
-        for (uint32_t i = 0; i < count; i++) bw.WriteRice(Fold(res[idx + i]), k);
+        bw.WriteBits(plan[p].k, (int)pbits);
+        for (uint32_t i = 0; i < count; i++)
+          bw.WriteRice(Fold(res[idx + i]), plan[p].k);
       }
       idx += count;
     }
@@ -1021,6 +1047,18 @@ class Encoder {
         WriteResidual(bw, lres.data(), n - lpc_order, lpc_order, n);
         return;
       }
+    }
+
+    // Incompressible signal: a VERBATIM subframe beats any residual
+    // coding once the estimated cost reaches raw size (full-scale
+    // 24-bit noise would otherwise still pay the Rice/raw headers).
+    double fixed_est =
+        (n - best_order) * (log2((double)best_sum / (n - best_order) + 1) + 1.6);
+    if (fixed_est >= (double)n * bps) {
+      bw.WriteBits(1, 6);  // VERBATIM
+      bw.WriteBits(0, 1);  // no wasted bits
+      for (uint32_t i = 0; i < n; i++) bw.WriteSigned(x[i], (int)bps);
+      return;
     }
 
     FixedResidual(x, n, best_order, res.data());

@@ -66,6 +66,27 @@ def test_libsndfile_decodes_our_flac_bit_exact(tmp_path, rng, bits, channels):
     np.testing.assert_array_equal(got >> (32 - bits), x)
 
 
+@pytest.mark.parametrize("bits", [16, 24])
+def test_libsndfile_decodes_hot_residuals(tmp_path, rng, bits):
+    """Full-scale noise forces the Rice2 (5-bit parameter) coding
+    method and the VERBATIM/raw escapes at 24-bit; the file must stay
+    near raw size (pre-fix, a k<=14 cap ballooned 24-bit noise to ~11x
+    raw in kilobit unary runs) and decode bit-exactly in libsndfile."""
+    from tests.test_flac import encode_to_bytes
+
+    lim = 1 << (bits - 1)
+    x = rng.integers(-lim, lim, (4096 * 3 + 77, 2), dtype=np.int64).astype(
+        np.int32)
+    p = tmp_path / "hot.flac"
+    blob = encode_to_bytes(x, RATE, bits=bits)
+    p.write_bytes(blob)
+    raw_bytes = x.shape[0] * 2 * bits // 8
+    assert len(blob) < raw_bytes * 1.08, (len(blob), raw_bytes)
+    got, info = _sf_read_int(p)
+    assert (info.frames, info.channels) == x.shape
+    np.testing.assert_array_equal(got >> (32 - bits), x)
+
+
 def test_libsndfile_decodes_our_flac_small_blocksize(tmp_path, rng):
     from tests.test_flac import encode_to_bytes
 
