@@ -384,6 +384,20 @@ def _codec_configs(out, rng):
     out["flac_encode_x"] = round(dur / best_enc, 1)
     out["flac_decode_x"] = round(dur / best_dec, 1)
 
+    # 24-bit is the DEFAULT output depth for WAV inputs (wav -> FLAC/24
+    # policy, convolve-file-handler.cc:246-248), with a real noise
+    # floor in the low bits — the Rice2/5-bit-parameter path.
+    x24 = np.round(x * (1 << 23)) / (1 << 23)
+    best24 = 1e9
+    for _ in range(3):
+        buf = io.BytesIO()
+        t0 = time.perf_counter()
+        write_flac(buf, x24, rate, bits=24)
+        best24 = min(best24, time.perf_counter() - t0)
+    out["flac_encode_24_x"] = round(dur / best24, 1)
+    out["flac_ratio_24"] = round(
+        len(buf.getvalue()) / (x24.shape[0] * 2 * 3), 3)
+
     # Config-3 projection off the dev tunnel: on real PCIe (D2H >=
     # 1 GB/s) the int16 stream fetch (176 KB/s of audio) runs >5000x
     # realtime, so the gapless serve becomes codec-bound.  Worst case
