@@ -761,13 +761,36 @@ class Encoder {
     }
   }
 
-  static uint32_t BestRiceParam(const uint64_t sum, uint32_t n, uint32_t max_param) {
-    // k ~ log2(mean(|e|)) — standard estimator.
-    if (n == 0) return 0;
+  // Estimated Rice cost in bits: n*(k+1) quotient-terminators+remainders
+  // plus the unary quotient mass (folded sum ~ 2*sum).
+  static inline uint64_t RiceCost(uint64_t sum, uint32_t n, uint32_t k) {
+    return (uint64_t)n * (k + 1) + ((2 * sum) >> k);
+  }
+
+  // Pick k minimizing the estimated cost (the closed-form
+  // k ~ log2(mean) lands 1-2 low for heavy-tailed partitions, costing
+  // whole bits per sample on hot material).
+  static uint32_t BestRiceParam(const uint64_t sum, uint32_t n,
+                                uint32_t max_param, uint64_t* cost_out) {
+    if (n == 0) {
+      if (cost_out) *cost_out = 0;
+      return 0;
+    }
     uint64_t mean = sum / n;
-    uint32_t k = 0;
-    while ((1ull << (k + 1)) < mean + 1 && k < max_param) k++;
-    return k;
+    uint32_t k0 = 0;
+    while ((1ull << (k0 + 1)) < mean + 1 && k0 < max_param) k0++;
+    uint32_t best_k = k0;
+    uint64_t best_cost = RiceCost(sum, n, k0);
+    for (uint32_t k = k0 > 2 ? k0 - 2 : 0;
+         k <= (k0 + 2 < max_param ? k0 + 2 : max_param); k++) {
+      uint64_t c = RiceCost(sum, n, k);
+      if (c < best_cost) {
+        best_cost = c;
+        best_k = k;
+      }
+    }
+    if (cost_out) *cost_out = best_cost;
+    return best_k;
   }
 
   // Encode a rice-partitioned residual.  Parameters are chosen per
@@ -801,9 +824,8 @@ class Encoder {
           sum += a;
           if (a > max_abs) max_abs = a;
         }
-        uint32_t k = BestRiceParam(sum, count, 30);
-        // cost(k) ~ count*(k+1) + sum(folded >> k); folded_sum ~ 2*sum.
-        uint64_t rice_cost = (uint64_t)count * (k + 1) + ((2 * sum) >> k);
+        uint64_t rice_cost;
+        uint32_t k = BestRiceParam(sum, count, 30, &rice_cost);
         uint32_t rawbits = Bits64(max_abs << 1) + 1;  // |Fold(e)| width
         if (rawbits > 31) rawbits = 31;
         uint64_t raw_cost = 5 + (uint64_t)count * rawbits;
@@ -1050,11 +1072,12 @@ class Encoder {
     }
 
     // Incompressible signal: a VERBATIM subframe beats any residual
-    // coding once the estimated cost reaches raw size (full-scale
-    // 24-bit noise would otherwise still pay the Rice/raw headers).
-    double fixed_est =
-        (n - best_order) * (log2((double)best_sum / (n - best_order) + 1) + 1.6);
-    if (fixed_est >= (double)n * bps) {
+    // coding once the best achievable Rice cost reaches raw size
+    // (uniform full-scale noise codes at ~bps+1 bits/sample as Rice;
+    // VERBATIM serves it at exactly bps).
+    uint64_t rice_est;
+    BestRiceParam(best_sum, n - best_order, 30, &rice_est);
+    if (rice_est >= (uint64_t)n * bps) {
       bw.WriteBits(1, 6);  // VERBATIM
       bw.WriteBits(0, 1);  // no wasted bits
       for (uint32_t i = 0; i < n; i++) bw.WriteSigned(x[i], (int)bps);
