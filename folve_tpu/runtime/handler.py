@@ -289,10 +289,20 @@ class ConvolveFileHandler(FileHandler):
                 out_bits = 24
         elif in_container in (Container.AU, Container.W64, Container.CAF):
             # "else: original format" (convolve-file-handler.cc:249-251)
-            # — these stay in their container at source depth.
-            out_bits = self._in_info.bits_per_sample
-            if out_bits not in (16, 24):
-                out_bits = 24
+            # — these stay in their container at source depth.  Coded
+            # telephony/ADPCM sample codecs decode to 16-bit range, so
+            # 16-bit PCM out is already lossless (their declared
+            # bits_per_sample is the coded width, e.g. 4 for ADPCM).
+            from folve_tpu.audio.types import SampleCodec as _SC
+
+            if self._in_info.codec in (
+                    _SC.IMA_ADPCM, _SC.MS_ADPCM, _SC.GSM610, _SC.ALAW,
+                    _SC.ULAW, _SC.G721_32, _SC.G723_24, _SC.G723_40):
+                out_bits = 16
+            else:
+                out_bits = self._in_info.bits_per_sample
+                if out_bits not in (16, 24):
+                    out_bits = 24
         elif in_container in (Container.VOC, Container.IRCAM,
                               Container.NIST, Container.PVF, Container.PAF,
                               Container.AVR, Container.MPC):
