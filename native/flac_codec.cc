@@ -869,7 +869,7 @@ class Encoder {
 
   // --- LPC analysis -------------------------------------------------------
 
-  static constexpr uint32_t kMaxLpcOrder = 8;
+  static constexpr uint32_t kMaxLpcOrder = 12;
   static constexpr uint32_t kLpcPrecision = 15;
 
   // Welch-windowed autocorrelation + Levinson-Durbin.  Returns the best
