@@ -475,13 +475,32 @@ def _backend_watchdog(timeout_s: float = 180.0) -> None:
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     if not ok.wait(timeout_s):
-        print(json.dumps({
+        msg = {
             "metric": "audio-sec/sec/chip (realtimex), 131072-tap stereo"
                       " 44.1kHz, batched serving",
             "value": 0, "unit": "x realtime", "vs_baseline": 0,
             "error": f"TPU backend init exceeded {timeout_s:.0f}s "
                      "(tunnel endpoint unresponsive); no measurement",
-        }))
+        }
+        # Point at the most recent real measurement so a dead tunnel is
+        # distinguishable from a perf regression.
+        try:
+            import glob
+            prev = sorted(glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_r*.json")))
+            if prev:
+                with open(prev[-1]) as f:
+                    parsed = json.load(f).get("parsed") or {}
+                if parsed.get("value"):
+                    msg["last_good"] = {
+                        "file": os.path.basename(prev[-1]),
+                        "value": parsed["value"],
+                        "vs_baseline": parsed.get("vs_baseline"),
+                    }
+        except Exception:
+            pass
+        print(json.dumps(msg))
         os._exit(3)
 
 
