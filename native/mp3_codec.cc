@@ -974,14 +974,31 @@ class Decoder {
           for (int i = 0; i < 12; i++) out36[off + i] += blk[i];
         }
       } else {
+        // IMDCT-36 symmetry: with theta = (2n+19)(2k+1)*pi/72, the
+        // first half is antisymmetric (out[17-n] = -out[n]) and the
+        // second symmetric (out[53-n] = out[n]) — compute 18 rows,
+        // mirror the rest, then window.
         const float* __restrict__ inv = in;
-        for (int i = 0; i < 36; i++) {
+        float raw[36];
+        for (int i = 0; i < 9; i++) {
           const float* __restrict__ row = tg.imdct36[i];
           float acc = 0;
 #pragma omp simd reduction(+ : acc)
           for (int k = 0; k < 18; k++) acc += inv[k] * row[k];
-          out36[i] = acc * tg.win[bt][i];
+          raw[i] = acc;
+          raw[17 - i] = -acc;
         }
+        for (int i = 18; i < 27; i++) {
+          const float* __restrict__ row = tg.imdct36[i];
+          float acc = 0;
+#pragma omp simd reduction(+ : acc)
+          for (int k = 0; k < 18; k++) acc += inv[k] * row[k];
+          raw[i] = acc;
+          raw[53 - i] = acc;
+        }
+        const float* __restrict__ w = tg.win[bt];
+#pragma omp simd
+        for (int i = 0; i < 36; i++) out36[i] = raw[i] * w[i];
       }
       float* ov = overlap_[ch][sb];
       for (int i = 0; i < 18; i++) {
@@ -1014,13 +1031,27 @@ class Decoder {
     v_off_[ch] -= 64;
     float* __restrict__ V = v_ring_[ch] + v_off_[ch];
     const float* __restrict__ Sv = S;
-    for (int i = 0; i < 64; i++) {
+    // Matrixing symmetry: with a_i = 16+i, cos(a*t) mirrors as
+    // V[32-i] = -V[i] (a + a' = 64 -> cos((2k+1)pi - t) = -cos t) and
+    // V[96-i] = V[i] (a + a' = 128 -> full period) — 33 dot products
+    // instead of 64.
+    for (int i = 0; i <= 16; i++) {
       const float* __restrict__ row = tg.synth_n[i];
       float acc = 0;
 #pragma omp simd reduction(+ : acc)
       for (int k = 0; k < 32; k++) acc += row[k] * Sv[k];
       V[i] = acc;
+      if (i > 0 && i < 16) V[32 - i] = -acc;
     }
+    for (int i = 48; i < 64; i++) {
+      const float* __restrict__ row = tg.synth_n[i];
+      float acc = 0;
+#pragma omp simd reduction(+ : acc)
+      for (int k = 0; k < 32; k++) acc += row[k] * Sv[k];
+      V[i] = acc;
+      if (i > 48) V[96 - i] = acc;
+    }
+    V[32] = -V[0];
     // o[j] = sum_b D[64b+j]*V[128b+j] + D[64b+32+j]*V[128b+96+j]:
     // accumulate per-b as elementwise 32-wide passes (vectorizes),
     // instead of a 16-term scalar dot per output sample.
