@@ -139,6 +139,29 @@ class Bits {
     return (uint32_t)((acc_ >> --nacc_) & 1);
   }
 
+  // Non-consuming read: the next nbits (zero-extended past the end,
+  // without setting the overrun flag — the consuming read that follows
+  // handles that).  nbits <= 32.
+  inline uint32_t peek(int nbits) {
+    if (nacc_ < nbits) Fill();
+    if (nacc_ >= nbits)
+      return (uint32_t)((acc_ >> (nacc_ - nbits)) & ((1ull << nbits) - 1));
+    return nacc_
+        ? (uint32_t)((acc_ & ((1ull << nacc_) - 1)) << (nbits - nacc_))
+        : 0;
+  }
+
+  // Consume nbits known (via peek) to be <= nacc_ after Fill; if the
+  // stream ran dry mid-peek, consumes what exists and flags overrun.
+  inline void skip(int nbits) {
+    if (nacc_ >= nbits) {
+      nacc_ -= nbits;
+    } else {
+      over_ = true;
+      nacc_ = 0;
+    }
+  }
+
   size_t bitpos() const { return byte_ * 8 - (size_t)nacc_; }
 
   void seek_bits(size_t b) {
@@ -179,10 +202,18 @@ struct HuffTree {
   // leaves stored as -(2 + xy).
   std::vector<int16_t> nodes;
   int linbits = 0;
+  // One-peek fast path: lut[next kLutBits bits] = (xy << 5) | len for
+  // codes of len <= kLutBits (prefix-freeness keeps longer codes'
+  // prefix slots at the 0 sentinel -> bitwise walk).  Covers the
+  // overwhelming majority of symbols by construction — long codes are
+  // the rare ones.
+  static constexpr int kLutBits = 10;
+  std::vector<uint16_t> lut;
 
   void Build(const HuffEntry* e, int n, int lb) {
     linbits = lb;
     nodes.assign(2, -1);
+    lut.assign((size_t)1 << kLutBits, 0);
     for (int i = 0; i < n; i++) {
       uint32_t code = e[i].code;
       int len = e[i].len;
@@ -201,11 +232,22 @@ struct HuffTree {
           node = (size_t)nodes[slot];
         }
       }
+      if (len <= kLutBits) {
+        uint32_t base = code << (kLutBits - len);
+        uint16_t entry = (uint16_t)(((uint32_t)e[i].xy << 5) | (uint32_t)len);
+        for (uint32_t s = 0; s < (1u << (kLutBits - len)); s++)
+          lut[base | s] = entry;
+      }
     }
   }
 
   // Returns xy byte, or -1 on malformed stream.
   inline int Decode(Bits& br) const {
+    uint16_t e = lut[br.peek(kLutBits)];
+    if (e) {
+      br.skip((int)(e & 31));
+      return (int)(e >> 5);
+    }
     size_t node = 0;
     for (int guard = 0; guard < 32; guard++) {
       int16_t v = nodes[node + br.get1()];
