@@ -728,25 +728,36 @@ class Decoder {
     }
     int nbig = 2 * gi.big_values;
     if (nbig > 576) nbig = 576;
-    for (int i = 0; i < nbig; i += 2) {
-      int tsel = i < region1 ? gi.table_select[0]
-                 : i < region2 ? gi.table_select[1]
-                               : gi.table_select[2];
-      const HuffTree& tree = T.big[tsel & 31];
-      int x = 0, y = 0;
-      if (!tree.nodes.empty() && tsel != 0) {
-        int xy = tree.Decode(br);
-        if (xy < 0) return -1;
-        x = xy >> 4;
-        y = xy & 15;
-        if (x == 15 && tree.linbits) x += br.get(tree.linbits);
-        if (x && br.get1()) x = -x;
-        if (y == 15 && tree.linbits) y += br.get(tree.linbits);
-        if (y && br.get1()) y = -y;
+    // Hoist the table selection out of the pair loop: the three
+    // regions are contiguous, so run one tight loop per region.
+    {
+      int bounds[4] = {0, std::min(region1, nbig), std::min(region2, nbig),
+                       nbig};
+      for (int r = 0; r < 3; r++) {
+        int i = bounds[r], end = bounds[r + 1];
+        if (i >= end) continue;
+        int tsel = gi.table_select[r];
+        const HuffTree& tree = T.big[tsel & 31];
+        if (tree.nodes.empty() || tsel == 0) {
+          // table 0 / empty: all-zero pairs, no bits consumed
+          i = end;
+          continue;
+        }
+        const int lb = tree.linbits;
+        for (; i < end; i += 2) {
+          int xy = tree.Decode(br);
+          if (xy < 0) { br.seek_bits(bit_limit); return -1; }
+          int x = xy >> 4;
+          int y = xy & 15;
+          if (x == 15 && lb) x += br.get(lb);
+          if (x && br.get1()) x = -x;
+          if (y == 15 && lb) y += br.get(lb);
+          if (y && br.get1()) y = -y;
+          is[i] = x;
+          is[i + 1] = y;
+        }
+        if (br.bitpos() > bit_limit) { br.seek_bits(bit_limit); return -1; }
       }
-      is[i] = x;
-      is[i + 1] = y;
-      if (br.bitpos() > bit_limit) return -1;
     }
     // count1 region
     int i = nbig;
@@ -756,7 +767,7 @@ class Decoder {
         quad = 15 - (int)br.get(4);  // table B: 4-bit complement codes
       } else {
         quad = T.count1a.Decode(br);
-        if (quad < 0) return -1;
+        if (quad < 0) { br.seek_bits(bit_limit); return -1; }
       }
       int vals[4] = {(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1,
                      quad & 1};
