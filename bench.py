@@ -386,8 +386,11 @@ def _codec_configs(out, rng):
 
     # 24-bit is the DEFAULT output depth for WAV inputs (wav -> FLAC/24
     # policy, convolve-file-handler.cc:246-248), with a real noise
-    # floor in the low bits — the Rice2/5-bit-parameter path.
-    x24 = np.round(x * (1 << 23)) / (1 << 23)
+    # floor in the low bits — the Rice2/5-bit-parameter path.  The
+    # 16-bit-grid signal above would leave 8 zero LSBs (flattering the
+    # ratio); add noise below the 16-bit LSB first.
+    x24 = x + (2.0 ** -17) * rng.standard_normal(x.shape)
+    x24 = np.round(x24 * (1 << 23)) / (1 << 23)
     best24 = 1e9
     for _ in range(3):
         buf = io.BytesIO()
@@ -464,23 +467,30 @@ def _backend_watchdog(timeout_s: float = 180.0) -> None:
     and exit non-zero instead of hanging."""
     import threading
 
-    ok = threading.Event()
+    done = threading.Event()
+    err = []
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        jax.devices()
-        ok.set()
+            jax.devices()
+        except Exception as e:  # report, don't stall 180s on a raise
+            err.append(f"{type(e).__name__}: {e}")
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    if not ok.wait(timeout_s):
+    timed_out = not done.wait(timeout_s)
+    if timed_out or err:
         msg = {
             "metric": "audio-sec/sec/chip (realtimex), 131072-tap stereo"
                       " 44.1kHz, batched serving",
             "value": 0, "unit": "x realtime", "vs_baseline": 0,
-            "error": f"TPU backend init exceeded {timeout_s:.0f}s "
-                     "(tunnel endpoint unresponsive); no measurement",
+            "error": (err[0] if err else
+                      f"TPU backend init exceeded {timeout_s:.0f}s "
+                      "(tunnel endpoint unresponsive)") + "; no measurement",
         }
         # Point at the most recent real measurement so a dead tunnel is
         # distinguishable from a perf regression.

@@ -260,6 +260,8 @@ class ConvolveFileHandler(FileHandler):
         # wav -> FLAC/24, ogg -> FLAC/16, flac stays flac at source depth
         # (capped at 24, our encoder's ceiling), aiff stays aiff
         # ("else: original format").
+        from folve_tpu.audio.types import SampleCodec
+
         in_container = self._in_info.container
         if in_container == Container.WAV:
             out_bits = 24
@@ -267,8 +269,6 @@ class ConvolveFileHandler(FileHandler):
             # Vorbis is lossy float -> FLAC/16 (the reference's rule);
             # Ogg-FLAC is lossless, keep the source depth instead of
             # quantizing a 24-bit stream down to 16.
-            from folve_tpu.audio.types import SampleCodec
-
             if self._in_info.codec == SampleCodec.FLAC:
                 out_bits = self._in_info.bits_per_sample
                 if out_bits not in (16, 24):
@@ -293,11 +293,11 @@ class ConvolveFileHandler(FileHandler):
             # telephony/ADPCM sample codecs decode to 16-bit range, so
             # 16-bit PCM out is already lossless (their declared
             # bits_per_sample is the coded width, e.g. 4 for ADPCM).
-            from folve_tpu.audio.types import SampleCodec as _SC
-
             if self._in_info.codec in (
-                    _SC.IMA_ADPCM, _SC.MS_ADPCM, _SC.GSM610, _SC.ALAW,
-                    _SC.ULAW, _SC.G721_32, _SC.G723_24, _SC.G723_40):
+                    SampleCodec.IMA_ADPCM, SampleCodec.MS_ADPCM,
+                    SampleCodec.GSM610, SampleCodec.ALAW, SampleCodec.ULAW,
+                    SampleCodec.G721_32, SampleCodec.G723_24,
+                    SampleCodec.G723_40):
                 out_bits = 16
             else:
                 out_bits = self._in_info.bits_per_sample

@@ -793,6 +793,37 @@ class Encoder {
     return best_k;
   }
 
+  // Estimated total bits of the partitioned coding WriteResidual would
+  // emit (same partition order, per-partition k and raw escapes).
+  uint64_t PlanResidualCost(const int64_t* res, uint32_t n, uint32_t order,
+                            uint32_t blocksize) const {
+    uint32_t porder = 0;
+    while (porder < 6 && (blocksize % (1u << (porder + 1))) == 0 &&
+           (blocksize >> (porder + 1)) > order && (n >> (porder + 1)) >= 64)
+      porder++;
+    uint32_t parts = 1u << porder;
+    uint64_t total = 6;  // method + porder header
+    uint32_t idx = 0;
+    for (uint32_t p = 0; p < parts; p++) {
+      uint32_t count = (blocksize >> porder) - (p == 0 ? order : 0);
+      uint64_t sum = 0, max_abs = 0;
+      for (uint32_t i = 0; i < count; i++) {
+        int64_t e = res[idx + i];
+        uint64_t a = (uint64_t)(e < 0 ? -e : e);
+        sum += a;
+        if (a > max_abs) max_abs = a;
+      }
+      uint64_t rice_cost;
+      BestRiceParam(sum, count, 30, &rice_cost);
+      uint32_t rawbits = Bits64(max_abs << 1) + 1;
+      uint64_t raw_cost = 5 + (uint64_t)count * rawbits;
+      total += 5 + (rawbits <= 31 && raw_cost < rice_cost ? raw_cost
+                                                          : rice_cost);
+      idx += count;
+    }
+    return total;
+  }
+
   // Encode a rice-partitioned residual.  Parameters are chosen per
   // partition by estimated bit cost; partitions whose raw encoding is
   // cheaper than Rice escape to raw, and a stream needing any k > 14
@@ -827,9 +858,11 @@ class Encoder {
         uint64_t rice_cost;
         uint32_t k = BestRiceParam(sum, count, 30, &rice_cost);
         uint32_t rawbits = Bits64(max_abs << 1) + 1;  // |Fold(e)| width
-        if (rawbits > 31) rawbits = 31;
         uint64_t raw_cost = 5 + (uint64_t)count * rawbits;
-        if (raw_cost < rice_cost) {
+        // Raw escape only when every value truly fits the 31-bit
+        // field; wider residuals stay Rice (whose unary quotient
+        // handles any magnitude) rather than being silently truncated.
+        if (rawbits <= 31 && raw_cost < rice_cost) {
           plan[p] = {0, rawbits};
         } else {
           plan[p] = {k, 0};
@@ -1074,9 +1107,16 @@ class Encoder {
     // Incompressible signal: a VERBATIM subframe beats any residual
     // coding once the best achievable Rice cost reaches raw size
     // (uniform full-scale noise codes at ~bps+1 bits/sample as Rice;
-    // VERBATIM serves it at exactly bps).
+    // VERBATIM serves it at exactly bps).  The cheap single-k estimate
+    // only SCREENS; partitioned coding with per-partition k can beat
+    // it badly on mixed quiet/loud blocks (a fade into applause), so
+    // the decision is confirmed against a partitioned estimate.
     uint64_t rice_est;
     BestRiceParam(best_sum, n - best_order, 30, &rice_est);
+    if (rice_est >= (uint64_t)n * bps) {
+      FixedResidual(x, n, best_order, res.data());
+      rice_est = PlanResidualCost(res.data(), n - best_order, best_order, n);
+    }
     if (rice_est >= (uint64_t)n * bps) {
       bw.WriteBits(1, 6);  // VERBATIM
       bw.WriteBits(0, 1);  // no wasted bits
