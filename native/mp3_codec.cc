@@ -970,7 +970,16 @@ class Decoder {
     float win[4][36];  // block types 0..3 (2 = short single window of 12)
     float win_short[12];
     float synth_n[64][32];
+    // 1/(2cos((2k+1)pi/(2N))) per Lee-DCT level, N = 32,16,8,4,2.
+    float dct_sec[5][16];
+    const float* dct_sec_ptr[5];
     Trig() {
+      for (int lvl = 0, N = 32; N >= 2; N >>= 1, lvl++) {
+        for (int k = 0; k < N / 2; k++)
+          dct_sec[lvl][k] =
+              (float)(0.5 / std::cos((2 * k + 1) * M_PI / (2.0 * N)));
+        dct_sec_ptr[lvl] = dct_sec[lvl];
+      }
       for (int i = 0; i < 36; i++)
         for (int k = 0; k < 18; k++)
           imdct36[i][k] = (float)std::cos(M_PI / 72.0 * (2 * i + 1 + 18) *
@@ -1073,6 +1082,33 @@ class Decoder {
   // hits the front (1/64th of the old every-step 3.8 KB memmove).
   static constexpr int kVRing = 1024 + 64 * 64;
 
+  // Lee's fast DCT-II: X[j] = sum_k x[k] cos(j(2k+1)pi/(2N)), computed
+  // by even/odd split into two half-size DCTs (~N/2 log2 N multiplies
+  // vs N^2 for the naive matrixing).  Constants are 1/(2cos) secants
+  // per level, built once.
+  template <int N>
+  static inline void Dct(const float* __restrict__ x, float* __restrict__ X,
+                         const float* const* sec) {
+    if constexpr (N == 1) {
+      X[0] = x[0];
+    } else {
+      float g[N / 2], h[N / 2], G[N / 2], H[N / 2];
+      const float* __restrict__ c = sec[0];
+      for (int k = 0; k < N / 2; k++) {
+        g[k] = x[k] + x[N - 1 - k];
+        h[k] = (x[k] - x[N - 1 - k]) * c[k];
+      }
+      Dct<N / 2>(g, G, sec + 1);
+      Dct<N / 2>(h, H, sec + 1);
+      for (int j = 0; j < N / 2 - 1; j++) {
+        X[2 * j] = G[j];
+        X[2 * j + 1] = H[j] + H[j + 1];
+      }
+      X[N - 2] = G[N / 2 - 1];
+      X[N - 1] = H[N / 2 - 1];
+    }
+  }
+
   void SynthStep(int ch, const float* S, float* o) {
     const Trig& tg = trig();
     const float* __restrict__ D = synth_window();
@@ -1084,27 +1120,18 @@ class Decoder {
     v_off_[ch] -= 64;
     float* __restrict__ V = v_ring_[ch] + v_off_[ch];
     const float* __restrict__ Sv = S;
-    // Matrixing symmetry: with a_i = 16+i, cos(a*t) mirrors as
-    // V[32-i] = -V[i] (a + a' = 64 -> cos((2k+1)pi - t) = -cos t) and
-    // V[96-i] = V[i] (a + a' = 128 -> full period) — 33 dot products
-    // instead of 64.
-    for (int i = 0; i <= 16; i++) {
-      const float* __restrict__ row = tg.synth_n[i];
-      float acc = 0;
-#pragma omp simd reduction(+ : acc)
-      for (int k = 0; k < 32; k++) acc += row[k] * Sv[k];
-      V[i] = acc;
-      if (i > 0 && i < 16) V[32 - i] = -acc;
-    }
-    for (int i = 48; i < 64; i++) {
-      const float* __restrict__ row = tg.synth_n[i];
-      float acc = 0;
-#pragma omp simd reduction(+ : acc)
-      for (int k = 0; k < 32; k++) acc += row[k] * Sv[k];
-      V[i] = acc;
-      if (i > 48) V[96 - i] = acc;
-    }
-    V[32] = -V[0];
+    // Matrixing via one fast DCT-32: with X[j] = sum_k S[k]
+    // cos(j(2k+1)pi/64) and row angle a = 16+i,
+    //   V[i]       =  X[16+i]   (i = 0..15)
+    //   V[16]      =  0          (a = 32: cos((2k+1)pi/2))
+    //   V[17..47]  = -X[48-i]    (a + a' = 64 reflection)
+    //   V[48..63]  = -X[i-48]    (a - 64: half-period shift)
+    float X[32];
+    Dct<32>(Sv, X, tg.dct_sec_ptr);
+    for (int i = 0; i < 16; i++) V[i] = X[16 + i];
+    V[16] = 0.0f;
+    for (int i = 17; i < 48; i++) V[i] = -X[48 - i];
+    for (int i = 48; i < 64; i++) V[i] = -X[i - 48];
     // o[j] = sum_b D[64b+j]*V[128b+j] + D[64b+32+j]*V[128b+96+j]:
     // accumulate per-b as elementwise 32-wide passes (vectorizes),
     // instead of a 16-term scalar dot per output sample.
