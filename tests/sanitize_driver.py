@@ -446,9 +446,47 @@ def check_dwvw() -> None:
     print("dwvw: ok")
 
 
+def check_mp3() -> None:
+    """MP3 decoder under the sanitizers: a real lame-encoded stream
+    (exercises Huffman LUT + fallback, IMDCT/DCT paths), truncations at
+    every alignment class, and garbage fuzz."""
+    try:
+        from folve_tpu.tools.mp3_oracle import lame_available, lame_encode
+        if not lame_available():
+            print("mp3: skipped (no lame)")
+            return
+    except Exception:
+        print("mp3: skipped (no lame)")
+        return
+    from folve_tpu.audio.mp3 import read_mp3
+
+    rng = np.random.default_rng(5)
+    t = np.arange(44100 * 2) / 44100.0
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)[:, None] * [1.0, 0.8]
+         + 0.05 * rng.standard_normal((t.size, 2))).astype(np.float32)
+    blob = lame_encode(x, 44100, 192)
+    got, info = read_mp3(blob)
+    assert got.shape[0] > 80000 and info.channels == 2
+    for cut in (1, 417, len(blob) // 2, len(blob) - 3):
+        try:
+            read_mp3(blob[:cut])
+        except Exception:
+            pass
+    for _ in range(30):
+        fuzz = bytearray(blob[: 4096])
+        for _ in range(12):
+            fuzz[rng.integers(0, len(fuzz))] = rng.integers(0, 256)
+        try:
+            read_mp3(bytes(fuzz))
+        except Exception:
+            pass
+    print("mp3: ok")
+
+
 if __name__ == "__main__":
     check_flac()
     check_vorbis()
     check_dwvw()
+    check_mp3()
     check_fuse()
     print("SANITIZE_DRIVER_OK")
