@@ -672,17 +672,66 @@ def read_paf(path: str):
 
 
 class PafStreamEncoder(PcmStreamEncoderBase):
-    """PAF output: big-endian variant, PCM-16."""
+    """PAF output: big-endian variant, PCM-16 or the 24-bit
+    block-packed fmt-1 (a 24-bit PAF input keeps its depth, matching
+    the reference's format-preserving write).  24-bit buffers to
+    10-sample units per channel; the final partial unit is zero-padded
+    (libsndfile pads with stale buffer bytes — zeros are strictly
+    saner and readers derive the ceil'd frame count either way)."""
 
-    _allowed_bits = (16,)
+    _allowed_bits = (16, 24)
     _little_endian = False
     _error = LegacyError
 
+    def __init__(self, rate, channels, bits, total_frames):
+        super().__init__(rate, channels, bits, total_frames)
+        self._pend = np.zeros((0, channels), np.int32)
+
     def header(self, metadata: Optional[dict] = None) -> bytes:
         del metadata
-        out = b" paf" + struct.pack(">IIIII", 0, 0, self.rate, 0,
+        fmt = 1 if self.bits == 24 else 0
+        out = b" paf" + struct.pack(">IIIII", 0, 0, self.rate, fmt,
                                     self.channels)
         return out + bytes(2048 - len(out))
+
+    def _pack24(self, vals: np.ndarray) -> bytes:
+        """Whole units [n*10, ch] int32 -> fmt-1 bytes (per-channel
+        32-byte units of 10 3-byte-LE samples in the word-reversed
+        logical stream — the decode layout in _decode_paf24, inverted)."""
+        nu = vals.shape[0] // _PAF24_SPB
+        v = vals.reshape(nu, _PAF24_SPB, self.channels)
+        out = np.zeros((nu, self.channels, _PAF24_UNIT), np.uint8)
+        u = v.transpose(0, 2, 1).astype(np.int64) & 0xFFFFFF
+        trip = out[:, :, : _PAF24_SPB * 3].reshape(nu, self.channels,
+                                                   _PAF24_SPB, 3)
+        trip[..., 0] = u & 0xFF
+        trip[..., 1] = (u >> 8) & 0xFF
+        trip[..., 2] = (u >> 16) & 0xFF
+        # logical -> physical: reverse bytes within each int32 word
+        phys = out.reshape(-1, 4)[:, ::-1]
+        return np.ascontiguousarray(phys).tobytes()
+
+    def write_float(self, samples: np.ndarray) -> bytes:
+        if self.bits == 16:
+            return super().write_float(samples)
+        v = np.clip(
+            np.round(np.asarray(samples, np.float64) * self._scale),
+            -self._scale, self._limit).astype(np.int32)
+        self._pend = np.concatenate([self._pend, v.reshape(-1, self.channels)])
+        whole = (self._pend.shape[0] // _PAF24_SPB) * _PAF24_SPB
+        if whole == 0:
+            return b""
+        chunk, self._pend = self._pend[:whole], self._pend[whole:]
+        return self._pack24(chunk)
+
+    def finish(self) -> bytes:
+        if self.bits == 16 or self._pend.shape[0] == 0:
+            return b""
+        pad = _PAF24_SPB - self._pend.shape[0]
+        tail = np.concatenate(
+            [self._pend, np.zeros((pad, self.channels), np.int32)])
+        self._pend = np.zeros((0, self.channels), np.int32)
+        return self._pack24(tail)
 
 
 # ---------------------------------------------------------------------------

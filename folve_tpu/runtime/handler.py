@@ -303,8 +303,12 @@ class ConvolveFileHandler(FileHandler):
                 out_bits = self._in_info.bits_per_sample
                 if out_bits not in (16, 24):
                     out_bits = 24
+        elif in_container == Container.PAF:
+            # PAF keeps 24-bit via the fmt-1 block packing; 8-bit
+            # sources upconvert to 16 like the other legacy formats.
+            out_bits = 24 if self._in_info.bits_per_sample == 24 else 16
         elif in_container in (Container.VOC, Container.IRCAM,
-                              Container.NIST, Container.PVF, Container.PAF,
+                              Container.NIST, Container.PVF,
                               Container.AVR, Container.MPC):
             out_bits = 16  # these legacy containers are 16-bit PCM out
         else:
