@@ -251,6 +251,15 @@ def open_source(path: str) -> Optional[AudioSource]:
 
                 return G72xSource(src._f, src.info, src._data_offset,
                                   src._data_size, G721_32_BITS)
+            if src.info.codec in (SampleCodec.NMS_16, SampleCodec.NMS_24,
+                                  SampleCodec.NMS_32):
+                # NMS VBX ADPCM: predictor state is continuous across
+                # the 160-sample blocks — stateful source like G.721.
+                from folve_tpu.audio.nms import NmsSource, type_for_codec
+
+                return NmsSource(src._f, src.info, src._data_offset,
+                                 src._data_size,
+                                 type_for_codec(src.info.codec))
             if src.info.codec == SampleCodec.MP3:
                 # MPEG-in-WAV: hand the data-chunk bitstream to the
                 # native MPEG decoder (same whole-payload policy as a

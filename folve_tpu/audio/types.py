@@ -59,6 +59,9 @@ class SampleCodec(enum.Enum):
     G721_32 = "g721_32"  # CCITT G.721 ADPCM, 32 kbps (4-bit codes)
     G723_24 = "g723_24"  # CCITT G.723 ADPCM, 24 kbps (3-bit codes)
     G723_40 = "g723_40"  # CCITT G.723 ADPCM, 40 kbps (5-bit codes)
+    NMS_16 = "nms_16"    # NMS VBX ADPCM, 16 kbps (2-bit codes)
+    NMS_24 = "nms_24"    # NMS VBX ADPCM, 24 kbps (3-bit codes)
+    NMS_32 = "nms_32"    # NMS VBX ADPCM, 32 kbps (4-bit codes)
     DWVW = "dwvw"        # TX16W Delta Word Variable Width (12/16/24-bit)
 
 
@@ -82,6 +85,9 @@ _BITS = {
     SampleCodec.G721_32: 16,
     SampleCodec.G723_24: 16,
     SampleCodec.G723_40: 16,
+    SampleCodec.NMS_16: 16,
+    SampleCodec.NMS_24: 16,
+    SampleCodec.NMS_32: 16,
     SampleCodec.DWVW: 16,  # declared depth (12/16/24) comes from COMM
 }
 

@@ -124,6 +124,12 @@ def open_w64_stream(path: str):
             from folve_tpu.audio.g72x import G721_32_BITS, G72xSource
 
             src = G72xSource(f, info, data_off, int(data_len), G721_32_BITS)
+        elif info.codec in (SampleCodec.NMS_16, SampleCodec.NMS_24,
+                            SampleCodec.NMS_32):
+            from folve_tpu.audio.nms import NmsSource, type_for_codec
+
+            src = NmsSource(f, info, data_off, int(data_len),
+                            type_for_codec(info.codec))
         else:
             # Everything else (PCM/float/G.711/IMA/MS-ADPCM) reads
             # through the WAV source logic — frame-granular for sample

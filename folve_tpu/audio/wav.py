@@ -24,6 +24,7 @@ _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
 _WAVE_FORMAT_IMA_ADPCM = 0x0011  # a.k.a. DVI ADPCM
 _WAVE_FORMAT_GSM610 = 0x0031  # Microsoft GSM 6.10 (WAV49 framing)
+_WAVE_FORMAT_NMS_VBXADPCM = 0x0038  # NMS VBX ADPCM (16/24/32 kbps)
 _WAVE_FORMAT_G721_ADPCM = 0x0040  # CCITT G.721 32 kbps (continuous 4-bit)
 _WAVE_FORMAT_MPEG = 0x0050  # MPEG-1 Layer I/II bitstream in data chunk
 _WAVE_FORMAT_MPEGLAYER3 = 0x0055
@@ -206,6 +207,16 @@ def interpret_fmt(fmt: bytes, data_size: int, fact_frames=None,
         if block_align != 65:
             raise WavError(f"GSM 6.10 block align {block_align} != 65")
         samples_per_block = 320
+    elif tag == _WAVE_FORMAT_NMS_VBXADPCM:
+        # 160-sample blocks of 42/62/82 bytes; the fmt bit width (2/3/4)
+        # selects the 16/24/32 kbps rate (native/nms_codec.cc).
+        codec = {2: SampleCodec.NMS_16, 3: SampleCodec.NMS_24,
+                 4: SampleCodec.NMS_32}.get(bits)
+        if codec is None:
+            raise WavError(f"NMS ADPCM bit width {bits} not 2/3/4")
+        if channels != 1:
+            raise WavError("NMS ADPCM is mono-only")
+        bits = 16  # decode is 16-bit range
     elif tag == _WAVE_FORMAT_G721_ADPCM:
         # The data chunk is ONE continuous 4-bit code stream (the
         # nominal 64-byte block align carries no framing and the
@@ -250,6 +261,21 @@ def interpret_fmt(fmt: bytes, data_size: int, fact_frames=None,
         return AudioInfo(
             rate=rate, channels=1, frames=data_size * 2,
             container=container, codec=codec, bits_per_sample=bits,
+        )
+
+    if codec in (SampleCodec.NMS_16, SampleCodec.NMS_24,
+                 SampleCodec.NMS_32):
+        # Blockwise ceil like the oracle (a truncated final block
+        # decodes zero-padded to a full 160 samples); fact is ignored.
+        from folve_tpu.audio.nms import (BLOCK_BYTES, nms_frames_in,
+                                         type_for_codec)
+
+        rate_type = type_for_codec(codec)
+        del fact_frames
+        return AudioInfo(
+            rate=rate, channels=1, frames=nms_frames_in(data_size, rate_type),
+            container=container, codec=codec, bits_per_sample=bits,
+            block_align=BLOCK_BYTES[rate_type], samples_per_block=160,
         )
 
     block_coded = codec in (SampleCodec.IMA_ADPCM, SampleCodec.MS_ADPCM)
@@ -453,6 +479,10 @@ def _decode_pcm(raw: bytes, info: AudioInfo) -> np.ndarray:
         from folve_tpu.audio.g72x import G721_32_BITS, decode_g72x
 
         return decode_g72x(raw, G721_32_BITS)
+    if c in (SampleCodec.NMS_16, SampleCodec.NMS_24, SampleCodec.NMS_32):
+        from folve_tpu.audio.nms import decode_nms, type_for_codec
+
+        return decode_nms(raw, type_for_codec(c))
     if c == SampleCodec.PCM_16:
         x = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.float32) / 32768.0
     elif c == SampleCodec.PCM_24:

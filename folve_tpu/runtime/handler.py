@@ -297,7 +297,8 @@ class ConvolveFileHandler(FileHandler):
                     SampleCodec.IMA_ADPCM, SampleCodec.MS_ADPCM,
                     SampleCodec.GSM610, SampleCodec.ALAW, SampleCodec.ULAW,
                     SampleCodec.G721_32, SampleCodec.G723_24,
-                    SampleCodec.G723_40):
+                    SampleCodec.G723_40, SampleCodec.NMS_16,
+                    SampleCodec.NMS_24, SampleCodec.NMS_32):
                 out_bits = 16
             else:
                 out_bits = self._in_info.bits_per_sample

@@ -446,6 +446,49 @@ def check_dwvw() -> None:
     print("dwvw: ok")
 
 
+def check_nms() -> None:
+    """NMS VBX ADPCM under the sanitizers: encode/decode round-trip at
+    every rate, chunked decode through the streaming entry point,
+    truncation (stale-word tail path), and garbage fuzz."""
+    import ctypes
+
+    from folve_tpu.audio.nms import (BLOCK_BYTES, _lib, decode_nms,
+                                     encode_nms, nms_frames_in)
+
+    rng = np.random.default_rng(13)
+    for rate_type in (0, 1, 2):
+        x = np.round(rng.uniform(-1, 1, 160 * 12) * 30000).astype(np.int16)
+        x[100:300] = 0
+        payload = encode_nms(x, rate_type)
+        assert len(payload) == 12 * BLOCK_BYTES[rate_type]
+        dec = decode_nms(payload, rate_type)
+        assert dec.shape == (160 * 12, 1) and np.all(np.isfinite(dec))
+        # chunked decode with persistent state matches one-shot
+        lib = _lib()
+        h = lib.folve_nms_create(rate_type)
+        out = np.zeros(160 * 12, np.int16)
+        n = 0
+        bb = BLOCK_BYTES[rate_type]
+        for i in range(0, len(payload), bb * 5):
+            chunk = payload[i : i + bb * 5]
+            n += lib.folve_nms_decode(
+                h, chunk, len(chunk),
+                out[n:].ctypes.data_as(ctypes.c_void_p))
+        lib.folve_nms_close(h)
+        whole = np.round(dec[:, 0] * 32768).astype(np.int16)
+        assert np.array_equal(out[:n], whole), f"nms {rate_type} chunked"
+        # truncations (partial final block decodes against stale words)
+        for cut in (1, bb - 1, bb + 3, len(payload) - 7):
+            got = decode_nms(payload[:cut], rate_type)
+            assert got.shape[0] == nms_frames_in(cut, rate_type)
+        # garbage
+        for _ in range(50):
+            blob = rng.integers(0, 256, rng.integers(0, 6 * bb),
+                                dtype=np.uint8).tobytes()
+            decode_nms(blob, rate_type)
+    print("nms: ok")
+
+
 def check_mp3() -> None:
     """MP3 decoder under the sanitizers: a real lame-encoded stream
     (exercises Huffman LUT + fallback, IMDCT/DCT paths), truncations at
@@ -487,6 +530,7 @@ if __name__ == "__main__":
     check_flac()
     check_vorbis()
     check_dwvw()
+    check_nms()
     check_mp3()
     check_fuse()
     print("SANITIZE_DRIVER_OK")

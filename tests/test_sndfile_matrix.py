@@ -11,17 +11,13 @@ Exceptions are explicit registries:
 
 * KNOWN_GAPS — combos we deliberately do not decode, asserted to FAIL
   (if support is ever added, the entry must be removed):
-    - WAV/NMS-ADPCM 16/24/32: NMS VBX ADPCM.  Behavioral recovery got
-      the framing (LE 16-bit words, 4 codes MSB-first, 82/62/42-byte
-      blocks, last word pad), the G.726-family scale recursion
-      (y0=544, yu = y + ((W<<5 - y)>>5), G.721 W/dqln tables verified
-      at small scales) and the quantizer at low state exactly, but the
-      predictor recursion has m-dependent few-LSB nonlinearities that
-      resisted black-box identification — see tools/nms_model_wip.py.
     - OGG/OPUS: a from-scratch Opus decoder needs RFC 6716's trained
       probability tables, which cannot be reconstructed from memory or
       recovered behaviorally through a range coder (and this
       environment has no egress to fetch the RFC).  Documented gap.
+  (WAV/NMS-ADPCM 16/24/32 graduated from this list: the predictor that
+  resisted black-box probing was recovered by static analysis of the
+  oracle binary — native/nms_codec.cc, tests/test_nms.py.)
 * ORACLE_BROKEN — combos the oracle itself cannot round-trip (its
   write or read path is non-functional); nothing to be compatible
   with.  Detected dynamically and cross-checked against this list.
@@ -63,7 +59,6 @@ SUBS = {
 
 # Deliberate decode gaps: asserted to NOT decode (keeps the list honest).
 KNOWN_GAPS = {
-    ("WAV", "NMS_16"), ("WAV", "NMS_24"), ("WAV", "NMS_32"),
     ("OGG", "OPUS"),
 }
 
