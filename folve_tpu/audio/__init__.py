@@ -151,10 +151,15 @@ def read_audio(path: str) -> tuple[np.ndarray, AudioInfo]:
     if container == Container.OGG:
         from folve_tpu.audio.oggflac import sniff_ogg_codec
 
-        if sniff_ogg_codec(path) == "flac":
+        codec = sniff_ogg_codec(path)
+        if codec == "flac":
             from folve_tpu.audio.oggflac import read_ogg_flac
 
             return read_ogg_flac(path)
+        if codec == "opus":
+            from folve_tpu.audio.opus import read_opus
+
+            return read_opus(path)
         from folve_tpu.audio.ogg import read_ogg
 
         return read_ogg(path)
@@ -196,10 +201,15 @@ def read_audio_info(path: str) -> AudioInfo:
     if container == Container.OGG:
         from folve_tpu.audio.oggflac import sniff_ogg_codec
 
-        if sniff_ogg_codec(path) == "flac":
+        codec = sniff_ogg_codec(path)
+        if codec == "flac":
             from folve_tpu.audio.oggflac import read_ogg_flac_info
 
             return read_ogg_flac_info(path)
+        if codec == "opus":
+            from folve_tpu.audio.opus import read_opus_info
+
+            return read_opus_info(path)
         from folve_tpu.audio.ogg import read_ogg_info
 
         return read_ogg_info(path)

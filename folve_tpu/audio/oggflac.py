@@ -67,7 +67,7 @@ def _iter_packets(blob: bytes, want_serial: Optional[int]) -> Iterator[bytes]:
 
 
 def sniff_ogg_codec(path: str) -> Optional[str]:
-    """'flac' | 'vorbis' | None from the first Ogg BOS packet."""
+    """'flac' | 'vorbis' | 'opus' | None from the first Ogg BOS packet."""
     try:
         with open(path, "rb") as f:
             head = f.read(512)
@@ -82,6 +82,8 @@ def sniff_ogg_codec(path: str) -> Optional[str]:
         return "flac"
     if first[:7] == b"\x01vorbis":
         return "vorbis"
+    if first[:8] == b"OpusHead":
+        return "opus"
     return None
 
 

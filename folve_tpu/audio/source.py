@@ -306,8 +306,13 @@ def open_source(path: str) -> Optional[AudioSource]:
         if container == Container.OGG:
             from folve_tpu.audio.oggflac import OggFlacSource, sniff_ogg_codec
 
-            if sniff_ogg_codec(path) == "flac":
+            codec = sniff_ogg_codec(path)
+            if codec == "flac":
                 return OggFlacSource(path)
+            if codec == "opus":
+                from folve_tpu.audio.opus import OpusSource
+
+                return OpusSource(path)
             from folve_tpu.audio.ogg import OggSource
 
             return OggSource(path)

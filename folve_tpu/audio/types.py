@@ -62,6 +62,7 @@ class SampleCodec(enum.Enum):
     NMS_16 = "nms_16"    # NMS VBX ADPCM, 16 kbps (2-bit codes)
     NMS_24 = "nms_24"    # NMS VBX ADPCM, 24 kbps (3-bit codes)
     NMS_32 = "nms_32"    # NMS VBX ADPCM, 32 kbps (4-bit codes)
+    OPUS = "opus"       # Ogg Opus (CELT-mode; decodes at 48 kHz)
     DWVW = "dwvw"        # TX16W Delta Word Variable Width (12/16/24-bit)
 
 
@@ -88,6 +89,7 @@ _BITS = {
     SampleCodec.NMS_16: 16,
     SampleCodec.NMS_24: 16,
     SampleCodec.NMS_32: 16,
+    SampleCodec.OPUS: 16,
     SampleCodec.DWVW: 16,  # declared depth (12/16/24) comes from COMM
 }
 

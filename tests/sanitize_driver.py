@@ -489,6 +489,79 @@ def check_nms() -> None:
     print("nms: ok")
 
 
+def check_celt() -> None:
+    """Opus CELT decoder under the sanitizers: real packets at several
+    rates/frame sizes (libopus encoder as fixture generator), truncated
+    packets, and garbage fuzz — the PVQ/allocation/folding paths must
+    stay in bounds whatever the bitstream does."""
+    import ctypes
+    import glob
+
+    cands = sorted(glob.glob(
+        "/opt/venv/lib/python3*/site-packages/pygame.libs/libopus*.so*"))
+    if not cands:
+        print("celt: skipped (no libopus)")
+        return
+    ol = ctypes.CDLL(cands[0])
+    ol.opus_encoder_create.restype = ctypes.c_void_p
+    ol.opus_encode_float.restype = ctypes.c_int
+
+    from folve_tpu.audio.opus import _lib
+
+    lib = _lib()
+    rng = np.random.default_rng(17)
+    for ch in (1, 2):
+        for frame, rate in ((120, 96000), (240, 6000), (960, 64000)):
+            err = ctypes.c_int()
+            enc = ol.opus_encoder_create(48000, ch, 2049, ctypes.byref(err))
+            ol.opus_encoder_ctl(ctypes.c_void_p(enc), 11002, 1002)
+            ol.opus_encoder_ctl(ctypes.c_void_p(enc), 4002, rate)
+            dec = lib.folve_celt_create(ch)
+            sig = np.clip(0.5 * rng.standard_normal((frame * 8, ch)),
+                          -1, 1).astype(np.float32)
+            for i in range(8):
+                buf = ctypes.create_string_buffer(4000)
+                x = np.ascontiguousarray(sig[i * frame:(i + 1) * frame])
+                ln = ol.opus_encode_float(
+                    ctypes.c_void_p(enc), x.ctypes.data_as(ctypes.c_void_p),
+                    frame, buf, 4000)
+                pkt = buf.raw[:ln]
+                out = np.zeros((frame, ch), np.float32)
+                r = lib.folve_celt_decode(
+                    dec, pkt, ln, out.ctypes.data_as(ctypes.c_void_p))
+                assert r == frame and np.all(np.isfinite(out))
+                # truncations + bit flips of a real packet
+                for cut in (1, ln // 2, ln - 1):
+                    n = lib.folve_celt_probe(pkt[:cut], cut)
+                    if n > 0:
+                        o2 = np.zeros((n, ch), np.float32)
+                        lib.folve_celt_decode(
+                            dec, pkt[:cut], cut,
+                            o2.ctypes.data_as(ctypes.c_void_p))
+                fz = bytearray(pkt)
+                for _ in range(6):
+                    fz[rng.integers(0, len(fz))] = rng.integers(0, 256)
+                n = lib.folve_celt_probe(bytes(fz), len(fz))
+                if n > 0:
+                    o2 = np.zeros((n, ch), np.float32)
+                    lib.folve_celt_decode(dec, bytes(fz), len(fz),
+                                          o2.ctypes.data_as(ctypes.c_void_p))
+            lib.folve_celt_close(dec)
+            ol.opus_encoder_destroy(ctypes.c_void_p(enc))
+    # pure garbage
+    dec = lib.folve_celt_create(2)
+    for _ in range(100):
+        blob = bytes(rng.integers(0, 256, rng.integers(1, 600),
+                                  dtype=np.uint8))
+        n = lib.folve_celt_probe(blob, len(blob))
+        if n > 0:
+            out = np.zeros((n, 2), np.float32)
+            lib.folve_celt_decode(dec, blob, len(blob),
+                                  out.ctypes.data_as(ctypes.c_void_p))
+    lib.folve_celt_close(dec)
+    print("celt: ok")
+
+
 def check_mp3() -> None:
     """MP3 decoder under the sanitizers: a real lame-encoded stream
     (exercises Huffman LUT + fallback, IMDCT/DCT paths), truncations at
@@ -531,6 +604,7 @@ if __name__ == "__main__":
     check_vorbis()
     check_dwvw()
     check_nms()
+    check_celt()
     check_mp3()
     check_fuse()
     print("SANITIZE_DRIVER_OK")

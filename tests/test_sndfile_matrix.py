@@ -11,13 +11,14 @@ Exceptions are explicit registries:
 
 * KNOWN_GAPS — combos we deliberately do not decode, asserted to FAIL
   (if support is ever added, the entry must be removed):
-    - OGG/OPUS: a from-scratch Opus decoder needs RFC 6716's trained
-      probability tables, which cannot be reconstructed from memory or
-      recovered behaviorally through a range coder (and this
-      environment has no egress to fetch the RFC).  Documented gap.
-  (WAV/NMS-ADPCM 16/24/32 graduated from this list: the predictor that
-  resisted black-box probing was recovered by static analysis of the
-  oracle binary — native/nms_codec.cc, tests/test_nms.py.)
+    - currently empty.  WAV/NMS-ADPCM 16/24/32 graduated (the predictor
+      that resisted black-box probing was recovered by static analysis
+      of the oracle binary — native/nms_codec.cc, tests/test_nms.py).
+      OGG/OPUS graduated next (from-scratch RFC 6716 CELT decoder with
+      trained tables extracted from the libopus oracle binary —
+      native/celt_codec.cc, tests/test_opus.py); the remaining honest
+      Opus gap is SILK/hybrid-mode packets (speech modes), which the
+      reader refuses so such files pass through unfiltered.
 * ORACLE_BROKEN — combos the oracle itself cannot round-trip (its
   write or read path is non-functional); nothing to be compatible
   with.  Detected dynamically and cross-checked against this list.
@@ -58,9 +59,7 @@ SUBS = {
 }
 
 # Deliberate decode gaps: asserted to NOT decode (keeps the list honest).
-KNOWN_GAPS = {
-    ("OGG", "OPUS"),
-}
+KNOWN_GAPS = set()
 
 # The oracle's own write or read path is non-functional for these
 # (writes zero frames / reads back zero frames); detected dynamically.
@@ -71,8 +70,8 @@ ORACLE_BROKEN = {
 # format_check accepts these but this oracle build cannot open them for
 # write (no encoder linked in), so the matrix cannot produce a file.
 # Raw MPEG and WAV/MPEG decode IS covered — by our own lame/twolame
-# oracle fixtures in test_mp3.py / test_wav.py; Opus stays in
-# KNOWN_GAPS above.
+# oracle fixtures in test_mp3.py / test_wav.py; Ogg Opus decode is
+# covered by tests/test_opus.py against the libopus oracle.
 ORACLE_NO_WRITE = {
     ("MPEG", "MPEG_L1"), ("MPEG", "MPEG_L2"), ("MPEG", "MPEG_L3"),
     ("WAV", "MPEG_L3"), ("OGG", "OPUS"),
