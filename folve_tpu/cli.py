@@ -384,9 +384,28 @@ _SUBCOMMANDS = (
 )
 
 
+def _apply_platform_override() -> None:
+    """Honor FOLVE_PLATFORM for every subcommand.
+
+    A sitecustomize may import jax before our env vars can take effect,
+    so the JAX_PLATFORMS env var alone is not reliable; the config call
+    works as long as no backend has been initialized yet.
+    """
+    platform = os.environ.get("FOLVE_PLATFORM")
+    if not platform:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    _apply_platform_override()
     # Reference-compatible invocation: `folve [options] src mnt` with no
     # subcommand (folve-main.cc:330-361).  The main parser has no
     # options of its own, so in subcommand form the subcommand is always
