@@ -940,25 +940,6 @@ static void DecodeCore(Channel* c, const DecCtrl* ctrl, int16_t* xq,
         for (int i = 0; i < lag + kLtpOrder / 2; ++i)
           sLTP_Q15[sLTP_buf_idx - i - 1] =
               smulwb(inv_gain_Q31, sLTP[c->ltp_mem_length - i - 1]);
-        if (Trace()) {
-          std::fprintf(stderr,
-                       "rewhiten k=%d len=%d in[0:8]=[%d, %d, %d, %d, %d, %d,"
-                       " %d, %d] inv=%d\n  sLTP_Q15[low:+8]=[",
-                       k, c->ltp_mem_length - start_idx,
-                       c->outBuf[start_idx + k * c->subfr_length],
-                       c->outBuf[start_idx + k * c->subfr_length + 1],
-                       c->outBuf[start_idx + k * c->subfr_length + 2],
-                       c->outBuf[start_idx + k * c->subfr_length + 3],
-                       c->outBuf[start_idx + k * c->subfr_length + 4],
-                       c->outBuf[start_idx + k * c->subfr_length + 5],
-                       c->outBuf[start_idx + k * c->subfr_length + 6],
-                       c->outBuf[start_idx + k * c->subfr_length + 7],
-                       inv_gain_Q31);
-          for (int i = 0; i < 8; ++i)
-            std::fprintf(stderr, "%d%s",
-                         sLTP_Q15[sLTP_buf_idx - (lag + 2) + i],
-                         i < 7 ? ", " : "]\n");
-        }
       } else if (gain_adj_Q16 != 1 << 16) {
         for (int i = 0; i < lag + kLtpOrder / 2; ++i)
           sLTP_Q15[sLTP_buf_idx - i - 1] =
@@ -1002,14 +983,6 @@ static void DecodeCore(Channel* c, const DecCtrl* ctrl, int16_t* xq,
     pxq += c->subfr_length;
   }
   std::memcpy(c->sLPC_Q14, sLPC_Q14, kMaxLpcOrder * sizeof(int32_t));
-  if (Trace()) {
-    std::fprintf(stderr, "core exc[0:24]=[");
-    for (int i = 0; i < 24; ++i)
-      std::fprintf(stderr, "%d%s", c->exc_Q14[i], i < 23 ? ", " : "]\n");
-    std::fprintf(stderr, "  sLPCend=[");
-    for (int i = 0; i < 8; ++i)
-      std::fprintf(stderr, "%d%s", c->sLPC_Q14[i], i < 7 ? ", " : "]\n");
-  }
 }
 
 // silk/stereo_MS_to_LR.c.  x1/x2 carry a 2-sample state prefix.
@@ -1207,27 +1180,35 @@ static int DecodeSilkPayload(Decoder* d, EcDec* ec, int bw, int duration_ms,
       STRACE("  frame %d ch %d done tell=%d rng=%08x\n", i, n, ec->Tell(),
              ec->rng);
     }
-    if (nCh == 2) {
+    int API = d->channels;
+    if (nCh == 2 && API == 2) {
       StereoMsToLr(&d->sStereo, d->frameOut[0], d->frameOut[1], pred_Q13,
                    d->ch[0].fs_kHz, frame_length);
-      d->prev_decode_only_middle = decode_only_middle;
     } else {
-      // Mono keeps the same 1-sample delay line (dec_API.c buffering).
+      // Mono output path (internal mono, or stereo stream mixed down to
+      // the API's single channel = mid): same 1-sample delay line
+      // (dec_API.c buffering).
       std::memcpy(d->frameOut[0], d->sStereo.sMid, 2 * sizeof(int16_t));
       std::memcpy(d->sStereo.sMid, &d->frameOut[0][frame_length],
                   2 * sizeof(int16_t));
     }
+    d->prev_decode_only_middle = decode_only_middle;
     if (out) {
       // The resampler input starts one sample into the prefix
-      // (dec_API.c passes &samplesOut1_tmp[n][1]).
+      // (dec_API.c passes &samplesOut1_tmp[n][1]).  A mono stream in a
+      // stereo-API decoder duplicates channel 0.
       int nOut = 0;
-      for (int n = 0; n < nCh; ++n) {
+      int nResample = imin(API, nCh);
+      for (int n = 0; n < nResample; ++n) {
         int16_t chbuf[20 * 48];
         nOut = d->ch[n].resampler.Process(chbuf, &d->frameOut[n][1],
                                           frame_length);
         for (int s = 0; s < nOut; ++s)
-          out[(i * nOut + s) * nCh + n] = chbuf[s];
+          out[(i * nOut + s) * API + n] = chbuf[s];
       }
+      if (API == 2 && nCh == 1)
+        for (int s = 0; s < nOut; ++s)
+          out[(i * nOut + s) * 2 + 1] = out[(i * nOut + s) * 2];
       out_per_frame = nOut;
     }
   }
