@@ -46,6 +46,15 @@ class ConversionBuffer:
         self._header_end = 0
         self._file_complete = False
 
+    @property
+    def pump_lock(self) -> threading.Lock:
+        """The lock ``fill_until`` pumps under.  Exposed so the gapless
+        handover can serialize against this stream's pump: adopting the
+        donor processor + the donor's split-block write must be atomic
+        w.r.t. our own ``add_more_sound_data`` (see
+        ConvolveFileHandler.passover_processor)."""
+        return self._lock
+
     # -- produce side -----------------------------------------------------
 
     def append(self, data: bytes) -> int:

@@ -115,7 +115,8 @@ class FileHandler:
     def is_gapless(self) -> bool:
         return False
 
-    def passover_processor(self, processor: "SoundProcessor") -> bool:
+    def passover_processor(self, processor: "SoundProcessor",
+                           split_write=None) -> bool:
         return False
 
     def notify_passed_processor_unreferenced(self) -> None:
@@ -631,25 +632,41 @@ class ConvolveFileHandler(FileHandler):
     def has_started(self) -> bool:
         return self._in_info.frames != self._input_frames_left
 
-    def passover_processor(self, donor: "SoundProcessor") -> bool:
+    def passover_processor(self, donor: "SoundProcessor",
+                           split_write=None) -> bool:
         """Adopt the previous track's processor so its partially-filled
-        block is finished with our beginning (convolve-file-handler.cc:328-351)."""
-        if self.has_started():
-            return False
-        assert self._processor is not None
-        if (
-            donor.config_file != self._processor.config_file
-            or donor.config_file_timestamp != self._processor.config_file_timestamp
-        ):
-            return False
-        self._fs.processor_pool.return_processor(self._processor)
-        self._processor = donor
-        self._pump_base = (donor.dispatch_s, donor.fetch_s, donor.encode_s)
-        if not donor.is_input_buffer_complete():
-            with self._stats_lock:
-                self._input_frames_left -= donor.fill_buffer(self._source)
-        self._base_stats.in_gapless = True
-        return True
+        block is finished with our beginning (convolve-file-handler.cc:328-351).
+
+        The whole adoption — started-check, completing the donor's split
+        block with our head, the donor's own partial output write
+        (``split_write``), publishing the processor — runs under OUR
+        conversion buffer's lock, the same lock that serializes this
+        file's pump (``ConversionBuffer.fill_until``).  Without it a
+        concurrent reader of this file can observe the donor mid-split
+        (full input buffer, no pending output) and trip ``fill_buffer``'s
+        invariant — or worse, trigger the split block's processing with
+        ITS sink and route the previous track's tail into our stream.
+        Lock order is acyclic: a donor only ever locks its strictly
+        alphabetically-later successor."""
+        with self._buffer.pump_lock:
+            if self.has_started():
+                return False
+            assert self._processor is not None
+            if (
+                donor.config_file != self._processor.config_file
+                or donor.config_file_timestamp != self._processor.config_file_timestamp
+            ):
+                return False
+            self._fs.processor_pool.return_processor(self._processor)
+            self._pump_base = (donor.dispatch_s, donor.fetch_s, donor.encode_s)
+            if not donor.is_input_buffer_complete():
+                with self._stats_lock:
+                    self._input_frames_left -= donor.fill_buffer(self._source)
+            if split_write is not None:
+                split_write()
+            self._processor = donor
+            self._base_stats.in_gapless = True
+            return True
 
     def notify_passed_processor_unreferenced(self) -> None:
         self._fs.request_prebuffer(self._buffer)
@@ -721,16 +738,25 @@ class ConvolveFileHandler(FileHandler):
             and not proc.is_input_buffer_complete()
             and self._fs.gapless_processing
         ):
-            passed, next_path, next_handler = self._try_gapless_handover(proc)
             # Split block: may carry the next track's head — stays float
-            # so each side's encoder quantizes at its own bit depth.
-            proc.write_processed(self._write_frames, r)
+            # so each side's encoder quantizes at its own bit depth.  On
+            # a successful handover the write runs INSIDE
+            # passover_processor, under the successor's pump lock, so no
+            # reader of the next file can process the split block with
+            # its own sink first.
+            def split_write():
+                proc.write_processed(self._write_frames, r)
+
+            passed, next_path, next_handler = self._try_gapless_handover(
+                proc, split_write)
             if passed:
                 self._base_stats.out_gapless = True
                 self._save_output_values()
                 self._processor = None  # ownership moved
                 self.close()
                 next_handler.notify_passed_processor_unreferenced()
+            else:
+                split_write()
             if next_handler is not None:
                 self._fs.close_handler(next_path, next_handler)
         else:
@@ -742,7 +768,7 @@ class ConvolveFileHandler(FileHandler):
             self.close()
         return self._input_frames_left != 0
 
-    def _try_gapless_handover(self, proc):
+    def _try_gapless_handover(self, proc, split_write):
         """Find the alphabetic successor with the same suffix and offer it
         our processor (convolve-file-handler.cc:390-416)."""
         filename = self._base_stats.filename
@@ -763,7 +789,7 @@ class ConvolveFileHandler(FileHandler):
         next_handler = self._fs.get_or_create_handler(next_path, want_gapless=True)
         if next_handler is None:
             return False, None, None
-        passed = next_handler.passover_processor(proc)
+        passed = next_handler.passover_processor(proc, split_write=split_write)
         return passed, next_path, next_handler
 
     # ---------------------------------------------------------------- close

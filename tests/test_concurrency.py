@@ -112,6 +112,52 @@ def test_gapless_album_under_concurrent_readers(tmp_path):
     assert np.max(np.abs(got - ref)) < 2.5 / 32768
 
 
+def test_gapless_handover_races_successor_reader(tmp_path):
+    """Regression: a reader of the NEXT track racing the donor's
+    handover.  passover_processor publishes the donor processor to the
+    successor; before the fix this happened BEFORE the donor's split
+    write, so the successor's pump could process the split block with
+    its own sink (previous track's tail misrouted into the next file)
+    or trip fill_buffer's full-block invariant.  The whole adoption now
+    runs under the successor's pump lock.  Both outputs must match the
+    continuous-convolution oracle on every iteration."""
+    for it in range(6):
+        fs, src = make_fs(tmp_path / f"it{it}", gapless=True)
+        n1 = 2 * 512 + 300 + 17 * it  # partial block at the seam
+        n2 = 3 * 512 + 100 + 13 * it
+        x1 = write_song(src, "r_t1.flac", n1, seed=10 + it)
+        x2 = write_song(src, "r_t2.flac", n2, seed=20 + it)
+
+        h2 = fs.get_or_create_handler("/r_t2.flac")
+        results = {}
+        # Successor reader starts FIRST so it is pumping while the
+        # donor reaches its final partial block and hands over.
+        t2 = threading.Thread(target=_read_all_threaded, args=(h2, results, 2))
+        t2.start()
+        h1 = fs.get_or_create_handler("/r_t1.flac")
+        t1 = threading.Thread(target=_read_all_threaded, args=(h1, results, 1))
+        t1.start()
+        for t in (t1, t2):
+            t.join(timeout=120)
+            assert not t.is_alive(), "reader deadlocked"
+        fs.close_handler("/r_t1.flac", h1)
+        fs.close_handler("/r_t2.flac", h2)
+
+        y1, _ = read_flac(results[1])
+        y2, _ = read_flac(results[2])
+        assert y1.shape[0] == n1 and y2.shape[0] == n2
+        ir = echo_ir()
+        if h1.get_handler_status().out_gapless:
+            # Joined: one continuous convolution across the seam.
+            ref = expected_conv(np.concatenate([x1, x2]), ir)
+            got = np.concatenate([y1, y2])
+        else:
+            # Successor had already started: two independent streams.
+            ref = np.concatenate([expected_conv(x1, ir), expected_conv(x2, ir)])
+            got = np.concatenate([y1, y2])
+        assert np.max(np.abs(got - ref)) < 2.5 / 32768, it
+
+
 @pytest.mark.parametrize("codec_threads", [0, 4])
 def test_soak_everything_at_once(tmp_path, codec_threads):
     """Soak: concurrent readers across two filters (via -t-style per-open
