@@ -17,30 +17,22 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libfolve_native.so")
 _STAMP_PATH = os.path.join(_NATIVE_DIR, ".build_stamp")
-_SOURCES = [
-    "flac_codec.cc",
-    "md5.cc",
-    "fuse_transport.cc",
-    "vorbis_codec.cc",
-    "mp3_codec.cc",
-    "flac_bits.h",
-    "frame_pool.h",
-    "md5.h",
-    "mp3_huffman.inc",
-    "Makefile",
-]
-
 _lock = threading.Lock()
 _lib = None
 
 
 def _source_digest() -> str:
+    """Hash every build input (all sources/headers/tables + Makefile)."""
     h = hashlib.sha256()
-    for name in _SOURCES:
+    names = sorted(
+        n for n in os.listdir(_NATIVE_DIR)
+        if n == "Makefile" or n.endswith((".cc", ".h", ".inc"))
+    )
+    for name in names:
         path = os.path.join(_NATIVE_DIR, name)
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                h.update(f.read())
+        h.update(name.encode())
+        with open(path, "rb") as f:
+            h.update(f.read())
     return h.hexdigest()
 
 

@@ -23,11 +23,11 @@
 #include <cstring>
 #include <new>
 
+#include "opus_shared.h"
+
 namespace folve_celt {
 
 #include "celt_tables.inc"
-
-#include "opus_shared.h"
 
 using folve_opus::EcDec;
 
@@ -1469,18 +1469,27 @@ struct Decoder {
   }
 
   int DecodeFrame(const uint8_t* data, int len, int LM, int end,
-                  int stream_channels, float* pcm);
+                  int stream_channels, float* pcm, int start = 0,
+                  EcDec* ext = nullptr);
 };
 
+// `start` > 0 is the hybrid-mode path (celt_decode_with_ec with
+// CELT_SET_START_BAND(17), opus_decoder.c): the postfilter and
+// silence paths are gated on start == 0 below, everything else is
+// already parameterized.  `ext`, when given, is a range decoder
+// SHARED with the SILK layer of the same frame (hybrid packets code
+// SILK then CELT through one coder); its raw-bits end must already
+// account for any redundancy bytes (storage shrunk by the caller).
 int Decoder::DecodeFrame(const uint8_t* data, int len, int LM, int end,
-                         int stream_channels, float* pcm) {
+                         int stream_channels, float* pcm, int start,
+                         EcDec* ext) {
   const int C = stream_channels;
   const int CC = channels;
   const int N = kShortMdct << LM;
   const int M = 1 << LM;
-  const int start = 0;
-  EcDec dec;
-  dec.Init(data, (uint32_t)len);
+  EcDec own;
+  EcDec& dec = ext ? *ext : own;
+  if (!ext) dec.Init(data, (uint32_t)len);
   int32_t total_bits = len * 8;
 
   int silence = 0;
@@ -1837,6 +1846,36 @@ int folve_celt_decode(void* h, const uint8_t* data, int len, float* pcm) {
 uint32_t folve_celt_final_range(void* h) {
   return ((folve_celt::Decoder*)h)->rng;
 }
+
+// Frame-level entry for the Opus packet layer (native/opus_api.cc),
+// mirroring celt_decode_with_ec: decodes ONE CELT frame of `nsamples`
+// (120/240/480/960 at 48 kHz) with explicit start/end bands.  `ec`,
+// when non-null, is a folve_opus::EcDec* continuing from the SILK
+// layer of a hybrid frame (its storage already shrunk by any
+// redundancy bytes); null means a fresh coder over [data, len).
+// Returns 0, or <0 on parameter error; parse health via the sticky
+// d->error as elsewhere.
+int folve_celt_frame_ec(void* h, const uint8_t* data, int len,
+                        int nsamples, int start_band, int end_band,
+                        int stream_channels, void* ec, float* pcm) {
+  auto* d = (folve_celt::Decoder*)h;
+  int LM;
+  switch (nsamples) {
+    case 120: LM = 0; break;
+    case 240: LM = 1; break;
+    case 480: LM = 2; break;
+    case 960: LM = 3; break;
+    default: return -1;
+  }
+  if (stream_channels < 1 || stream_channels > 2) return -1;
+  if (start_band < 0 || end_band <= start_band || end_band > 21) return -1;
+  if (len < 0 || (len > 0 && !data)) return -1;
+  d->error = 0;
+  return d->DecodeFrame(data, len, LM, end_band, stream_channels, pcm,
+                        start_band, (folve_opus::EcDec*)ec);
+}
+
+int folve_celt_error(void* h) { return ((folve_celt::Decoder*)h)->error; }
 
 // Debug/test export: PVQ index -> pulse vector.
 void folve_celt_cwrsi(int n, int k, uint32_t i, int* y) {

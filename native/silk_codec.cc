@@ -1268,5 +1268,23 @@ uint32_t folve_silk_final_range(void* h) {
   return ((folve_silk::Decoder*)h)->final_rng;
 }
 
+// Payload decode continuing an EXTERNAL range decoder (hybrid frames
+// share one coder between the SILK and CELT layers; the Opus packet
+// layer in native/opus_api.cc owns it).  `ec` is a folve_opus::EcDec*.
+// Returns samples per channel written (at the decoder's output rate),
+// or <0 on error; `out` may be null for parse-only.
+int folve_silk_decode_ec(void* h, void* ec, int bw, int duration_ms,
+                         int nCh, int16_t* out) {
+  auto* d = (folve_silk::Decoder*)h;
+  if (bw < 0 || bw > 2 || nCh < 1 || nCh > 2) return -1;
+  if (duration_ms != 10 && duration_ms != 20 && duration_ms != 40 &&
+      duration_ms != 60)
+    return -1;
+  int r = folve_silk::DecodeSilkPayload(d, (folve_opus::EcDec*)ec, bw,
+                                        duration_ms, nCh, out);
+  d->final_rng = ((folve_opus::EcDec*)ec)->rng;
+  return r;
+}
+
 }  // extern "C"
 
