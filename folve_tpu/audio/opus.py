@@ -1,18 +1,20 @@
-"""Ogg Opus (RFC 7845) decode through the from-scratch CELT decoder.
+"""Ogg Opus (RFC 7845) decode through the from-scratch Opus decoder.
 
 The reference convolves anything libsndfile decodes; libsndfile 1.1
 decodes Ogg Opus via libopus when present.  Here the Ogg layer reuses
 the in-repo page/packet walker (oggflac.py) and packets decode through
-``native/celt_codec.cc`` — a from-scratch RFC 6716 section 4.3 CELT
-decoder validated to float precision (and bit-exact entropy state)
-against the libopus test oracle in tests/test_opus.py.
+``native/opus_api.cc`` — the packet layer dispatching the from-scratch
+CELT (``native/celt_codec.cc``, music modes) and SILK
+(``native/silk_codec.cc``, speech modes) decoders, including hybrid
+frames and mode-switching streams.  Validated range-state bit-exact
+(the standard's own conformance check) and PCM-exact/float-precise
+against the libopus test oracle in tests/test_opus.py and
+tests/test_silk.py.
 
-Scope: CELT-mode streams (TOC configs 16..31 — what the Opus encoder
-produces in its music/audio mode), channel mapping family 0, mono or
-stereo.  A stream containing SILK or hybrid packets raises, so the
-caller's probe-and-fallback serves the file unfiltered rather than ever
-serving a mis-decode; the honest gap is recorded in
-tests/test_sndfile_matrix.py and PARITY.md.
+Scope: all TOC configs 0..31, channel mapping family 0, mono or
+stereo.  Malformed packets raise at open, so the caller's
+probe-and-fallback serves the file unfiltered rather than ever serving
+a mis-decode.
 
 Opus always decodes at 48 kHz (RFC 7845 section 5.1; libsndfile reports
 the same), with OpusHead pre-skip trimmed, the final page's granule
@@ -37,20 +39,20 @@ def _lib():
     from folve_tpu.utils.native_build import load_native
 
     lib = load_native()
-    if not hasattr(lib.folve_celt_create, "_celt_ready"):
-        lib.folve_celt_create.restype = ctypes.c_void_p
-        lib.folve_celt_create.argtypes = [ctypes.c_int]
-        lib.folve_celt_reset.argtypes = [ctypes.c_void_p]
-        lib.folve_celt_close.argtypes = [ctypes.c_void_p]
-        lib.folve_celt_probe.restype = ctypes.c_int
-        lib.folve_celt_probe.argtypes = [ctypes.c_char_p, ctypes.c_int]
-        lib.folve_celt_decode.restype = ctypes.c_int
-        lib.folve_celt_decode.argtypes = [
+    if not hasattr(lib.folve_opus_create, "_opus_ready"):
+        lib.folve_opus_create.restype = ctypes.c_void_p
+        lib.folve_opus_create.argtypes = [ctypes.c_int]
+        lib.folve_opus_reset.argtypes = [ctypes.c_void_p]
+        lib.folve_opus_close.argtypes = [ctypes.c_void_p]
+        lib.folve_opus_probe.restype = ctypes.c_int
+        lib.folve_opus_probe.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.folve_opus_decode.restype = ctypes.c_int
+        lib.folve_opus_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
         ]
-        lib.folve_celt_final_range.restype = ctypes.c_uint32
-        lib.folve_celt_final_range.argtypes = [ctypes.c_void_p]
-        lib.folve_celt_create._celt_ready = True
+        lib.folve_opus_final_range.restype = ctypes.c_uint32
+        lib.folve_opus_final_range.argtypes = [ctypes.c_void_p]
+        lib.folve_opus_create._opus_ready = True
     return lib
 
 
@@ -107,12 +109,9 @@ def _parse(blob: bytes) -> _Parsed:
             continue
         if not pkt:
             continue
-        ns = lib.folve_celt_probe(pkt, len(pkt))
+        ns = lib.folve_opus_probe(pkt, len(pkt))
         if ns <= 0:
-            raise OpusError(
-                "SILK/hybrid-mode Opus packet (CELT-only decoder)")
-        if channels == 1 and (pkt[0] >> 2) & 1:
-            raise OpusError("stereo packet in a mono stream")
+            raise OpusError("malformed Opus packet")
         audio.append((pkt, ns))
         total += ns
 
@@ -140,7 +139,7 @@ def _info(p: _Parsed) -> AudioInfo:
 class OpusSource:
     """Streaming decode source (AudioSource protocol).  Decoder state is
     continuous across packets, so a backward seek resets and re-decodes
-    (CELT decodes far above realtime; see tests)."""
+    (the decoder runs far above realtime; see tests)."""
 
     def __init__(self, path_or_bytes):
         if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -151,9 +150,9 @@ class OpusSource:
         self._p = _parse(blob)
         self.info = _info(self._p)
         self._lib = _lib()
-        self._h = self._lib.folve_celt_create(self._p.channels)
+        self._h = self._lib.folve_opus_create(self._p.channels)
         if not self._h:
-            raise MemoryError("celt state")
+            raise MemoryError("opus state")
         self._pkt = 0       # next packet index
         self._dpos = 0      # frames handed out
         self._skip = self._p.pre_skip
@@ -165,7 +164,7 @@ class OpusSource:
         pkt, ns = self._p.packets[self._pkt]
         self._pkt += 1
         out = np.zeros((ns, self._p.channels), np.float32)
-        n = self._lib.folve_celt_decode(self._h, pkt, len(pkt),
+        n = self._lib.folve_opus_decode(self._h, pkt, len(pkt),
                                         out.ctypes.data_as(ctypes.c_void_p))
         if n <= 0:
             return False
@@ -200,7 +199,7 @@ class OpusSource:
     def seek(self, frame: int) -> None:
         frame = max(0, min(frame, self.info.frames))
         if frame < self._dpos:
-            self._lib.folve_celt_reset(self._h)
+            self._lib.folve_opus_reset(self._h)
             self._pkt = 0
             self._dpos = 0
             self._skip = self._p.pre_skip
@@ -212,7 +211,7 @@ class OpusSource:
 
     def close(self) -> None:
         if self._h:
-            self._lib.folve_celt_close(self._h)
+            self._lib.folve_opus_close(self._h)
             self._h = None
 
     def __del__(self):

@@ -1,11 +1,12 @@
-"""Ogg Opus decode via the from-scratch CELT decoder.
+"""Ogg Opus decode: CELT layer + Ogg end-to-end vs the oracles.
 
 Reference parity: the reference convolves anything libsndfile decodes;
 libsndfile 1.1 decodes Ogg Opus through libopus.  Ours is a
-from-scratch RFC 6716 section 4.3 CELT decoder (native/celt_codec.cc,
-trained tables extracted from the libopus oracle binary by
-tools/gen_celt_tables.py) plus an RFC 7845 Ogg layer
-(folve_tpu/audio/opus.py).
+from-scratch RFC 6716 decoder — CELT (native/celt_codec.cc, trained
+tables extracted from the libopus oracle binary by
+tools/gen_celt_tables.py), SILK (native/silk_codec.cc, covered in
+tests/test_silk.py), the packet layer (native/opus_api.cc) — plus an
+RFC 7845 Ogg layer (folve_tpu/audio/opus.py).
 
 The bar has two levels:
 
@@ -13,11 +14,8 @@ The bar has two levels:
   oracle's OPUS_GET_FINAL_RANGE for every packet — the Opus standard's
   own conformance check, proving every decoded symbol identical.
 * PCM: float-precision agreement (the synthesis filterbank is float
-  math in a different operation order), < -40 dB relative error.
-
-SILK/hybrid-mode packets are out of scope (the CELT-only gate makes
-such files pass through unfiltered, never mis-decoded) — asserted here
-and recorded in the parity matrix.
+  math in a different operation order), < -40 dB relative error;
+  SILK-only output is sample-exact (fixed-point normative synthesis).
 """
 
 import ctypes
@@ -52,7 +50,24 @@ def _libopus():
 def _ours():
     from folve_tpu.audio.opus import _lib
 
-    return _lib()
+    lib = _lib()
+    # The serving path only binds folve_opus_*; the CELT-layer tests
+    # below talk to the frame codec directly.
+    if not hasattr(lib.folve_celt_create, "_celt_ready"):
+        lib.folve_celt_create.restype = ctypes.c_void_p
+        lib.folve_celt_create.argtypes = [ctypes.c_int]
+        lib.folve_celt_reset.argtypes = [ctypes.c_void_p]
+        lib.folve_celt_close.argtypes = [ctypes.c_void_p]
+        lib.folve_celt_probe.restype = ctypes.c_int
+        lib.folve_celt_probe.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.folve_celt_decode.restype = ctypes.c_int
+        lib.folve_celt_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.folve_celt_final_range.restype = ctypes.c_uint32
+        lib.folve_celt_final_range.argtypes = [ctypes.c_void_p]
+        lib.folve_celt_create._celt_ready = True
+    return lib
 
 
 OPUS_APP_AUDIO = 2049
@@ -205,6 +220,22 @@ def _page(serial, seq, granule, packets, bos=False, eos=False):
     return hdr + body
 
 
+def _packet_samples(pkt):
+    """Samples per channel at 48 kHz for any Opus packet (RFC 6716 3.1)."""
+    cfg = pkt[0] >> 3
+    if cfg < 12:
+        frame = (480, 960, 1920, 2880)[cfg & 3]
+    elif cfg < 16:
+        frame = 960 if cfg & 1 else 480
+    else:
+        frame = 120 << (cfg & 3)
+    code = pkt[0] & 3
+    nf = {0: 1, 1: 2, 2: 2}.get(code)
+    if nf is None:
+        nf = pkt[1] & 0x3F if len(pkt) > 1 else 1
+    return frame * nf
+
+
 def mux_ogg_opus(pkts, ch, pre_skip, nsamples, gain_q8=0):
     head = (b"OpusHead" + bytes([1, ch]) + struct.pack("<H", pre_skip) +
             struct.pack("<I", RATE) + struct.pack("<h", gain_q8) + b"\x00")
@@ -215,11 +246,7 @@ def mux_ogg_opus(pkts, ch, pre_skip, nsamples, gain_q8=0):
     # inside them); the final page's granule trims the end.
     gran = 0
     for i, pkt in enumerate(pkts):
-        cfg = pkt[0] >> 3
-        frame = 120 << (cfg & 3)
-        code = pkt[0] & 3
-        nf = {0: 1, 1: 2, 2: 2}.get(code, 1)
-        gran += frame * nf
+        gran += _packet_samples(pkt)
         last = i == len(pkts) - 1
         if last:
             gran = nsamples + pre_skip
@@ -330,12 +357,53 @@ def test_ogg_opus_streaming_source_and_seek(tmp_path, rng):
     src.close()
 
 
-def test_silk_stream_passes_through(tmp_path):
-    # A stream with a SILK TOC must be refused by the Opus reader so the
-    # runtime serves it unfiltered instead of mis-decoding.
-    silk_pkt = bytes([1 << 3]) + bytes(30)
-    blob = mux_ogg_opus([silk_pkt], 1, 0, 960)
-    p = tmp_path / "silk.opus.ogg"
+@pytest.mark.parametrize("mode,bw,bitrate,exact", [
+    (1000, 1103, 20000, True),    # SILK WB: fixed-point, sample-exact
+    (1001, 1105, 48000, False),   # hybrid FB: float CELT band on top
+])
+def test_ogg_opus_speech_modes_end_to_end(tmp_path, rng, mode, bw, bitrate,
+                                          exact):
+    """SILK-only and hybrid Ogg Opus streams decode through the
+    filesystem path, matching libopusfile (sample-exact for SILK —
+    both stacks emit int16-derived floats)."""
+    from tests.test_silk import _make_enc, _speech_like
+
+    ol = _libopus()
+    ch, frame = 2, 960
+    enc = _make_enc(ol, ch, bitrate, mode=mode, bw=bw)
+    look = ctypes.c_int(0)
+    ol.opus_encoder_ctl(ctypes.c_void_p(enc), CTL_LOOKAHEAD,
+                        ctypes.byref(look))
+    n = frame * 15
+    sig = _speech_like(rng, n, ch)
+    pkts = encode_packets(ol, enc, sig, frame)
+    ol.opus_encoder_destroy(ctypes.c_void_p(enc))
+    # SILK-mode lookahead (pre-skip) is larger than CELT's; the declared
+    # length must fit inside total-coded-samples minus pre-skip.
+    n_out = n - look.value - 217
+    blob = mux_ogg_opus(pkts, ch, look.value, n_out)
+    p = tmp_path / "speech.opus.ogg"
+    p.write_bytes(blob)
+
+    info = read_audio_info(str(p))
+    assert info.codec == SampleCodec.OPUS and info.frames == n_out
+    got, _ = read_audio(str(p))
+    ref = _opusfile_decode(blob, ch)
+    assert got.shape == ref.shape == (n_out, ch)
+    if exact:
+        np.testing.assert_array_equal(got, ref)
+    else:
+        err = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert 20 * np.log10(err + 1e-12) < -40
+
+
+def test_malformed_opus_stream_passes_through(tmp_path):
+    # A stream whose packets are structurally invalid (here: a code-3
+    # packet with frame count 0) must be refused by the Opus reader so
+    # the runtime serves it unfiltered instead of mis-decoding.
+    bad_pkt = bytes([(1 << 3) | 3, 0]) + bytes(30)
+    blob = mux_ogg_opus([bad_pkt], 1, 0, 960)
+    p = tmp_path / "bad.opus.ogg"
     p.write_bytes(blob)
     with pytest.raises(OpusError):
         read_opus(str(p))

@@ -14,11 +14,10 @@ Exceptions are explicit registries:
     - currently empty.  WAV/NMS-ADPCM 16/24/32 graduated (the predictor
       that resisted black-box probing was recovered by static analysis
       of the oracle binary — native/nms_codec.cc, tests/test_nms.py).
-      OGG/OPUS graduated next (from-scratch RFC 6716 CELT decoder with
-      trained tables extracted from the libopus oracle binary —
-      native/celt_codec.cc, tests/test_opus.py); the remaining honest
-      Opus gap is SILK/hybrid-mode packets (speech modes), which the
-      reader refuses so such files pass through unfiltered.
+      OGG/OPUS graduated next (from-scratch RFC 6716 decoder: CELT +
+      SILK + hybrid packet layer, trained tables extracted from the
+      libopus oracle binary — native/{celt,silk}_codec.cc,
+      native/opus_api.cc, tests/test_opus.py, tests/test_silk.py).
 * ORACLE_BROKEN — combos the oracle itself cannot round-trip (its
   write or read path is non-functional); nothing to be compatible
   with.  Detected dynamically and cross-checked against this list.
