@@ -85,9 +85,14 @@ static inline int32_t add_sat32(int32_t a, int32_t b) {
   int64_t s = (int64_t)a + b;
   return s > INT32_MAX ? INT32_MAX : (s < INT32_MIN ? INT32_MIN : (int32_t)s);
 }
+// Left shift with two's-complement wrap semantics (what every silk
+// fixed-point macro assumes; plain << on negatives is UB in C++).
+static inline int32_t lshift32(int32_t a, int n) {
+  return (int32_t)((uint32_t)a << n);
+}
 static inline int32_t lshift_sat32(int32_t a, int n) {
   int32_t hi = INT32_MAX >> n, lo = INT32_MIN >> n;
-  return (a > hi ? INT32_MAX : (a < lo ? INT32_MIN : a << n));
+  return (a > hi ? INT32_MAX : (a < lo ? INT32_MIN : lshift32(a, n)));
 }
 // silk_RAND: wrapping 32-bit LCG used for excitation sign dither.
 static inline int32_t silk_rand(int32_t seed) {
@@ -146,7 +151,7 @@ static int32_t Log2Lin(int32_t inLog_Q7) {
 static void ResamplerUp2HQ(int32_t* S, int16_t* out, const int16_t* in,
                            int len) {
   for (int k = 0; k < len; ++k) {
-    int32_t in32 = (int32_t)in[k] << 10;
+    int32_t in32 = lshift32(in[k], 10);
     int32_t Y = in32 - S[0];
     int32_t X = smulwb(Y, 1746);
     int32_t out1 = S[0] + X;
@@ -640,7 +645,7 @@ static void NLSFDecode(int16_t* pNLSF_Q15, const int8_t* NLSFIndices,
   int32_t out_Q10 = 0;
   for (int i = cb->order - 1; i >= 0; --i) {
     int32_t pred_Q10 = smulbb(out_Q10, pred_Q8[i]) >> 8;
-    out_Q10 = (int32_t)NLSFIndices[i + 1] << 10;
+    out_Q10 = lshift32(NLSFIndices[i + 1], 10);
     if (out_Q10 > 0) out_Q10 -= 102;       // NLSF_QUANT_LEVEL_ADJ in Q10
     else if (out_Q10 < 0) out_Q10 += 102;
     out_Q10 = smlawb(pred_Q10, out_Q10, cb->quantStepSize_Q16);
@@ -649,7 +654,7 @@ static void NLSFDecode(int16_t* pNLSF_Q15, const int8_t* NLSFIndices,
   const uint8_t* cb1 = cb->CB1_NLSF_Q8 + NLSFIndices[0] * cb->order;
   const int16_t* w = cb->CB1_Wght_Q9 + NLSFIndices[0] * cb->order;
   for (int i = 0; i < cb->order; ++i) {
-    int32_t v = ((int32_t)cb1[i] << 7) + ((int32_t)res_Q10[i] << 14) / w[i];
+    int32_t v = ((int32_t)cb1[i] << 7) + lshift32(res_Q10[i], 14) / w[i];
     pNLSF_Q15[i] = (int16_t)imin(imax(v, 0), 32767);
   }
   // silk/NLSF_stabilize.c.
@@ -735,7 +740,7 @@ static void LpcFit(int16_t* a_QOUT, int32_t* a_QIN, int QOUT, int QIN,
   if (i == 10) {
     for (int k = 0; k < d; ++k) {
       a_QOUT[k] = sat16(rshift_round(a_QIN[k], QIN - QOUT));
-      a_QIN[k] = (int32_t)a_QOUT[k] << (QIN - QOUT);
+      a_QIN[k] = lshift32(a_QOUT[k], QIN - QOUT);
     }
   } else {
     for (int k = 0; k < d; ++k)
@@ -892,7 +897,7 @@ static void DecodeCore(Channel* c, const DecCtrl* ctrl, int16_t* xq,
   int32_t rand_seed = c->ind.Seed;
   for (int i = 0; i < c->frame_length; ++i) {
     rand_seed = silk_rand(rand_seed);
-    int32_t v = (int32_t)pulses[i] << 14;
+    int32_t v = lshift32(pulses[i], 14);
     if (v > 0) v -= 80 << 4;        // QUANT_LEVEL_ADJUST_Q10 << 4
     else if (v < 0) v += 80 << 4;
     v += offset_Q10 << 4;

@@ -489,6 +489,106 @@ def check_nms() -> None:
     print("nms: ok")
 
 
+def _bind_celt(lib) -> None:
+    import ctypes
+
+    if hasattr(lib.folve_celt_create, "_celt_ready"):
+        return
+    lib.folve_celt_create.restype = ctypes.c_void_p
+    lib.folve_celt_create.argtypes = [ctypes.c_int]
+    lib.folve_celt_reset.argtypes = [ctypes.c_void_p]
+    lib.folve_celt_close.argtypes = [ctypes.c_void_p]
+    lib.folve_celt_probe.restype = ctypes.c_int
+    lib.folve_celt_probe.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.folve_celt_decode.restype = ctypes.c_int
+    lib.folve_celt_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p]
+    lib.folve_celt_final_range.restype = ctypes.c_uint32
+    lib.folve_celt_final_range.argtypes = [ctypes.c_void_p]
+    lib.folve_celt_create._celt_ready = True
+
+
+def check_opus_packet_layer() -> None:
+    """The full Opus packet layer (SILK + hybrid + CELT dispatch,
+    redundancy frames, mode switching) under the sanitizers: real
+    speech-mode packets from the libopus encoder, truncations, bit
+    flips and garbage — the shared-range-coder paths and the SILK
+    fixed-point synthesis must stay in bounds for any bitstream."""
+    import ctypes
+    import glob
+
+    cands = sorted(glob.glob(
+        "/opt/venv/lib/python3*/site-packages/pygame.libs/libopus*.so*"))
+    if not cands:
+        print("opus: skipped (no libopus)")
+        return
+    ol = ctypes.CDLL(cands[0])
+    ol.opus_encoder_create.restype = ctypes.c_void_p
+    ol.opus_encode_float.restype = ctypes.c_int
+
+    from folve_tpu.audio.opus import _lib
+
+    lib = _lib()
+    rng = np.random.default_rng(23)
+    # (mode, bandwidth, frame, bitrate): SILK WB w/ FEC, hybrid FB,
+    # 60 ms NB SILK, plus mode switching below.
+    cases = [(1000, 1103, 960, 18000, 20), (1001, 1105, 960, 48000, 0),
+             (1000, 1101, 2880, 12000, 0)]
+    for ch in (1, 2):
+        for mode, bw, frame, rate, fec in cases:
+            err = ctypes.c_int()
+            enc = ol.opus_encoder_create(48000, ch, 2048, ctypes.byref(err))
+            ol.opus_encoder_ctl(ctypes.c_void_p(enc), 11002, mode)
+            ol.opus_encoder_ctl(ctypes.c_void_p(enc), 4008, bw)
+            ol.opus_encoder_ctl(ctypes.c_void_p(enc), 4002, rate)
+            if fec:
+                ol.opus_encoder_ctl(ctypes.c_void_p(enc), 4012, 1)
+                ol.opus_encoder_ctl(ctypes.c_void_p(enc), 4014, fec)
+            dec = lib.folve_opus_create(ch)
+            sig = np.clip(0.5 * rng.standard_normal((frame * 6, ch)),
+                          -1, 1).astype(np.float32)
+            for i in range(6):
+                buf = ctypes.create_string_buffer(4000)
+                x = np.ascontiguousarray(sig[i * frame:(i + 1) * frame])
+                ln = ol.opus_encode_float(
+                    ctypes.c_void_p(enc), x.ctypes.data_as(ctypes.c_void_p),
+                    frame, buf, 4000)
+                pkt = buf.raw[:ln]
+                out = np.zeros((frame, ch), np.float32)
+                r = lib.folve_opus_decode(
+                    dec, pkt, ln, out.ctypes.data_as(ctypes.c_void_p))
+                assert r == frame and np.all(np.isfinite(out))
+                for cut in (1, ln // 2, ln - 1):
+                    n = lib.folve_opus_probe(pkt[:cut], cut)
+                    if n > 0:
+                        o2 = np.zeros((n, ch), np.float32)
+                        lib.folve_opus_decode(
+                            dec, pkt[:cut], cut,
+                            o2.ctypes.data_as(ctypes.c_void_p))
+                fz = bytearray(pkt)
+                for _ in range(6):
+                    fz[rng.integers(0, len(fz))] = rng.integers(0, 256)
+                n = lib.folve_opus_probe(bytes(fz), len(fz))
+                if n > 0:
+                    o2 = np.zeros((n, ch), np.float32)
+                    lib.folve_opus_decode(dec, bytes(fz), len(fz),
+                                          o2.ctypes.data_as(ctypes.c_void_p))
+            lib.folve_opus_close(dec)
+            ol.opus_encoder_destroy(ctypes.c_void_p(enc))
+    # pure garbage against a long-lived decoder (state carries over)
+    dec = lib.folve_opus_create(2)
+    for _ in range(150):
+        blob = bytes(rng.integers(0, 256, rng.integers(1, 600),
+                                  dtype=np.uint8))
+        n = lib.folve_opus_probe(blob, len(blob))
+        if n > 0:
+            out = np.zeros((n, 2), np.float32)
+            lib.folve_opus_decode(dec, blob, len(blob),
+                                  out.ctypes.data_as(ctypes.c_void_p))
+    lib.folve_opus_close(dec)
+    print("opus: ok")
+
+
 def check_celt() -> None:
     """Opus CELT decoder under the sanitizers: real packets at several
     rates/frame sizes (libopus encoder as fixture generator), truncated
@@ -509,6 +609,7 @@ def check_celt() -> None:
     from folve_tpu.audio.opus import _lib
 
     lib = _lib()
+    _bind_celt(lib)
     rng = np.random.default_rng(17)
     for ch in (1, 2):
         for frame, rate in ((120, 96000), (240, 6000), (960, 64000)):
@@ -605,6 +706,7 @@ if __name__ == "__main__":
     check_dwvw()
     check_nms()
     check_celt()
+    check_opus_packet_layer()
     check_mp3()
     check_fuse()
     print("SANITIZE_DRIVER_OK")
