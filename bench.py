@@ -384,6 +384,23 @@ def _codec_configs(out, rng):
     out["flac_encode_x"] = round(dur / best_enc, 1)
     out["flac_decode_x"] = round(dur / best_dec, 1)
 
+    # Serving-mode encode: the FUSE path skips the MD5 pass (the served
+    # header's digest field is redacted either way) — this is the
+    # number the gapless/single-stream serve actually pays.
+    from folve_tpu.audio.flac import FlacEncoder
+
+    xi = np.clip(np.round(x * 32768), -32768, 32767).astype(np.int32)
+    best_srv = 1e9
+    for _ in range(3):
+        enc = FlacEncoder(rate, 2, bits=16, md5=False)
+        t0 = time.perf_counter()
+        enc.header()
+        enc.write_int(xi)
+        enc.finish()
+        best_srv = min(best_srv, time.perf_counter() - t0)
+        enc.close()
+    out["flac_encode_serving_x"] = round(dur / best_srv, 1)
+
     # 24-bit is the DEFAULT output depth for WAV inputs (wav -> FLAC/24
     # policy, convolve-file-handler.cc:246-248), with a real noise
     # floor in the low bits — the Rice2/5-bit-parameter path.  The
@@ -408,7 +425,9 @@ def _codec_configs(out, rng):
     # FramePool frame-parallel codecs (bit-identity asserted by
     # tests/test_parallel.py at any width) scale that near-linearly
     # with cores — 8 cores clears the 1000x bar with margin.
-    serial = 1.0 / (1.0 / out["flac_decode_x"] + 1.0 / out["flac_encode_x"])
+    serial = 1.0 / (
+        1.0 / out["flac_decode_x"] + 1.0 / out["flac_encode_serving_x"]
+    )
     out["gapless_projection_pcie_1core_x"] = round(serial, 0)
     out["gapless_projection_pcie_8core_x"] = round(8 * serial, 0)
 

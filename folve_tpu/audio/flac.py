@@ -59,6 +59,7 @@ def _get_lib():
         lib.folve_flac_enc_streaminfo.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.folve_flac_enc_copy.argtypes = [ctypes.c_void_p]
         lib.folve_flac_enc_free.argtypes = [ctypes.c_void_p]
+        lib.folve_flac_enc_set_md5.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.folve_flac_enc_set_threads.argtypes = [ctypes.c_int]
         lib.folve_flac_enc_get_threads.restype = ctypes.c_int
         lib.folve_flac_enc_last_width.restype = ctypes.c_int
@@ -175,6 +176,7 @@ class FlacEncoder:
         bits: int = 16,
         blocksize: int = 4096,
         total_frames_hint: int = 0,
+        md5: bool = True,
     ):
         if bits not in (8, 16, 24):
             raise FlacError(f"unsupported FLAC encode bit depth {bits}")
@@ -182,6 +184,12 @@ class FlacEncoder:
         self._handle = self._lib.folve_flac_enc_new(
             rate, channels, bits, blocksize, total_frames_hint
         )
+        if not md5:
+            # Serving redacts the header MD5 field (the full-stream
+            # digest cannot be known up front,
+            # convolve-file-handler.cc:449-457), so the per-write MD5
+            # pass is skipped there.
+            self._lib.folve_flac_enc_set_md5(self._handle, 0)
         self.rate = rate
         self.channels = channels
         self.bits = bits

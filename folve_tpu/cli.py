@@ -305,6 +305,15 @@ def cmd_convolve(args) -> int:
             f.write(enc.write_float(y))
             done += n
         f.write(enc.finish())
+        # A complete file is seekable: patch the real MD5 and min/max
+        # frame sizes into STREAMINFO (the FUSE serving path can't —
+        # its header streams out first — but offline output should
+        # survive `flac -t`).
+        from folve_tpu.audio.flac import FlacEncoder
+
+        if isinstance(enc, FlacEncoder):
+            f.seek(FlacEncoder.STREAMINFO_FILE_OFFSET)
+            f.write(enc.streaminfo(with_md5=True))
     src.close()
     if max_out > 1.0:
         print(

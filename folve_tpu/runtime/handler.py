@@ -360,6 +360,10 @@ class ConvolveFileHandler(FileHandler):
                 bits=out_bits,
                 blocksize=fs.flac_block_size,
                 total_frames_hint=self._in_info.frames,
+                # The served header's MD5 field is redacted/zero either
+                # way (convolve-file-handler.cc:449-457): skip the
+                # digest pass (~25% of encode on 24-bit material).
+                md5=False,
             )
         self._setup_header()
 

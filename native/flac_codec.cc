@@ -582,6 +582,13 @@ class Encoder {
   uint32_t blocksize() const { return blocksize_; }
   uint64_t frames_written() const { return frames_written_; }
 
+  // The serving path redacts the MD5 field from the header it emits
+  // (convolve-file-handler.cc:449-457 zeroes it: the full-stream digest
+  // cannot be known when the header streams out first), so computing it
+  // per Write is pure waste there — ~25% of encode time on 24-bit
+  // material.  Offline writers keep it on (default).
+  void SetComputeMd5(bool on) { compute_md5_ = on; }
+
   // fLaC magic + STREAMINFO (+ padding block).  Emitted before any audio;
   // sample count uses the hint (0 = unknown), MD5 still zero.
   std::vector<uint8_t> Header() {
@@ -606,7 +613,7 @@ class Encoder {
   // SFC_UPDATE_HEADER_NOW + WriteCharAt path).
   std::vector<uint8_t> StreamInfoBytes(bool with_md5) {
     StreamInfo si = CurrentInfo();
-    if (with_md5) {
+    if (with_md5 && compute_md5_) {
       MD5 md5_copy = md5_;
       md5_copy.Final(si.md5);
     }
@@ -710,6 +717,7 @@ class Encoder {
   }
 
   void UpdateMd5(const int32_t* x, uint64_t nframes) {
+    if (!compute_md5_) return;
     size_t count = (size_t)nframes * channels_;
     uint32_t bytes = (bps_ + 7) / 8;
     md5_buf_.resize(count * bytes);
@@ -1285,22 +1293,34 @@ class Encoder {
     // of them from a prototype every call).
     if (chans->size() != nch) chans->resize(nch);
     for (auto& v : *chans) v.resize(n);
-    for (uint32_t i = 0; i < n; i++)
-      for (uint32_t c = 0; c < nch; c++) (*chans)[c][i] = x[(size_t)i * nch + c];
     if (nch != 2) {
+      for (uint32_t c = 0; c < nch; c++) {
+        int32_t* __restrict__ dst = (*chans)[c].data();
+        const int32_t* __restrict__ src = x + c;
+        for (uint32_t i = 0; i < n; i++) dst[i] = src[(size_t)i * nch];
+      }
       *ch_code = nch - 1;
       return;
     }
-    // Estimate cost of each stereo mode with order-2 residual sums —
-    // one fused pass over the interleaved input instead of building
-    // mid/side then running four separate residual+sum passes.  Same
-    // arithmetic, identical totals.
+    // Stereo: one deinterleave pass (both channels per iteration keeps
+    // the loads contiguous and lets the compiler shuffle-split them).
+    int32_t* __restrict__ L = (*chans)[0].data();
+    int32_t* __restrict__ R = (*chans)[1].data();
+#pragma omp simd
+    for (uint32_t i = 0; i < n; i++) {
+      L[i] = x[2 * i];
+      R[i] = x[2 * i + 1];
+    }
+    // Estimate cost of each stereo mode with order-2 residual sums over
+    // the planar arrays (unit-stride, so the abs-sum reductions
+    // vectorize; the interleaved form stayed scalar on gathers).
     const uint32_t o = std::min(2u, n - 1);
     uint64_t cl = 0, cr = 0, cs = 0, cm = 0;
     if (o == 2) {
+#pragma omp simd reduction(+ : cl, cr, cs, cm)
       for (uint32_t i = 2; i < n; i++) {
-        int64_t l2 = x[2 * i], l1 = x[2 * (i - 1)], l0 = x[2 * (i - 2)];
-        int64_t r2 = x[2 * i + 1], r1 = x[2 * (i - 1) + 1], r0 = x[2 * (i - 2) + 1];
+        int64_t l2 = L[i], l1 = L[i - 1], l0 = L[i - 2];
+        int64_t r2 = R[i], r1 = R[i - 1], r0 = R[i - 2];
         int64_t el = l2 - 2 * l1 + l0;
         int64_t er = r2 - 2 * r1 + r0;
         int64_t es = el - er;  // second diff of (l - r)
@@ -1312,11 +1332,11 @@ class Encoder {
       }
     } else {  // n == 2: order-1 first differences
       for (uint32_t i = 1; i < n; i++) {
-        int64_t el = (int64_t)x[2 * i] - x[2 * (i - 1)];
-        int64_t er = (int64_t)x[2 * i + 1] - x[2 * (i - 1) + 1];
+        int64_t el = (int64_t)L[i] - L[i - 1];
+        int64_t er = (int64_t)R[i] - R[i - 1];
         int64_t es = el - er;
-        int64_t em = ((int64_t)(x[2 * i] + x[2 * i + 1]) >> 1) -
-                     ((int64_t)(x[2 * (i - 1)] + x[2 * (i - 1) + 1]) >> 1);
+        int64_t em = (((int64_t)L[i] + R[i]) >> 1) -
+                     (((int64_t)L[i - 1] + R[i - 1]) >> 1);
         cl += (uint64_t)(el < 0 ? -el : el);
         cr += (uint64_t)(er < 0 ? -er : er);
         cs += (uint64_t)(es < 0 ? -es : es);
@@ -1329,16 +1349,17 @@ class Encoder {
       *ch_code = 1;
       return;
     }
-    int32_t* L = (*chans)[0].data();
-    int32_t* R = (*chans)[1].data();
     if (best == ls) {
       *ch_code = 8;
+#pragma omp simd
       for (uint32_t i = 0; i < n; i++) R[i] = L[i] - R[i];  // left, side
     } else if (best == rs) {
       *ch_code = 9;
+#pragma omp simd
       for (uint32_t i = 0; i < n; i++) L[i] = L[i] - R[i];  // side, right
     } else {
       *ch_code = 10;
+#pragma omp simd
       for (uint32_t i = 0; i < n; i++) {
         int32_t l = L[i], r = R[i];
         L[i] = (l + r) >> 1;  // mid
@@ -1348,6 +1369,7 @@ class Encoder {
   }
 
   uint32_t rate_, channels_, bps_, blocksize_;
+  bool compute_md5_ = true;
   uint64_t total_hint_;
   uint64_t frames_written_ = 0;
   uint64_t frame_index_ = 0;
@@ -1444,6 +1466,12 @@ void folve_flac_enc_copy(uint8_t* dst) {
 }
 
 void folve_flac_enc_free(void* h) { delete (folve::Encoder*)h; }
+
+// 0 disables the per-Write MD5 pass (serving redacts the header MD5
+// field anyway); default on.
+void folve_flac_enc_set_md5(void* h, int on) {
+  ((folve::Encoder*)h)->SetComputeMd5(on != 0);
+}
 
 // Per-frame byte offsets (relative to the first audio byte), for
 // output SEEKTABLE regeneration.

@@ -81,6 +81,30 @@ def test_md5_matches_hashlib(rng):
     assert hashlib.md5(np.round(got * 32768).astype("<i2").tobytes()).digest() == md5_header
 
 
+def test_serving_mode_md5_off_same_frames(rng):
+    """md5=False (the FUSE serving mode) must emit byte-identical audio
+    frames — only the STREAMINFO digest field may differ (zeros)."""
+    from folve_tpu.audio.flac import FlacEncoder
+
+    x = rng.integers(-30000, 30000, size=(12345, 2), dtype=np.int64).astype(np.int32)
+
+    def run(md5):
+        enc = FlacEncoder(44100, 2, bits=16, total_frames_hint=len(x), md5=md5)
+        blob = enc.header() + enc.write_int(x) + enc.finish()
+        si = enc.streaminfo(with_md5=True)
+        enc.close()
+        return blob, si
+
+    blob_on, si_on = run(True)
+    blob_off, si_off = run(False)
+    assert blob_on == blob_off  # headers both carry zero MD5 pre-patch
+    assert si_on[18:34] != b"\x00" * 16
+    assert si_off[18:34] == b"\x00" * 16  # digest honestly absent
+    assert si_on[:18] == si_off[:18]
+    got, _ = read_flac(blob_off)
+    np.testing.assert_array_equal(np.round(got * 32768).astype(np.int32), x)
+
+
 def test_constant_and_silence():
     x = np.zeros((9000, 2), dtype=np.int32)
     x[4096:8192] = 777
