@@ -141,7 +141,11 @@ class FlacDecoder:
 
     def read_float(self, nframes: int) -> np.ndarray:
         """Decode up to nframes -> float32 [n, channels] in [-1, 1)."""
-        return self.read_int(nframes).astype(np.float32) / self._scale
+        # One fused convert+scale pass (astype then divide made two).
+        return np.multiply(
+            self.read_int(nframes), np.float32(1.0 / self._scale),
+            dtype=np.float32,
+        )
 
     def rewind(self):
         self._lib.folve_flac_rewind(self._handle)
