@@ -417,6 +417,19 @@ def _codec_configs(out, rng):
     out["flac_encode_24_x"] = round(dur / best24, 1)
     out["flac_ratio_24"] = round(
         len(buf.getvalue()) / (x24.shape[0] * 2 * 3), 3)
+    xi24 = np.clip(
+        np.round(x24 * (1 << 23)), -(1 << 23), (1 << 23) - 1
+    ).astype(np.int32)
+    best24s = 1e9
+    for _ in range(3):
+        enc = FlacEncoder(rate, 2, bits=24, md5=False)
+        t0 = time.perf_counter()
+        enc.header()
+        enc.write_int(xi24)
+        enc.finish()
+        best24s = min(best24s, time.perf_counter() - t0)
+        enc.close()
+    out["flac_encode_24_serving_x"] = round(dur / best24s, 1)
 
     # Config-3 projection off the dev tunnel: on real PCIe (D2H >=
     # 1 GB/s) the int16 stream fetch (176 KB/s of audio) runs >5000x
