@@ -839,8 +839,10 @@ static void DecodeParameters(Channel* c, DecCtrl* ctrl, int condCoding) {
     const int8_t* cbk = vq[c->ind.PERIndex];
     for (int k = 0; k < c->nb_subfr; ++k)
       for (int i = 0; i < kLtpOrder; ++i)
+        // *128, not <<7: the codebook holds negative taps and a left
+        // shift of a negative int is UB (caught by the UBSAN driver).
         ctrl->LTPCoef_Q14[k * kLtpOrder + i] =
-            (int16_t)((int32_t)cbk[c->ind.LTPIndex[k] * kLtpOrder + i] << 7);
+            (int16_t)((int32_t)cbk[c->ind.LTPIndex[k] * kLtpOrder + i] * 128);
     ctrl->LTP_scale_Q14 = kSilkLTPScalesQ14[c->ind.LTP_scaleIndex];
   } else {
     std::memset(ctrl->pitchL, 0, sizeof(ctrl->pitchL));
