@@ -18,8 +18,11 @@
 // "never serve mis-decoded audio" policy).  Validated against the
 // libopus oracle in tests/test_opus.py.
 
+#include <atomic>
+#include <cassert>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <new>
@@ -1340,7 +1343,6 @@ struct Synth {
   float mem[2][kDecodeBufferSize + kOverlap];
   float preemph_mem[2];
   float window[kOverlap];
-  float* cos_lut[4];  // per-LM LUT of cos(pi*j/(4*NB)), period 8*NB
 
   void Init() {
     std::memset(mem, 0, sizeof(mem));
@@ -1348,14 +1350,6 @@ struct Synth {
     for (int i = 0; i < kOverlap; ++i) {
       double inner = std::sin(0.5 * M_PI * (i + 0.5) / kOverlap);
       window[i] = (float)std::sin(0.5 * M_PI * inner * inner);
-    }
-    for (int lm = 0; lm <= 3; ++lm) {
-      if (cos_lut[lm]) continue;
-      int NB = kShortMdct << lm;
-      int period = 8 * NB;
-      cos_lut[lm] = new float[period];
-      for (int j = 0; j < period; ++j)
-        cos_lut[lm][j] = (float)std::cos(M_PI * j / (4.0 * NB));
     }
   }
 };
@@ -1369,11 +1363,18 @@ struct Synth {
 // ~4.9 MB total across the four LMs, built lazily.
 static const float* MdctBasis(int NB) {
   static std::mutex mu;
-  static float* basis[4] = {nullptr, nullptr, nullptr, nullptr};
+  static std::atomic<const float*> basis[4];
   int lm = 0;
-  while ((kShortMdct << lm) != NB) ++lm;
+  while (lm < 4 && (kShortMdct << lm) != NB) ++lm;
+  assert(lm < 4 && "MdctBasis: NB must be one of 120/240/480/960");
+  if (lm >= 4) std::abort();
+  // Acquire-load fast path; the mutex is only taken on first build per
+  // LM, so the per-short-block hot path never serializes.
+  const float* cached = basis[lm].load(std::memory_order_acquire);
+  if (cached) return cached;
   std::lock_guard<std::mutex> lock(mu);
-  if (!basis[lm]) {
+  cached = basis[lm].load(std::memory_order_relaxed);
+  if (!cached) {
     float* b = new float[(size_t)NB * NB];
     int period = 8 * NB;
     for (int t = 0; t < NB; ++t) {
@@ -1383,22 +1384,24 @@ static const float* MdctBasis(int NB) {
         b[(size_t)t * NB + k] = (float)std::cos(M_PI * idx / (4.0 * NB));
       }
     }
-    basis[lm] = b;
+    basis[lm].store(b, std::memory_order_release);
+    cached = b;
   }
-  return basis[lm];
+  return cached;
 }
 
 // Middle section of the 2*NB-point inverse MDCT:
 //   mid[t] = sum_k X[k*stride] cos(pi/NB (t + NB + 1/2)(k + 1/2))
 // written to out[ov/2..ov/2+NB), then the TDAC mirror on out[0..ov).
 static void MdctBackward(const float* X, int stride, int NB,
-                         const float* /*lut*/, const float* window,
-                         float* out) {
+                         const float* window, float* out) {
   float* mid = out + kOverlap / 2;
+  // MdctBasis() aborts on any NB outside {120,240,480,960}; resolving it
+  // first guarantees NB<=960 before the fixed stack buffer is touched.
+  const float* basis = MdctBasis(NB);
   // De-stride the spectrum once so every dot product is unit-stride.
   float xc[960];
   for (int k = 0; k < NB; ++k) xc[k] = X[k * stride];
-  const float* basis = MdctBasis(NB);
   for (int t = 0; t < NB; ++t) {
     const float* __restrict__ row = basis + (size_t)t * NB;
     float acc = 0;
@@ -1655,7 +1658,6 @@ int Decoder::DecodeFrame(const uint8_t* data, int len, int LM, int end,
   // Synthesis per decoder channel.
   int B = shortBlocks ? M : 1;
   int NB = shortBlocks ? kShortMdct : N;
-  int lm_mdct = shortBlocks ? 0 : LM;
   for (int c = 0; c < CC; ++c) {
     const float* freq = freq_ + (C == 2 ? c : 0) * N;
     float* mem = syn.mem[c];
@@ -1663,8 +1665,7 @@ int Decoder::DecodeFrame(const uint8_t* data, int len, int LM, int end,
                  (kDecodeBufferSize - N + kOverlap / 2) * sizeof(float));
     float* out = mem + kDecodeBufferSize - N;
     for (int b = 0; b < B; ++b)
-      MdctBackward(freq + b, B, NB, syn.cos_lut[lm_mdct], syn.window,
-                   out + b * NB);
+      MdctBackward(freq + b, B, NB, syn.window, out + b * NB);
     // Post-filter (crossfade old->current over the first short block,
     // then current->new over the rest).
     int pf_p = imax(pf_period, kMinPeriod);
@@ -1738,7 +1739,6 @@ void* folve_celt_create(int channels) {
   folve_celt::InitU();
   auto* d = new (std::nothrow) folve_celt::Decoder;
   if (!d) return nullptr;
-  std::memset(&d->syn.cos_lut, 0, sizeof(d->syn.cos_lut));
   d->channels = channels;
   d->Reset();
   return d;
@@ -1749,10 +1749,7 @@ void folve_celt_reset(void* h) {
 }
 
 void folve_celt_close(void* h) {
-  auto* d = (folve_celt::Decoder*)h;
-  if (d)
-    for (int lm = 0; lm <= 3; ++lm) delete[] d->syn.cos_lut[lm];
-  delete d;
+  delete (folve_celt::Decoder*)h;
 }
 
 // Returns the frame count and per-frame size/offsets of an Opus packet
