@@ -487,6 +487,40 @@ def _codec_configs(out, rng):
     except Exception:
         pass
 
+    try:  # Opus: CELT (music) + SILK (speech) material through the
+        # from-scratch decoder (fixture encoded by the libopus oracle;
+        # skip when the oracle is absent in this image)
+        import tempfile
+
+        from folve_tpu.audio import read_audio
+        from folve_tpu.tools.opus_oracle import (opus_available,
+                                                 opus_encode_ogg)
+
+        if opus_available():
+            t = np.arange(48000 * 20) / 48000.0
+            music = np.stack([
+                0.35 * np.sin(2 * np.pi * 440 * t) +
+                0.15 * rng.standard_normal(t.shape),
+                0.35 * np.sin(2 * np.pi * 554 * t) +
+                0.15 * rng.standard_normal(t.shape),
+            ], axis=1).astype(np.float32)
+            for key, mode, kbps, sig in (
+                ("opus_decode_x", "celt", 96000, music),
+                ("opus_silk_decode_x", "silk", 32000, music[:, :1]),
+            ):
+                with tempfile.NamedTemporaryFile(suffix=".ogg") as tf:
+                    tf.write(opus_encode_ogg(sig, mode, bitrate=kbps))
+                    tf.flush()
+                    best = 1e9
+                    info = None
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        data, info = read_audio(tf.name)
+                        best = min(best, time.perf_counter() - t0)
+                    out[key] = round((info.frames / info.rate) / best, 1)
+    except Exception:
+        pass
+
 
 def _backend_watchdog(timeout_s: float = 180.0) -> None:
     """Fail loudly if the TPU backend cannot initialize.

@@ -52,6 +52,12 @@ def _lib():
         ]
         lib.folve_opus_final_range.restype = ctypes.c_uint32
         lib.folve_opus_final_range.argtypes = [ctypes.c_void_p]
+        lib.folve_opus_decode_batch.restype = ctypes.c_int
+        lib.folve_opus_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.folve_opus_create._opus_ready = True
     return lib
 
@@ -157,15 +163,46 @@ class OpusSource:
         self._dpos = 0      # frames handed out
         self._skip = self._p.pre_skip
         self._pending = np.zeros((0, self._p.channels), np.float32)
+        self._dead = False  # a packet failed to decode; stream ends there
+        # Flat packet table for the batched native call (one FFI crossing
+        # per read instead of per packet; native/opus_api.cc
+        # folve_opus_decode_batch).
+        pkts = self._p.packets
+        self._blob = b"".join(pk for pk, _ in pkts)
+        offs, lens, cum = [], [], [0]
+        o = 0
+        for pk, ns in pkts:
+            offs.append(o)
+            lens.append(len(pk))
+            cum.append(cum[-1] + ns)
+            o += len(pk)
+        self._offs = np.asarray(offs, np.int32)
+        self._lens = np.asarray(lens, np.int32)
+        self._cum_ns = np.asarray(cum, np.int64)
 
-    def _decode_more(self) -> bool:
-        if self._pkt >= len(self._p.packets):
+    def _decode_more(self, need: int = 1) -> bool:
+        """Decode at least `need` more playable frames (one native call
+        over as many packets as that takes).  False when the stream is
+        exhausted or a packet fails."""
+        start = self._pkt
+        if self._dead or start >= len(self._p.packets):
             return False
-        pkt, ns = self._p.packets[self._pkt]
-        self._pkt += 1
-        out = np.zeros((ns, self._p.channels), np.float32)
-        n = self._lib.folve_opus_decode(self._h, pkt, len(pkt),
-                                        out.ctypes.data_as(ctypes.c_void_p))
+        target = self._cum_ns[start] + max(need, 1) + self._skip
+        j = int(np.searchsorted(self._cum_ns, target, side="left"))
+        j = min(max(j, start + 1), len(self._p.packets))
+        count = j - start
+        cap = int(self._cum_ns[j] - self._cum_ns[start])
+        out = np.empty((cap, self._p.channels), np.float32)
+        used = ctypes.c_int(0)
+        n = self._lib.folve_opus_decode_batch(
+            self._h, self._blob,
+            self._offs[start:].ctypes.data_as(ctypes.c_void_p),
+            self._lens[start:].ctypes.data_as(ctypes.c_void_p),
+            count, out.ctypes.data_as(ctypes.c_void_p), cap,
+            ctypes.byref(used))
+        self._pkt = start + used.value
+        if used.value < count:
+            self._dead = True
         if n <= 0:
             return False
         out = out[:n]
@@ -176,7 +213,10 @@ class OpusSource:
         if self._p.gain != 1.0:
             out = out * np.float32(self._p.gain)
         if out.shape[0]:
-            self._pending = np.concatenate([self._pending, out])
+            if self._pending.shape[0]:
+                self._pending = np.concatenate([self._pending, out])
+            else:
+                self._pending = out
         return True
 
     def read_float(self, nframes: int) -> np.ndarray:
@@ -184,7 +224,7 @@ class OpusSource:
         if take == 0:
             return np.zeros((0, self._p.channels), np.float32)
         while self._pending.shape[0] < take:
-            if not self._decode_more():
+            if not self._decode_more(take - self._pending.shape[0]):
                 break
         out = self._pending[:take]
         self._pending = self._pending[out.shape[0]:]
@@ -204,6 +244,7 @@ class OpusSource:
             self._dpos = 0
             self._skip = self._p.pre_skip
             self._pending = np.zeros((0, self._p.channels), np.float32)
+            self._dead = False
         while self._dpos < frame:
             got = self.read_float(min(frame - self._dpos, 1 << 14))
             if got.shape[0] == 0:

@@ -28,6 +28,7 @@
 #include <new>
 
 #include "opus_shared.h"
+#include "smallfft.h"
 
 namespace folve_celt {
 
@@ -1354,38 +1355,46 @@ struct Synth {
   }
 };
 
-// Full cosine basis per block size, built once per process: the exact
-// same lut values the modular walk produced, but laid out as NB
-// contiguous rows so the per-output dot products vectorize.  The old
-// walk (idx += step; wrap) was a loop-carried dependency the compiler
-// could not SIMD — it capped CELT decode near 10x realtime/core; the
-// mat-vec form is bandwidth/FMA-bound instead.  Sizes: 120..960 bins,
-// ~4.9 MB total across the four LMs, built lazily.
-static const float* MdctBasis(int NB) {
+// FFT-routed inverse MDCT, one plan per block size (120/240/480/960),
+// built once per process.  The mid-section transform
+//   mid[t] = sum_k X[k] cos(pi/NB (t + NB + 1/2)(k + 1/2))
+// reduces (shift the t index by NB: cos picks up a (-1)^k sin term;
+// DST-IV -> DCT-IV by input reversal and output sign alternation) to a
+// DCT-IV of length NB, computed with one NB/2-point complex FFT:
+//   z[n]   = (-X[(NB-1-2n)s] + i X[2ns]) * e^{-i pi (n+1/8)/NB}
+//   y[m]   = FFT(z)[m] * -e^{-i pi (m+1/8)/NB}
+//   mid[2m] = Re y[m],  mid[NB-1-2m] = Im y[m]
+// (mapping validated to 4e-13 against the direct basis; the earlier
+// O(NB^2) mat-vec was ~40% of total CELT decode time at LM=3).
+struct MdctPlan {
+  folve_smallfft::SmallFft fft;               // size NB/2
+  std::vector<folve_smallfft::Cpx> pre;       // e^{-i pi (n+1/8)/NB}
+  std::vector<folve_smallfft::Cpx> post;      // -e^{-i pi (m+1/8)/NB}
+  explicit MdctPlan(int NB) : fft(NB / 2), pre(NB / 2), post(NB / 2) {
+    for (int n = 0; n < NB / 2; ++n) {
+      double a = -M_PI * (n + 0.125) / NB;
+      pre[n] = {(float)std::cos(a), (float)std::sin(a)};
+      post[n] = {-(float)std::cos(a), -(float)std::sin(a)};
+    }
+  }
+};
+
+static const MdctPlan* MdctPlanFor(int NB) {
   static std::mutex mu;
-  static std::atomic<const float*> basis[4];
+  static std::atomic<const MdctPlan*> plans[4];
   int lm = 0;
   while (lm < 4 && (kShortMdct << lm) != NB) ++lm;
-  assert(lm < 4 && "MdctBasis: NB must be one of 120/240/480/960");
+  assert(lm < 4 && "MdctPlanFor: NB must be one of 120/240/480/960");
   if (lm >= 4) std::abort();
   // Acquire-load fast path; the mutex is only taken on first build per
   // LM, so the per-short-block hot path never serializes.
-  const float* cached = basis[lm].load(std::memory_order_acquire);
+  const MdctPlan* cached = plans[lm].load(std::memory_order_acquire);
   if (cached) return cached;
   std::lock_guard<std::mutex> lock(mu);
-  cached = basis[lm].load(std::memory_order_relaxed);
+  cached = plans[lm].load(std::memory_order_relaxed);
   if (!cached) {
-    float* b = new float[(size_t)NB * NB];
-    int period = 8 * NB;
-    for (int t = 0; t < NB; ++t) {
-      int64_t a = 2 * t + 2 * NB + 1;
-      for (int k = 0; k < NB; ++k) {
-        int64_t idx = (a * (2 * k + 1)) % period;
-        b[(size_t)t * NB + k] = (float)std::cos(M_PI * idx / (4.0 * NB));
-      }
-    }
-    basis[lm].store(b, std::memory_order_release);
-    cached = b;
+    cached = new MdctPlan(NB);
+    plans[lm].store(cached, std::memory_order_release);
   }
   return cached;
 }
@@ -1395,19 +1404,24 @@ static const float* MdctBasis(int NB) {
 // written to out[ov/2..ov/2+NB), then the TDAC mirror on out[0..ov).
 static void MdctBackward(const float* X, int stride, int NB,
                          const float* window, float* out) {
+  using folve_smallfft::Cpx;
+  using folve_smallfft::CMul;
   float* mid = out + kOverlap / 2;
-  // MdctBasis() aborts on any NB outside {120,240,480,960}; resolving it
-  // first guarantees NB<=960 before the fixed stack buffer is touched.
-  const float* basis = MdctBasis(NB);
-  // De-stride the spectrum once so every dot product is unit-stride.
-  float xc[960];
-  for (int k = 0; k < NB; ++k) xc[k] = X[k * stride];
-  for (int t = 0; t < NB; ++t) {
-    const float* __restrict__ row = basis + (size_t)t * NB;
-    float acc = 0;
-#pragma omp simd reduction(+ : acc)
-    for (int k = 0; k < NB; ++k) acc += xc[k] * row[k];
-    mid[t] = acc;
+  // MdctPlanFor() aborts on any NB outside {120,240,480,960}; resolving
+  // it first guarantees NB<=960 before the fixed buffers are touched.
+  const MdctPlan& plan = *MdctPlanFor(NB);
+  const int H = NB / 2;
+  static thread_local Cpx z[480], tmp[480];
+  for (int n = 0; n < H; ++n) {
+    Cpx v{-X[(size_t)(NB - 1 - 2 * n) * stride],
+          X[(size_t)(2 * n) * stride]};
+    z[n] = CMul(v, plan.pre[n]);
+  }
+  plan.fft.Run(z, tmp);
+  for (int m = 0; m < H; ++m) {
+    Cpx y = CMul(z[m], plan.post[m]);
+    mid[2 * m] = y.re;
+    mid[NB - 1 - 2 * m] = y.im;
   }
   // TDAC mirror on the first kOverlap samples.
   for (int i = 0; i < kOverlap / 2; ++i) {

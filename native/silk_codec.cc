@@ -1024,7 +1024,8 @@ static void StereoMsToLr(StereoState* s, int16_t* x1, int16_t* x2,
       pred1_Q13 = pred_Q13[1];
     }
     int32_t sum = (int32_t)(
-        (uint32_t)((x1[n] + x1[n + 2]) + ((int32_t)x1[n + 1] << 1)) << 9);
+        (uint32_t)((x1[n] + x1[n + 2]) +
+                   (int32_t)((uint32_t)x1[n + 1] << 1)) << 9);
     sum = smlawb((int32_t)((uint32_t)x2[n + 1] << 8), sum, pred0_Q13);
     sum = smlawb(sum, (int32_t)((uint32_t)x1[n + 1] << 11), pred1_Q13);
     x2[n + 1] = sat16(rshift_round(sum, 8));
