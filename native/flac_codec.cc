@@ -884,17 +884,53 @@ class Encoder {
     bw.WriteBits(need_rice2 ? 1 : 0, 2);
     bw.WriteBits(porder, 4);
     uint32_t idx = 0;
+    // Per-sample WriteRice was ~50% of total encode time (rdtsc
+    // sections): the fold branch mispredicts on noise-like residual
+    // signs and every sample adds serial accumulator ops.  Instead,
+    // precompute (codeword, length) per sample in one branch-free
+    // vectorizable pass (zigzag fold, shared k per partition), then
+    // run a minimal scalar pack loop.  Partitions with any codeword
+    // longer than 32 bits (ultra-heavy tails that did not escape to
+    // raw) fall back to the per-sample path.
+    static thread_local std::vector<uint64_t> codes;
+    static thread_local std::vector<uint32_t> lens;
     for (uint32_t p = 0; p < parts; p++) {
       uint32_t count = (blocksize >> porder) - (p == 0 ? order : 0);
       if (plan[p].rawbits) {
         bw.WriteBits(escape, (int)pbits);
         bw.WriteBits(plan[p].rawbits, 5);
+        const uint32_t rb = plan[p].rawbits;
+        const uint64_t mask = (rb >= 64) ? ~0ull : ((1ull << rb) - 1);
+        const int64_t* __restrict__ rp = res + idx;
         for (uint32_t i = 0; i < count; i++)
-          bw.WriteSigned((int32_t)res[idx + i], (int)plan[p].rawbits);
+          bw.WriteBits((uint32_t)((uint64_t)rp[i] & mask), (int)rb);
       } else {
-        bw.WriteBits(plan[p].k, (int)pbits);
-        for (uint32_t i = 0; i < count; i++)
-          bw.WriteRice(Fold(res[idx + i]), plan[p].k);
+        const uint32_t k = plan[p].k;
+        bw.WriteBits(k, (int)pbits);
+        codes.resize(count);
+        lens.resize(count);
+        const int64_t* __restrict__ rp = res + idx;
+        uint64_t* __restrict__ cp = codes.data();
+        uint32_t* __restrict__ lp = lens.data();
+        const uint64_t kmask = (1ull << k) - 1;
+        const uint64_t kbit = 1ull << k;
+        uint32_t max_len = 0;
+#pragma omp simd reduction(max : max_len)
+        for (uint32_t i = 0; i < count; i++) {
+          int64_t v = rp[i];
+          uint64_t f = ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);  // zigzag
+          uint32_t len = (uint32_t)(f >> k) + 1 + k;
+          cp[i] = kbit | (f & kmask);
+          lp[i] = len;
+          max_len = len > max_len ? len : max_len;
+        }
+        if (max_len <= 32) {
+          for (uint32_t i = 0; i < count; i++)
+            bw.WriteBits((uint32_t)cp[i], (int)lp[i]);
+        } else {
+          for (uint32_t i = 0; i < count; i++)
+            bw.WriteRice(Fold(rp[i]), k);
+        }
       }
       idx += count;
     }
