@@ -814,6 +814,45 @@ class AvrStreamEncoder(PcmStreamEncoderBase):
 # ---------------------------------------------------------------------------
 
 
+def _alaw_encode(v: np.ndarray) -> np.ndarray:
+    """Linear int16 -> G.711 A-law bytes, byte-exact vs the libsndfile
+    oracle (validated over all 65536 inputs): code = alaw(|v|) with the
+    sign bit set for v >= 0 (A-law MSB 1 = positive — see _alaw_table
+    in audio/au.py for the decode side of the same convention)."""
+    v = np.asarray(v, np.int64)
+    x = np.minimum(np.abs(v), 32767)
+    pcm = x >> 3  # 13-bit magnitude
+    seg = np.zeros_like(pcm)
+    for i, e in enumerate([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF]):
+        seg = np.where(pcm > e, i + 1, seg)
+    mant = np.where(seg < 2, (pcm >> 1) & 0xF, (pcm >> seg) & 0xF)
+    code = (((seg << 4) | mant) ^ 0x55) | np.where(v >= 0, 0x80, 0)
+    return code.astype(np.uint8)
+
+
+class WveStreamEncoder(PcmStreamEncoderBase):
+    """WVE output: 32-byte Psion header + A-law bytes (the container's
+    only codec).  Same-container policy (convolve-file-handler.cc:
+    249-251); the reference's libsndfile writer emits the identical
+    header and byte-exact A-law codes."""
+
+    _allowed_bits = (16,)
+    _little_endian = True
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        return (b"ALawSoundFile**\x00" + struct.pack(">H", 0x0F10)
+                + struct.pack(">I", self.total_frames) + bytes(10))
+
+    def write_float(self, samples: np.ndarray) -> bytes:
+        v = np.clip(
+            np.round(np.asarray(samples, dtype=np.float64) * 32768.0),
+            -32768, 32767,
+        ).astype(np.int16)
+        return _alaw_encode(v.reshape(-1)).tobytes()
+
+
 def parse_wve(head: bytes, total: int):
     if head[:15] != b"ALawSoundFile**" or len(head) < 32:
         raise LegacyError("not a WVE file")
@@ -853,6 +892,59 @@ def read_wve(path: str):
 # ---------------------------------------------------------------------------
 # MAT4 / MAT5 (Matlab audio files, libsndfile's wavedata convention)
 # ---------------------------------------------------------------------------
+
+
+class Mat5StreamEncoder(PcmStreamEncoderBase):
+    """MAT5 output: 128-byte text header + `samplerate` and `wavedata`
+    miMATRIX elements, int16 little-endian (same-container policy,
+    convolve-file-handler.cc:249-251).  Element layout mirrors the
+    libsndfile writer byte-for-byte, including its wavedata length
+    field overshooting the payload by 8 (both its reader and ours
+    tolerate that).  Matlab matrices are column-major, so dims
+    [channels, frames] makes the element data plain interleaved
+    frames."""
+
+    _allowed_bits = (16,)
+    _little_endian = True
+    _error = LegacyError
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        # libsndfile's reader requires the NUL after the description.
+        text = b"MATLAB 5.0 MAT-file, written by folve-tpu\x00"
+        head = text + b" " * (124 - len(text))
+        head += struct.pack("<H", 0x0100) + b"IM"
+        # samplerate: 1x1 matrix, value as a small miUINT16/miUINT32.
+        if self.rate <= 0xFFFF:
+            val = struct.pack("<HHH", 4, 2, self.rate) + b"\x00\x00"
+        else:
+            val = struct.pack("<HHI", 6, 4, self.rate)
+        sr = (struct.pack("<II", 6, 8) + struct.pack("<II", 6, 0)      # flags
+              + struct.pack("<II", 5, 8) + struct.pack("<ii", 1, 1)    # dims
+              + struct.pack("<II", 1, 10) + b"samplerate" + bytes(6)   # name
+              + val)
+        head += struct.pack("<II", 14, len(sr)) + sr
+        # wavedata: [channels, frames] int16 matrix; data follows the
+        # header and is padded to 8 in finish().
+        nbytes = 2 * self.channels * self.total_frames
+        padded = (nbytes + 7) & ~7
+        wd = (struct.pack("<II", 6, 8) + struct.pack("<II", 6, 0)
+              + struct.pack("<II", 5, 8)
+              + struct.pack("<ii", self.channels, self.total_frames)
+              + struct.pack("<II", 1, 8) + b"wavedata"
+              + struct.pack("<II", 3, nbytes))
+        head += struct.pack("<II", 14, len(wd) + padded + 8) + wd
+        self._written = 0
+        return head
+
+    def write_float(self, samples: np.ndarray) -> bytes:
+        out = super().write_float(samples)
+        self._written += len(out)
+        return out
+
+    def finish(self) -> bytes:
+        pad = (-self._written) % 8
+        return bytes(pad)
 
 
 def _mat_finish(rate, data, channels):
@@ -1015,6 +1107,28 @@ def open_mat_stream(path: str):
 # ---------------------------------------------------------------------------
 # HTK (speech-toolkit waveform; 12-byte header, BE PCM-16, mono)
 # ---------------------------------------------------------------------------
+
+
+class HtkStreamEncoder(PcmStreamEncoderBase):
+    """HTK output: 12-byte header (nsamples, period in 100 ns units,
+    sampSize=2, parmKind=0 WAVEFORM) + big-endian PCM-16.  HTK is
+    mono-only; the handler falls back to FLAC for multichannel output
+    (same policy as other constrained legacy containers)."""
+
+    _allowed_bits = (16,)
+    _little_endian = False
+    _error = LegacyError
+
+    def __init__(self, rate: int, channels: int, bits: int,
+                 total_frames: int):
+        if channels != 1:
+            raise LegacyError("HTK is mono-only")
+        super().__init__(rate, channels, bits, total_frames)
+
+    def header(self, metadata: Optional[dict] = None) -> bytes:
+        del metadata
+        period = max(1, int(round(1e7 / self.rate)))
+        return struct.pack(">IIHH", self.total_frames, period, 2, 0)
 
 
 def parse_htk(head: bytes, total: int):

@@ -239,6 +239,18 @@ def _output_encoder(out: str, rate: int, channels: int, in_bits: int,
         from folve_tpu.audio.legacy import MpcStreamEncoder
 
         return MpcStreamEncoder(rate, channels, 16, total_frames)
+    if ext == ".wve" and channels == 1:
+        from folve_tpu.audio.legacy import WveStreamEncoder
+
+        return WveStreamEncoder(rate, channels, 16, total_frames)
+    if ext == ".htk" and channels == 1:
+        from folve_tpu.audio.legacy import HtkStreamEncoder
+
+        return HtkStreamEncoder(rate, channels, 16, total_frames)
+    if ext == ".mat":
+        from folve_tpu.audio.legacy import Mat5StreamEncoder
+
+        return Mat5StreamEncoder(rate, channels, 16, total_frames)
     from folve_tpu.audio.flac import FlacEncoder
 
     return FlacEncoder(rate, channels, bits=bits,

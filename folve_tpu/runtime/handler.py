@@ -311,7 +311,9 @@ class ConvolveFileHandler(FileHandler):
             out_bits = 24 if self._in_info.bits_per_sample == 24 else 16
         elif in_container in (Container.VOC, Container.IRCAM,
                               Container.NIST, Container.PVF,
-                              Container.AVR, Container.MPC):
+                              Container.AVR, Container.MPC,
+                              Container.WVE, Container.HTK,
+                              Container.MAT):
             out_bits = 16  # these legacy containers are 16-bit PCM out
         else:
             out_bits = min(self._in_info.bits_per_sample, 24)
@@ -346,6 +348,14 @@ class ConvolveFileHandler(FileHandler):
             from folve_tpu.audio.legacy import AvrStreamEncoder as encoder_cls
         elif in_container == Container.MPC:
             from folve_tpu.audio.legacy import MpcStreamEncoder as encoder_cls
+        elif in_container == Container.WVE and processor.output_channels == 1:
+            # WVE is mono A-law by definition; an upmixing filter falls
+            # back to FLAC below.
+            from folve_tpu.audio.legacy import WveStreamEncoder as encoder_cls
+        elif in_container == Container.HTK and processor.output_channels == 1:
+            from folve_tpu.audio.legacy import HtkStreamEncoder as encoder_cls
+        elif in_container == Container.MAT:
+            from folve_tpu.audio.legacy import Mat5StreamEncoder as encoder_cls
         if encoder_cls is not None:
             self._encoder = encoder_cls(
                 rate=self._in_info.rate,

@@ -272,25 +272,21 @@ def test_paf24_encoder_roundtrip(tmp_path, rng, frames, ch):
     # compare against; our reader recovers the unit.
 
 
-def test_wve_mat_fall_back_to_flac(tmp_path, rng):
-    """WVE (A-law 8k mono only) and MAT (matrix interchange) can't carry
-    the convolved stream; output falls back to FLAC."""
+def test_sds_sd2_fall_back_to_flac(tmp_path, rng):
+    """SDS (MIDI dump) and SD2 (resource-fork metadata) can't carry the
+    convolved stream in-band; output falls back to FLAC.  (WVE, HTK and
+    MAT gained same-container writers — see the round-5 tests below.)"""
     from tests.test_runtime import make_fs, read_all
 
     fs, src_dir = make_fs(tmp_path)
-    # the WVE fixture is 8 kHz (the format's only rate) — give the
-    # filter set an 8000 Hz config so it convolves instead of passing
-    # through untouched
-    (tmp_path / "filters" / "echo" / "filter-8000.conf").write_text(
+    (tmp_path / "filters" / "echo" / "filter-16000.conf").write_text(
         "/convolver/new 1 1 64 512\n"
         "/impulse/dirac 1 1 0.7 0\n"
         "/impulse/dirac 1 1 0.3 100\n"
     )
-    _sf_write(src_dir / "a.wve", _material(rng, 2000, 1), 8000,
-              SF_WVE | SF_ALAW)
-    _sf_write(src_dir / "b.mat5", _material(rng, 2000, 2), RATE,
-              SF_MAT5 | SF_PCM_16)
-    for name in ("a.wve", "b.mat5"):
+    _sf_write(src_dir / "a.sds", _material(rng, 2000, 1), 16000,
+              SF_SDS | SF_PCM_16)
+    for name in ("a.sds",):
         h = fs.get_or_create_handler(f"/{name}")
         blob = read_all(h)
         fs.close_handler(f"/{name}", h)
@@ -556,3 +552,111 @@ def test_xi_corrupt_headers_reject():
     bad[296:298] = (500).to_bytes(2, "little")
     with pytest.raises(LegacyError):
         parse_xi(bytes(bad), 400)  # sample headers past EOF
+
+
+def test_wve_through_filesystem_same_container(tmp_path, rng):
+    """WVE (Psion A-law, 8 kHz mono) convolves through a mono filter and
+    comes back out as WVE with byte-exact oracle-compatible A-law."""
+    from tests.test_runtime import make_fs, read_all
+
+    conf = "/convolver/new 1 1 64 512\n/impulse/dirac 1 1 0.5 0\n"
+    x = _material(rng, frames=4000, ch=1)
+    fs, src_dir = make_fs(tmp_path, conf_text=conf)
+    (tmp_path / "filters" / "echo" / "filter-8000.conf").write_text(conf)
+    _sf_write(src_dir / "song.wve", x, 8000, SF_WVE | SF_ALAW)
+    h = fs.get_or_create_handler("/song.wve")
+    blob = read_all(h)
+    fs.close_handler("/song.wve", h)
+    out = tmp_path / "out.wve"
+    out.write_bytes(blob)
+    assert sniff_container(str(out)) == Container.WVE
+    got, info = read_audio(str(out))
+    assert info.rate == 8000 and info.channels == 1
+    oracle, orate = _sf_read(out)
+    assert orate == 8000 and oracle.shape == got.shape
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_htk_through_filesystem_same_container(tmp_path, rng):
+    from tests.test_runtime import make_fs, read_all
+
+    conf = "/convolver/new 1 1 64 512\n/impulse/dirac 1 1 0.5 0\n"
+    x = _material(rng, frames=4000, ch=1)
+    fs, src_dir = make_fs(tmp_path, conf_text=conf)
+    (tmp_path / "filters" / "echo" / "filter-16000.conf").write_text(conf)
+    _sf_write(src_dir / "song.htk", x, 16000, SF_HTK | SF_PCM_16)
+    h = fs.get_or_create_handler("/song.htk")
+    blob = read_all(h)
+    fs.close_handler("/song.htk", h)
+    out = tmp_path / "out.htk"
+    out.write_bytes(blob)
+    got, info = read_audio(str(out))
+    assert info.rate == 16000 and info.channels == 1
+    assert got.shape[0] == x.shape[0]
+    oracle, orate = _sf_read(out)
+    assert orate == 16000 and oracle.shape == got.shape
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_wve_stereo_filter_falls_back_to_flac(tmp_path, rng):
+    """An upmixing (1-in 2-out) filter cannot keep the mono-only WVE
+    container: output falls back to FLAC."""
+    from tests.test_runtime import make_fs, read_all
+
+    conf = ("/convolver/new 1 2 64 512\n"
+            "/impulse/dirac 1 1 0.5 0\n/impulse/dirac 1 2 0.5 0\n")
+    x = _material(rng, frames=3000, ch=1)
+    fs, src_dir = make_fs(tmp_path, conf_text=conf)
+    (tmp_path / "filters" / "echo" / "filter-8000.conf").write_text(conf)
+    _sf_write(src_dir / "song.wve", x, 8000, SF_WVE | SF_ALAW)
+    h = fs.get_or_create_handler("/song.wve")
+    blob = read_all(h)
+    fs.close_handler("/song.wve", h)
+    assert blob[:4] == b"fLaC"
+
+
+def test_mat_through_filesystem_same_container(tmp_path, rng):
+    """MAT4 or MAT5 input -> convolved output is a MAT5 file libsndfile
+    reads back bit-equal to our own decode."""
+    from tests.test_runtime import make_fs, read_all
+
+    for name, fmt in (("song4.mat", SF_MAT4 | SF_PCM_16),
+                      ("song5.mat", SF_MAT5 | SF_PCM_16)):
+        x = _material(rng, frames=3000, ch=2)
+        fs, src_dir = make_fs(tmp_path)
+        _sf_write(src_dir / name, x, RATE, fmt)
+        h = fs.get_or_create_handler(f"/{name}")
+        blob = read_all(h)
+        fs.close_handler(f"/{name}", h)
+        out = tmp_path / f"out-{name}"
+        out.write_bytes(blob)
+        assert sniff_container(str(out)) == Container.MAT
+        got, info = read_audio(str(out))
+        assert info.rate == RATE and info.channels == 2
+        assert got.shape[0] == x.shape[0]
+        oracle, orate = _sf_read(out)
+        assert orate == RATE and oracle.shape == got.shape
+        np.testing.assert_array_equal(got, oracle)
+
+
+def test_alaw_encode_matches_oracle_exhaustive(tmp_path):
+    """_alaw_encode == libsndfile's encoder over ALL 65536 int16."""
+    import ctypes
+
+    from folve_tpu.audio.legacy import _alaw_encode
+
+    lib = _sf()
+    vals = np.arange(-32768, 32768, dtype=np.int16)
+    p = tmp_path / "all.wve"
+    info = lib.SfInfo()
+    info.samplerate, info.channels, info.format = 8000, 1, SF_WVE | SF_ALAW
+    snd = lib.sf_open(str(p).encode(), 0x20, ctypes.byref(info))
+    assert snd
+    lib.sf_writef_short.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+    lib.sf_writef_short.restype = ctypes.c_long
+    lib.sf_writef_short(snd, vals.ctypes.data, len(vals))
+    lib.sf_close(snd)
+    oracle = np.frombuffer(p.read_bytes()[32:], np.uint8)
+    ours = _alaw_encode(vals)
+    np.testing.assert_array_equal(ours, oracle)
