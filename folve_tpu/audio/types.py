@@ -110,6 +110,9 @@ class AudioInfo:
     samples_per_block: int = 0
     # Extra per-file codec parameters (MS ADPCM coefficient pairs).
     codec_params: tuple = ()
+    # WAVEX ambisonic B-format marking (reference: TYPE_AMB via
+    # SFC_WAVEX_GET_AMBISONIC, zita-audiofile.cc:72-73).
+    ambisonic: bool = False
 
     def __post_init__(self):
         if not self.bits_per_sample:

@@ -120,6 +120,13 @@ def _parse_header(f: BinaryIO):
     return info, data_offset, data_size
 
 
+# GUID remainder (bytes 4..16 of the WAVEX SubFormat) of the ambisonic
+# B-format family 0000000X-0721-11d3-8644-C8C1CA000000 — the marking
+# the reference reads via SFC_WAVEX_GET_AMBISONIC
+# (zita-audiofile.cc:72-73).
+_AMBISONIC_GUID_TAIL = bytes.fromhex("2107d3118644c8c1ca000000")
+
+
 def interpret_fmt(fmt: bytes, data_size: int, fact_frames=None,
                   container: Container = Container.WAV,
                   allow_mpeg: bool = True) -> AudioInfo:
@@ -130,6 +137,18 @@ def interpret_fmt(fmt: bytes, data_size: int, fact_frames=None,
     every WAV sample codec — PCM/float/G.711/IMA/MS-ADPCM/GSM/G.721 —
     is decoded identically in both containers, like libsndfile's shared
     wav_w64 fmt parser gives the reference."""
+    info = _interpret_fmt_inner(fmt, data_size, fact_frames, container,
+                                allow_mpeg)
+    if (len(fmt) >= 40
+            and struct.unpack("<H", fmt[:2])[0] == _WAVE_FORMAT_EXTENSIBLE
+            and fmt[28:40] == _AMBISONIC_GUID_TAIL):
+        info.ambisonic = True
+    return info
+
+
+def _interpret_fmt_inner(fmt: bytes, data_size: int, fact_frames=None,
+                         container: Container = Container.WAV,
+                         allow_mpeg: bool = True) -> AudioInfo:
     if len(fmt) < 16:
         raise WavError("fmt chunk too short")
     tag, channels, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])

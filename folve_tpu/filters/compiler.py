@@ -43,6 +43,9 @@ class CompiledFilter:
     # Host copy of bank.h_spec (persisting spectra must not fetch them
     # back over a slow device link); None when unavailable.
     host_spec: Optional[np.ndarray] = None
+    # True when any impulse file was a WAVEX ambisonic B-format IR
+    # (reference: Audiofile TYPE_AMB, zita-audiofile.cc:72-73).
+    ambisonic: bool = False
 
     @property
     def fragm(self) -> int:
@@ -53,7 +56,7 @@ def _default_loader(path: str):
     from folve_tpu import audio
 
     data, info = audio.read_audio(path)
-    return data, info.rate
+    return data, info.rate, getattr(info, "ambisonic", False)
 
 
 class _AbortOther(Exception):
@@ -80,6 +83,7 @@ def compile_spec(
     size = conv.size
     ir = np.zeros((conv.ninp, conv.nout, size), dtype=np.float64)
     warnings = list(spec.warnings)
+    flags = {"ambisonic": False}
 
     def warn(line, msg):
         warnings.append(f"{spec.path}:{line}: {msg}")
@@ -87,7 +91,8 @@ def compile_spec(
     try:
         for op in spec.ops:
             if isinstance(op, ReadOp):
-                _apply_read(ir, op, spec, fsamp, latency, loader, warn)
+                _apply_read(ir, op, spec, fsamp, latency, loader, warn,
+                            flags)
             elif isinstance(op, DiracOp):
                 _apply_dirac(ir, op, latency, warn)
             elif isinstance(op, HilbertOp):
@@ -105,7 +110,7 @@ def compile_spec(
     bank = FilterBank(h_spec=jnp.asarray(planes), fragm=fragm, size=size)
     return CompiledFilter(
         ir=ir.astype(np.float32), bank=bank, fsamp=fsamp, warnings=warnings,
-        host_spec=planes,
+        host_spec=planes, ambisonic=flags["ambisonic"],
     )
 
 
@@ -123,7 +128,8 @@ def compile_config_file(
     return compile_spec(spec, fsamp=fsamp, latency=latency, loader=loader)
 
 
-def _apply_read(ir, op: ReadOp, spec, fsamp, latency, loader, warn):
+def _apply_read(ir, op: ReadOp, spec, fsamp, latency, loader, warn,
+                flags=None):
     size = ir.shape[2]
     delay, offset = op.delay, op.offset
     # Latency compensation (zita-config.cc:75-89).
@@ -136,10 +142,15 @@ def _apply_read(ir, op: ReadOp, spec, fsamp, latency, loader, warn):
             offset += removed
             warn(op.line, f"First {removed} frames removed by latency compensation.")
     try:
-        data, rate = loader(op.path)
+        loaded = loader(op.path)
     except Exception as e:  # unreadable file: abort-but-succeed (ERR_OTHER)
         warn(op.line, f"Unable to open '{op.path}': {e}")
         raise _AbortOther()
+    data, rate = loaded[0], loaded[1]
+    # 3-tuple loaders carry the WAVEX ambisonic B-format marking
+    # (zita-audiofile.cc:72-73); 2-tuple custom loaders stay valid.
+    if flags is not None and len(loaded) > 2 and loaded[2]:
+        flags["ambisonic"] = True
     if rate != fsamp:
         warn(op.line, f"Sample rate ({rate}) of '{op.path}' does not match.")
     nfram, nchan = data.shape

@@ -300,3 +300,54 @@ def test_demo_filters_compile(tmp_path):
     cf = compile_config_file(conf, fsamp=44100)
     assert cf.ir[0, 0, 0] == pytest.approx(0.7)
     assert cf.ir[0, 0, 22050] == pytest.approx(0.3)
+
+
+def test_ambisonic_bformat_ir_tagging(tmp_path):
+    """A WAVEX ambisonic B-format IR marks the compiled filter
+    (reference: Audiofile TYPE_AMB via SFC_WAVEX_GET_AMBISONIC,
+    zita-audiofile.cc:72-73,147-149)."""
+    import ctypes
+
+    import numpy as np
+
+    from tests.test_extra_formats import _sf
+    from folve_tpu.audio import read_audio
+    from folve_tpu.filters.compiler import compile_config_file
+
+    lib = _sf()
+    rng = np.random.default_rng(0)
+    x = (0.1 * rng.standard_normal((256, 4))).astype(np.float32)
+    irp = tmp_path / "bformat.wav"
+    info = lib.SfInfo()
+    info.samplerate, info.channels, info.format = 44100, 4, 0x130002
+    snd = lib.sf_open(str(irp).encode(), 0x20, ctypes.byref(info))
+    lib.sf_command.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                               ctypes.c_void_p, ctypes.c_int]
+    assert lib.sf_command(snd, 0x1200, None, 0x41) == 0x41  # SET_AMBISONIC
+    lib.sf_writef_float(snd, x.ctypes.data, 256)
+    lib.sf_close(snd)
+    _, ai = read_audio(str(irp))
+    assert ai.ambisonic
+
+    conf = tmp_path / "filter-44100.conf"
+    conf.write_text(
+        "/convolver/new 1 1 64 512\n"
+        f"/impulse/read 1 1 1.0 0 0 0 1 {irp}\n"
+    )
+    cf = compile_config_file(str(conf), 44100)
+    assert cf.ambisonic
+
+    # A plain (non-B-format) IR does not set the flag.
+    irp2 = tmp_path / "plain.wav"
+    info2 = lib.SfInfo()
+    info2.samplerate, info2.channels, info2.format = 44100, 4, 0x130002
+    snd = lib.sf_open(str(irp2).encode(), 0x20, ctypes.byref(info2))
+    lib.sf_writef_float(snd, x.ctypes.data, 256)
+    lib.sf_close(snd)
+    conf2 = tmp_path / "filter2-44100.conf"
+    conf2.write_text(
+        "/convolver/new 1 1 64 512\n"
+        f"/impulse/read 1 1 1.0 0 0 0 1 {irp2}\n"
+    )
+    cf2 = compile_config_file(str(conf2), 44100)
+    assert not cf2.ambisonic
