@@ -17,6 +17,7 @@ from folve_tpu.engine.stream import (
     chunk_step,
     init_state,
     reset_state,
+    serving_chunk_step,
     shared_filter_chunk_step,
 )
 
@@ -36,5 +37,6 @@ __all__ = [
     "chunk_step",
     "init_state",
     "reset_state",
+    "serving_chunk_step",
     "shared_filter_chunk_step",
 ]

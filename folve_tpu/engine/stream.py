@@ -391,3 +391,80 @@ batched_chunk_step = jax.vmap(chunk_step, in_axes=(0, 0, 0, 0))
 
 # Same-filter variant: one FilterBank broadcast across the stream batch.
 shared_filter_chunk_step = jax.vmap(chunk_step, in_axes=(None, 0, 0, 0))
+
+# Cache of fused-kernel filter permutations: id(h_spec) -> (h_spec,
+# h_perm).  The permute is a real device transpose — do it once per
+# compiled filter, not per step.  Bounded like the scheduler's
+# placed-bank cache (the pool caps live configs anyway).
+_H_PERM_CACHE: dict = {}
+
+
+def _fused_h_perm(bank: FilterBank) -> jax.Array:
+    from folve_tpu.engine.kernels.conv_step import permute_h_for_fused
+
+    key = id(bank.h_spec)
+    hit = _H_PERM_CACHE.get(key)
+    if hit is not None and hit[0] is bank.h_spec:
+        return hit[1]
+    hp = permute_h_for_fused(bank.h_spec, 2 * bank.fragm)
+    if len(_H_PERM_CACHE) > 16:
+        _H_PERM_CACHE.clear()
+    _H_PERM_CACHE[key] = (bank.h_spec, hp)
+    return hp
+
+
+def fused_serving_supported(bank: FilterBank, t: int) -> bool:
+    """True when the batched serving step can run as ONE fused Pallas
+    kernel (fwd FFT -> FDL MAC -> iFFT/OLA without spilling block
+    spectra to HBM).  Requires a half-layout bank and a resident set
+    (filter spectra + FDL ring) that fits the VMEM budget."""
+    from folve_tpu.engine.kernels.conv_step import fused_supported
+
+    p, cin, cout, _, k = bank.h_spec.shape
+    n = 2 * bank.fragm
+    if k != half_bins(n) or k == n:
+        return False
+    return fused_supported(p, cin, cout, t, n)
+
+
+def serving_chunk_step(
+    bank: FilterBank,
+    states: StreamState,
+    x: jax.Array,
+    n_valid: jax.Array,
+) -> tuple[StreamState, jax.Array]:
+    """Batched shared-filter serving step (BASELINE config 5): ``states``
+    is a :class:`StreamState` with a leading stream axis, ``x`` is
+    ``[S, T, Cin, fragm]``, ``n_valid`` int32 ``[S]``.
+
+    Routes to the fully-fused single-kernel step when the shape
+    supports it (block spectra never round-trip HBM between the FFT /
+    MAC / inverse stages — VERDICT r4's top perf item); otherwise to
+    the vmapped three-kernel path.  Same semantics either way (carried
+    state, clipping monitor over valid frames; equality pinned by
+    tests/test_conv_step_fused.py)."""
+    impl = _MAC_IMPL
+    if impl == "auto":
+        impl = "pallas" if _is_tpu_backend() else "xla"
+    t = x.shape[1]
+    if impl in ("pallas", "pallas_interpret") and fused_serving_supported(
+        bank, t
+    ):
+        from folve_tpu.engine.kernels.conv_step import pallas_conv_step_fused
+
+        b = bank.fragm
+        blk = lax.iota(jnp.int32, t) * b
+        valid = jnp.clip(
+            jnp.asarray(n_valid, jnp.int32)[:, None] - blk[None, :], 0, b
+        )
+        y, hr, hi, tl, mx = pallas_conv_step_fused(
+            _fused_h_perm(bank), x, states.hist_re, states.hist_im,
+            states.tail, valid, 2 * b,
+            interpret=(impl == "pallas_interpret"),
+        )
+        new = StreamState(
+            hist_re=hr, hist_im=hi, tail=tl,
+            max_abs=jnp.maximum(states.max_abs, mx),
+        )
+        return new, y
+    return shared_filter_chunk_step(bank, states, x, n_valid)

@@ -29,12 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from folve_tpu.engine.filter_bank import FilterBank
-from folve_tpu.engine.stream import StreamState, chunk_step
+from folve_tpu.engine.stream import StreamState, chunk_step, serving_chunk_step
 
 _batched_step = jax.jit(jax.vmap(chunk_step, in_axes=(0, 0, 0, 0)))
 # Shared-filter fast path: one FilterBank broadcast across the batch —
 # avoids stacking S copies of the spectra when all jobs use one filter.
-_shared_step = jax.jit(jax.vmap(chunk_step, in_axes=(None, 0, 0, 0)))
+# Routes to the fully-fused single-Pallas-kernel step on TPU when the
+# shape supports it (engine.stream.serving_chunk_step).
+_shared_step = jax.jit(serving_chunk_step)
 
 # Lone-stream fast path (no batch dim, no stack/unstack host work).
 from folve_tpu.runtime.processor import _jitted_chunk as _single_step
