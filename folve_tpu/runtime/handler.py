@@ -248,6 +248,7 @@ class ConvolveFileHandler(FileHandler):
         self._error = False
         self._stats_lock = threading.Lock()
         self._input_frames_left = self._in_info.frames
+        self._prewarmed = False  # successor prewarm fired (gapless)
 
         # Initial stat; the size is inflated by the oversize factor and
         # refined as output is produced (convolve-file-handler.cc:203-257).
@@ -714,6 +715,26 @@ class ConvolveFileHandler(FileHandler):
         # (the stream must still end through fill_buffer so EOF /
         # close() semantics fire).
         left = self._input_frames_left
+        # Successor prewarm: once the stream nears its end, build the
+        # alphabetic successor's handler in the background — file open,
+        # format probe, processor checkout and header encode all happen
+        # BEFORE the handover instead of inside it.  The reference only
+        # prebuffers the next track at handover time
+        # (convolve-file-handler.cc:414); starting earlier removes the
+        # handler-construction stall from the gapless seam.  The prewarm
+        # must not read audio (a started successor refuses the
+        # handover, passover_processor's has_started check).
+        if (
+            self._fs.gapless_processing
+            and not self._prewarmed
+            and left <= 4 * self.CHUNK_BLOCKS * proc.fragm
+        ):
+            self._prewarmed = True
+            threading.Thread(
+                target=self._prewarm_successor,
+                name="folve-gapless-prewarm",
+                daemon=True,
+            ).start()
         avail = left // proc.fragm - (0 if left % proc.fragm else 1)
         chunk = min(self.CHUNK_BLOCKS, avail)
         if chunk >= 1:
@@ -782,22 +803,39 @@ class ConvolveFileHandler(FileHandler):
             self.close()
         return self._input_frames_left != 0
 
-    def _try_gapless_handover(self, proc, split_write):
-        """Find the alphabetic successor with the same suffix and offer it
-        our processor (convolve-file-handler.cc:390-416)."""
+    def _find_successor(self) -> Optional[str]:
+        """Alphabetic successor with the same suffix in this directory
+        (convolve-file-handler.cc:358-368, :398-400)."""
         filename = self._base_stats.filename
         slash = filename.rfind("/")
         if slash < 0:
-            return False, None, None
+            return None
         fs_dir = filename[: slash + 1]
         dot = filename.rfind(".")
         suffix = filename[dot:] if dot > slash else ""
         dirset = self._fs.list_directory(fs_dir, suffix)
-        next_path = None
         for cand in sorted(dirset):
             if cand > filename:
-                next_path = cand
-                break
+                return cand
+        return None
+
+    def _prewarm_successor(self) -> None:
+        """Background: create (and immediately unpin) the successor's
+        handler so the gapless handover finds it ready in the cache."""
+        try:
+            next_path = self._find_successor()
+            if next_path is None:
+                return
+            h = self._fs.get_or_create_handler(next_path, want_gapless=True)
+            if h is not None:
+                self._fs.close_handler(next_path, h)
+        except Exception:
+            pass  # best-effort; the handover path builds it if need be
+
+    def _try_gapless_handover(self, proc, split_write):
+        """Find the alphabetic successor with the same suffix and offer it
+        our processor (convolve-file-handler.cc:390-416)."""
+        next_path = self._find_successor()
         if next_path is None:
             return False, None, None
         next_handler = self._fs.get_or_create_handler(next_path, want_gapless=True)
