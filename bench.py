@@ -108,20 +108,53 @@ def _engine_configs(out, rng):
     )
     out["snr_serving_db"] = snr_db(y_srv[0])
 
-    def run(bank, s, t, iters):
-        states = jax.vmap(lambda _: init_state(bank))(np.arange(s))
-        x = jax.device_put(
-            rng.standard_normal((s, t, 2, bank.fragm)).astype(np.float32)
-        )
+    from folve_tpu.engine import stream as _stream
+
+    # Steady-state fused loop: host-staged 5-D x, donated pre-shaped
+    # carry — no per-step device retiles (they are physical HBM copies
+    # on TPU, 3.1 ms of the 23.8 ms step; DEVNOTES r5).
+    pre_step = jax.jit(
+        _stream.fused_serving_step_pre,
+        static_argnames=("interpret",),
+        donate_argnums=(1,),
+    )
+
+    import contextlib
+
+    def run(bank, s, t, iters, trace_dir=None):
         nv = jax.device_put(np.full((s,), t * bank.fragm, np.int32))
-        states, y = step(bank, states, x, nv)  # compile + warmup
-        float(jnp.sum(y))  # force (block_until_ready unreliable, DEVNOTES)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            # State chain threads every iteration; the final sum forces
-            # the whole sequence.
-            states, y = step(bank, states, x, nv)
-        float(jnp.sum(y))
+        xh = rng.standard_normal((s, t, 2, bank.fragm)).astype(np.float32)
+        fused = _stream._is_tpu_backend() and _stream.fused_serving_supported(
+            bank, t
+        )
+        if trace_dir:
+            from folve_tpu.utils.profiling import device_trace
+
+            scope = lambda: device_trace(trace_dir)
+        else:
+            scope = contextlib.nullcontext
+        if fused:
+            carry = _stream.fused_carry_init(bank, s)
+            x = jax.device_put(_stream.stage_x_for_fused(bank, xh))
+            carry, y = pre_step(bank, carry, x, nv)  # compile + warmup
+            float(jnp.sum(y))
+            t0 = time.perf_counter()
+            with scope():
+                for _ in range(iters):
+                    carry, y = pre_step(bank, carry, x, nv)
+                float(jnp.sum(y))
+        else:
+            states = jax.vmap(lambda _: init_state(bank))(np.arange(s))
+            x = jax.device_put(xh)
+            states, y = step(bank, states, x, nv)  # compile + warmup
+            float(jnp.sum(y))  # force (block_until_ready unreliable)
+            t0 = time.perf_counter()
+            with scope():
+                for _ in range(iters):
+                    # State chain threads every iteration; the final sum
+                    # forces the whole sequence.
+                    states, y = step(bank, states, x, nv)
+                float(jnp.sum(y))
         dt = time.perf_counter() - t0
         return iters * s * t * bank.fragm / rate / dt, dt
 
@@ -158,6 +191,28 @@ def _engine_configs(out, rng):
     hbm_gbps = bytes_per_step * iters5 / dt5 / 1e9
     out["hbm_gbps_model_min"] = round(hbm_gbps, 1)
     out["pct_of_peak_v5e"] = round(100.0 * hbm_gbps / 819.0, 1)
+
+    # Measured (not modeled) utilization: trace a few headline steps,
+    # let xprof account device time + HBM bandwidth (VERDICT r4 item 3).
+    try:
+        prof_dir = tempfile.mkdtemp(prefix="folve_bench_prof_")
+        prof_iters = 2 if smoke else 5
+        _, dtp = run(bank, s5, t5, prof_iters, trace_dir=prof_dir)
+        from folve_tpu.utils.profiling import analyze_device_trace
+
+        prof = analyze_device_trace(prof_dir)
+        if prof:
+            out["hbm_gbps_measured"] = round(819.0 * prof["mem_bw_frac"], 1)
+            out["device_step_ms_measured"] = round(
+                prof["device_time_ms"] / prof_iters, 2
+            )
+            out["wall_step_ms"] = round(1000.0 * dtp / prof_iters, 2)
+            if prof["ops"]:
+                name, ms = prof["ops"][0]
+                out["top_device_op"] = name[:48]
+                out["top_device_op_ms_per_step"] = round(ms / prof_iters, 2)
+    except Exception:
+        pass  # profiling is best-effort; the bench numbers stand alone
 
     # --- config 2: long-IR reverb (SantaLucia-class, 204,800 taps).
     size2 = 32768 if smoke else 204800
@@ -326,6 +381,57 @@ def _runtime_configs(out, rng):
         out["gapless_join_spread_pct"] = round(
             100.0 * (runs[-1] - runs[0]) / runs[-1], 1
         )
+
+        # --- BASELINE config 5, END-TO-END: N concurrently open files
+        # through the FULL pipeline — FLAC decode -> coalescing
+        # DeviceScheduler (one fused batched device step) -> FLAC
+        # encode — one reader thread per open file, the FUSE model.
+        # The engine headline above is device-only; the reference's own
+        # perf claim is end-to-end (README.md:357-364), so report both.
+        # Aggregate audio-seconds served per wall second; D2H crosses
+        # the link whose health link_d2h_mbps records.
+        import threading
+
+        smoke = bool(os.environ.get("FOLVE_BENCH_SMOKE"))
+        n_streams = 2 if smoke else 8
+        for i in range(n_streams):
+            x = rng.uniform(-0.4, 0.4, (frames, 2)).astype(np.float32)
+            x = np.round(x * 32768) / 32768
+            write_flac(os.path.join(src, f"e2e-{i:02d}.flac"), x, rate, bits=16)
+
+        def serve_all(fs):
+            outs = [None] * n_streams
+
+            def worker(i):
+                path = f"/e2e-{i:02d}.flac"
+                h = fs.get_or_create_handler(path)
+                outs[i] = len(read_all(h))
+                fs.close_handler(path, h)
+
+            ts = [
+                threading.Thread(target=worker, args=(i,))
+                for i in range(n_streams)
+            ]
+            t0 = time.perf_counter()
+            for th in ts:
+                th.start()
+            for th in ts:
+                th.join()
+            dt = time.perf_counter() - t0
+            assert all(o and o > 1000 for o in outs), outs
+            return dt
+
+        serve_all(make_fs(gapless=False))  # warmup: batched-shape compiles
+        e2e_runs = sorted(
+            serve_all(make_fs(gapless=False)) for _ in range(2)
+        )
+        total_audio = n_streams * seconds
+        out["e2e_serving_streams"] = n_streams
+        out["e2e_serving_x"] = round(total_audio / e2e_runs[0], 1)
+        out["e2e_serving_median_x"] = round(
+            total_audio / e2e_runs[len(e2e_runs) // 2], 1
+        )
+        out["e2e_serving_host_cores"] = os.cpu_count()
 
         # --- config 4: filter switching across rates; true-compile pool
         # miss (persistent spectra cache disabled), disk-cache cold hit

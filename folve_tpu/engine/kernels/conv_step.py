@@ -297,6 +297,18 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
         max_ref[0] = max_scr[...]
 
 
+def fused_preshape(n: int) -> tuple[int, int, int, int]:
+    """(rows, m2, m1, cols) of the fused kernel's pre-shaped layouts for
+    DFT size ``n``.  Hosts staging arrays for the _pre entry use these:
+    ``x5`` [S,T,Cin,rows,m2], ``hist5`` [S,P-1,Cin,m1,cols], ``tail4``
+    [S,Cout,rows,m2] — all plain row-major reshapes of the canonical
+    flat layouts (free on host; a PHYSICAL retile on device, which is
+    exactly why the caller should stage them host-side — DEVNOTES r5)."""
+    plan = get_plan(n)
+    cols = plan.m2 // 2 + 1
+    return plan.m1 // 2, plan.m2, plan.m1, cols
+
+
 @functools.partial(jax.jit, static_argnames=("n", "interpret", "passes"))
 def pallas_conv_step_fused(
     h_perm: jax.Array,
@@ -309,7 +321,7 @@ def pallas_conv_step_fused(
     interpret: bool = False,
     passes: int | None = None,
 ):
-    """Batched fused convolution step.
+    """Batched fused convolution step (canonical flat layouts).
 
     ``h_perm``: [P, Cin, Cout, 2, K] filter spectra with bins in the
     TRANSPOSED-tile flatten (k' = m1*c + q — produce with
@@ -321,13 +333,62 @@ def pallas_conv_step_fused(
     Returns ``(y, new_hist_re, new_hist_im, new_tail, max_s)`` with
     ``y`` [S, T, Cout, B] and ``max_s`` float32 [S] — the per-stream
     masked max|y| over the whole chunk (the clipping monitor).
+
+    NOTE: the 4-D<->5-D reshapes here are PHYSICAL retiles on TPU (the
+    (8,128) tile spans the last two dims, so re-splitting the minormost
+    dim moves bytes — measured 3.1 ms/step at the headline shape).
+    Steady-state callers should host-stage ``x``/carry the state in the
+    pre-shaped layouts and call :func:`pallas_conv_step_fused_pre`.
+    """
+    p, cin, cout, _, k = h_perm.shape
+    s, t_total = x.shape[0], x.shape[1]
+    b = n // 2
+    rows, m2, m1, cols = fused_preshape(n)
+    assert k == m1 * cols, (k, m1, cols)
+    half_rows = m1 // 2
+
+    xg = x.reshape(s, t_total, cin, rows, m2)
+    hr = hist_re.reshape(s, p - 1, cin, m1, cols)
+    hi = hist_im.reshape(s, p - 1, cin, m1, cols)
+    tl = tail.reshape(s, cout, half_rows, m2)
+    y, hr_o, hi_o, tl_o, mx = pallas_conv_step_fused_pre(
+        h_perm, xg, hr, hi, tl, valid, n,
+        interpret=interpret, passes=passes,
+    )
+    return (
+        y.reshape(s, t_total, cout, b),
+        hr_o.reshape(s, p - 1, cin, k),
+        hi_o.reshape(s, p - 1, cin, k),
+        tl_o.reshape(s, cout, b),
+        mx,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret", "passes"))
+def pallas_conv_step_fused_pre(
+    h_perm: jax.Array,
+    xg: jax.Array,
+    hr: jax.Array,
+    hi: jax.Array,
+    tl: jax.Array,
+    valid: jax.Array,
+    n: int,
+    interpret: bool = False,
+    passes: int | None = None,
+):
+    """Fused step on PRE-SHAPED arrays (no device retiles).
+
+    ``xg``: [S, T, Cin, rows, m2]; ``hr``/``hi``: [S, P-1, Cin, m1,
+    cols]; ``tl``: [S, Cout, rows, m2] (see :func:`fused_preshape`);
+    ``h_perm`` flat as in :func:`pallas_conv_step_fused` (reshaped here
+    — it is placed once per filter, not per step).  Returns
+    ``(y5, hr5, hi5, tl4, max_s)`` with ``y5`` [S, T, Cout, rows, m2].
     """
     if passes is None:
         passes = FFT_DOT_PASSES
     three = passes == 3
     p, cin, cout, _, k = h_perm.shape
-    s, t_total = x.shape[0], x.shape[1]
-    b = n // 2
+    s, t_total = xg.shape[0], xg.shape[1]
     plan = get_plan(n)
     m1, m2 = plan.m1, plan.m2
     cols = m2 // 2 + 1
@@ -335,10 +396,6 @@ def pallas_conv_step_fused(
     rows = m1 // 2
     half_rows = m1 // 2
 
-    xg = x.reshape(s, t_total, cin, rows, m2)
-    hr = hist_re.reshape(s, p - 1, cin, m1, cols)
-    hi = hist_im.reshape(s, p - 1, cin, m1, cols)
-    tl = tail.reshape(s, cout, half_rows, m2)
     hp = h_perm.reshape(p, cin, cout, 2, cols, m1)
 
     # Constants (trace-time numpy; free).
@@ -424,13 +481,7 @@ def pallas_conv_step_fused(
     )(xg, hr, hi, tl, valid.astype(jnp.int32), hp,
       twr_t, twi_t, wn_t, *dot_arrays)
 
-    return (
-        y.reshape(s, t_total, cout, b),
-        hr_o.reshape(s, p - 1, cin, k),
-        hi_o.reshape(s, p - 1, cin, k),
-        tl_o.reshape(s, cout, b),
-        jnp.max(mx, axis=(1, 2)),
-    )
+    return y, hr_o, hi_o, tl_o, jnp.max(mx, axis=(1, 2))
 
 
 def permute_h_for_fused(h_spec: jax.Array, n: int) -> jax.Array:

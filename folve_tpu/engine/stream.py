@@ -468,3 +468,119 @@ def serving_chunk_step(
         )
         return new, y
     return shared_filter_chunk_step(bank, states, x, n_valid)
+
+
+# ---------------------------------------------------------------------------
+# Pre-shaped steady-state serving (no per-step device retiles).
+#
+# On TPU the (8,128) memory tile spans the last TWO dims, so the 4-D<->5-D
+# reshapes at the fused kernel's boundary are physical HBM copies
+# (measured 3.1 ms of the 23.8 ms headline step).  Steady-state serving
+# loops therefore carry the state in the kernel's native 5-D layouts and
+# stage the input host-side (a numpy reshape is free); only entering /
+# leaving the fused loop converts layouts.
+
+import typing as _typing
+
+
+class FusedServingCarry(_typing.NamedTuple):
+    """Batched serving state in the fused kernel's pre-shaped layouts.
+
+    ``hist_re``/``hist_im``: [S, P-1, Cin, m1, cols]; ``tail``:
+    [S, Cout, rows, m2]; ``max_abs``: [S].  Convert with
+    :func:`carry_from_states` / :func:`states_from_carry`.
+    """
+
+    hist_re: jax.Array
+    hist_im: jax.Array
+    tail: jax.Array
+    max_abs: jax.Array
+
+
+def _fused_dims(bank: FilterBank):
+    from folve_tpu.engine.kernels.conv_step import fused_preshape
+
+    return fused_preshape(2 * bank.fragm)
+
+
+def fused_carry_init(bank: FilterBank, s: int) -> FusedServingCarry:
+    p, cin, cout, _, k = bank.h_spec.shape
+    rows, m2, m1, cols = _fused_dims(bank)
+    z = lambda shape: jnp.zeros(shape, jnp.float32)
+    return FusedServingCarry(
+        hist_re=z((s, p - 1, cin, m1, cols)),
+        hist_im=z((s, p - 1, cin, m1, cols)),
+        tail=z((s, cout, rows, m2)),
+        max_abs=z((s,)),
+    )
+
+
+def carry_from_states(bank: FilterBank, states: StreamState) -> FusedServingCarry:
+    """Batched StreamState (leading S axis, canonical flat bins) ->
+    pre-shaped carry.  One-time physical retile on device."""
+    p, cin, cout, _, k = bank.h_spec.shape
+    rows, m2, m1, cols = _fused_dims(bank)
+    s = states.hist_re.shape[0]
+    return FusedServingCarry(
+        hist_re=states.hist_re.reshape(s, p - 1, cin, m1, cols),
+        hist_im=states.hist_im.reshape(s, p - 1, cin, m1, cols),
+        tail=states.tail.reshape(s, cout, rows, m2),
+        max_abs=states.max_abs,
+    )
+
+
+def states_from_carry(bank: FilterBank, carry: FusedServingCarry) -> StreamState:
+    """Inverse of :func:`carry_from_states` (streams leaving the loop)."""
+    p, cin, cout, _, k = bank.h_spec.shape
+    s = carry.hist_re.shape[0]
+    return StreamState(
+        hist_re=carry.hist_re.reshape(s, p - 1, cin, k),
+        hist_im=carry.hist_im.reshape(s, p - 1, cin, k),
+        tail=carry.tail.reshape(s, cout, bank.fragm),
+        max_abs=carry.max_abs,
+    )
+
+
+def stage_x_for_fused(bank: FilterBank, x) -> "jax.Array | None":
+    """Host-side: [S, T, Cin, fragm] numpy audio -> the kernel's
+    [S, T, Cin, rows, m2] layout (a free host reshape; device_put of the
+    result lands already-tiled, skipping the on-device retile)."""
+    rows, m2, m1, cols = _fused_dims(bank)
+    s, t, cin, b = x.shape
+    return x.reshape(s, t, cin, rows, m2)
+
+
+def fused_serving_step_pre(
+    bank: FilterBank,
+    carry: FusedServingCarry,
+    x5: jax.Array,
+    n_valid: jax.Array,
+    interpret: bool = False,
+) -> tuple[FusedServingCarry, jax.Array]:
+    """Steady-state fused serving step on pre-shaped arrays.
+
+    ``x5``: [S, T, Cin, rows, m2] (see :func:`stage_x_for_fused`);
+    returns ``(carry', y5)`` with ``y5`` [S, T, Cout, rows, m2] — flat
+    audio is ``y5.reshape(S, T, Cout, fragm)`` HOST-side after fetch.
+    Same semantics as :func:`serving_chunk_step` (equality pinned by
+    tests/test_conv_step_fused.py).  Jit with donated carry:
+    ``jax.jit(fused_serving_step_pre, static_argnames='interpret',
+    donate_argnums=1)``.
+    """
+    from folve_tpu.engine.kernels.conv_step import pallas_conv_step_fused_pre
+
+    b = bank.fragm
+    t = x5.shape[1]
+    blk = lax.iota(jnp.int32, t) * b
+    valid = jnp.clip(
+        jnp.asarray(n_valid, jnp.int32)[:, None] - blk[None, :], 0, b
+    )
+    y5, hr, hi, tl, mx = pallas_conv_step_fused_pre(
+        _fused_h_perm(bank), x5, carry.hist_re, carry.hist_im,
+        carry.tail, valid, 2 * b, interpret=interpret,
+    )
+    new = FusedServingCarry(
+        hist_re=hr, hist_im=hi, tail=tl,
+        max_abs=jnp.maximum(carry.max_abs, mx),
+    )
+    return new, y5

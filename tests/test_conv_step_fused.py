@@ -179,6 +179,47 @@ def test_fused_three_pass_accuracy(rng):
     np.testing.assert_allclose(np.asarray(y), ref_y, atol=tol)
 
 
+def test_fused_pre_shaped_path_matches(rng):
+    """The steady-state pre-shaped loop (host-staged x, 5-D carry, no
+    device retiles) == serving_chunk_step across two chunks, including
+    the carry conversion round-trip."""
+    p, t, fragm, cin, cout = 4, 5, 64, 2, 2
+    ir = rng.standard_normal((cin, cout, p * fragm - 7)).astype(np.float32)
+    bank = compile_filter_bank(ir, fragm=fragm)
+    s = 2
+    x1 = rng.standard_normal((s, t, cin, fragm)).astype(np.float32)
+    x2 = rng.standard_normal((s, t, cin, fragm)).astype(np.float32)
+    nv = np.array([t * fragm, t * fragm - 9], np.int32)
+
+    st.set_mac_impl("xla")
+    try:
+        states = jax.vmap(lambda _: st.init_state(bank))(np.arange(s))
+        states, ry1 = st.serving_chunk_step(
+            bank, states, jnp.asarray(x1), jnp.asarray(nv))
+        states, ry2 = st.serving_chunk_step(
+            bank, states, jnp.asarray(x2), jnp.asarray(nv))
+        ref_states = states
+    finally:
+        st.set_mac_impl("auto")
+
+    carry = st.fused_carry_init(bank, s)
+    got = []
+    for x in (x1, x2):
+        x5 = jnp.asarray(st.stage_x_for_fused(bank, x))
+        carry, y5 = st.fused_serving_step_pre(
+            bank, carry, x5, jnp.asarray(nv), interpret=True)
+        got.append(np.asarray(y5).reshape(s, t, cout, fragm))
+    tol = 1e-4 * float(np.max(np.abs(np.asarray(ry2))))
+    np.testing.assert_allclose(got[0], np.asarray(ry1), atol=tol)
+    np.testing.assert_allclose(got[1], np.asarray(ry2), atol=tol)
+    back = st.states_from_carry(bank, carry)
+    for f in ("hist_re", "hist_im", "tail", "max_abs"):
+        r = np.asarray(getattr(ref_states, f))
+        np.testing.assert_allclose(
+            np.asarray(getattr(back, f)), r,
+            atol=max(2e-4, 1e-4 * float(np.max(np.abs(r)))))
+
+
 def test_fused_support_gate():
     # MAXSIZE-class FDL depth must NOT claim fused support (VMEM).
     assert not fused_supported(128, 2, 2, 4, 2 * 8192)

@@ -5,7 +5,10 @@ dedupes, force with float(jnp.sum(...)), report seconds/step and
 realtime-x at the headline serving shape.  Run each variant in a FRESH
 process (jit caches lie in-process).
 
-  python tools/bench_fused_step.py fused|split [S] [T] [iters] [passes]
+  python tools/bench_fused_step.py fused|pre|split [S] [T] [iters] [passes]
+
+``pre`` = the steady-state pre-shaped loop (host-staged x, donated 5-D
+carry, no device retiles) — what bench.py's headline runs.
 
 ``passes`` (fused only): 3 = bf16x3 split dots, 6 = full f32 dots
 (conv_step.FFT_DOT_PASSES default).
@@ -47,7 +50,22 @@ def main():
 
     x = jnp.asarray(rng.standard_normal((s, t, 2, b)).astype(np.float32))
 
-    if mode == "fused":
+    if mode == "pre":
+        nv = jnp.full((s,), t * b, jnp.int32)
+        pre_step = jax.jit(
+            st.fused_serving_step_pre,
+            static_argnames=("interpret",), donate_argnums=(1,))
+        carry = st.fused_carry_init(bank, s)
+        x5 = jax.device_put(st.stage_x_for_fused(
+            bank, rng.standard_normal((s, t, 2, b)).astype(np.float32)))
+        carry, y = pre_step(bank, carry, x5, nv)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry, y = pre_step(bank, carry, x5, nv)
+        force = float(jnp.sum(y)) + float(jnp.sum(carry.tail))
+        dt = (time.perf_counter() - t0) / iters
+    elif mode == "fused":
         from folve_tpu.engine.kernels.conv_step import (
             pallas_conv_step_fused, permute_h_for_fused)
 
