@@ -584,3 +584,51 @@ def fused_serving_step_pre(
         max_abs=jnp.maximum(carry.max_abs, mx),
     )
     return new, y5
+
+
+def single_chunk_step(
+    bank: FilterBank,
+    state: StreamState,
+    x: jax.Array,
+    n_valid=None,
+) -> tuple[StreamState, jax.Array]:
+    """:func:`chunk_step` for ONE stream, routed through the fused
+    single-kernel step when the shape supports it (the lone-stream
+    runtime pump: processor._jitted_chunk, the scheduler's lone path).
+
+    Never vmap this — it adds its own unit batch axis; use
+    :func:`chunk_step` inside vmaps.  Semantics identical to
+    chunk_step (tests/test_conv_step_fused.py pins the fused kernel
+    against it)."""
+    t = x.shape[0]
+    if n_valid is None:
+        n_valid = t * bank.fragm
+    impl = _MAC_IMPL
+    if impl == "auto":
+        impl = "pallas" if _is_tpu_backend() else "xla"
+    if impl in ("pallas", "pallas_interpret") and fused_serving_supported(
+        bank, t
+    ):
+        from folve_tpu.engine.kernels.conv_step import pallas_conv_step_fused
+
+        b = bank.fragm
+        blk = lax.iota(jnp.int32, t) * b
+        valid = jnp.clip(
+            (jnp.asarray(n_valid, jnp.int32) - blk)[None, :], 0, b
+        )
+        y, hr, hi, tl, mx = pallas_conv_step_fused(
+            _fused_h_perm(bank),
+            x[None],
+            state.hist_re[None],
+            state.hist_im[None],
+            state.tail[None],
+            valid,
+            2 * b,
+            interpret=(impl == "pallas_interpret"),
+        )
+        new = StreamState(
+            hist_re=hr[0], hist_im=hi[0], tail=tl[0],
+            max_abs=jnp.maximum(state.max_abs, mx[0]),
+        )
+        return new, y[0]
+    return chunk_step(bank, state, x, n_valid)

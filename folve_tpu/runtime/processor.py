@@ -22,11 +22,14 @@ from typing import Optional
 import jax
 import numpy as np
 
-from folve_tpu.engine.stream import chunk_step, init_state
+from folve_tpu.engine.stream import chunk_step, init_state, single_chunk_step
 from folve_tpu.filters.compiler import CompiledFilter, compile_config_file
 from folve_tpu.utils.profiling import LatencyStats
 
-_jitted_chunk = jax.jit(chunk_step)
+# Lone-stream pump step: routes through the fused single-kernel conv
+# step on TPU when the shape supports it (single_chunk_step), else the
+# three-kernel chunk_step — same semantics either way.
+_jitted_chunk = jax.jit(single_chunk_step)
 
 
 def _quantize(y, bits: int):

@@ -51,9 +51,10 @@ from folve_tpu.runtime.processor import _jitted_chunk as _single_step
 
 
 def _single_step_quantized(bank, state, x, n_valid, bits):
+    from folve_tpu.engine.stream import single_chunk_step
     from folve_tpu.runtime.processor import _quantize
 
-    state, y = chunk_step(bank, state, x, n_valid)
+    state, y = single_chunk_step(bank, state, x, n_valid)
     return state, _quantize(y, bits)
 
 

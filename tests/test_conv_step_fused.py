@@ -225,3 +225,40 @@ def test_fused_support_gate():
     assert not fused_supported(128, 2, 2, 4, 2 * 8192)
     assert fused_supported(16, 2, 2, 64, 2 * 8192)
     assert not fused_supported(1, 2, 2, 4, 2 * 8192)  # P=1: no ring
+
+
+def test_single_chunk_step_routes_fused(rng):
+    """The lone-stream pump entry (processor._jitted_chunk) routed
+    through the fused kernel == chunk_step, including partial-block
+    n_valid and carried state."""
+    p, t, fragm = 4, 3, 64
+    ir = rng.standard_normal((2, 2, p * fragm - 5)).astype(np.float32)
+    bank = compile_filter_bank(ir, fragm=fragm)
+    x1 = rng.standard_normal((t, 2, fragm)).astype(np.float32)
+    x2 = rng.standard_normal((t, 2, fragm)).astype(np.float32)
+    nv = t * fragm - 17
+
+    st.set_mac_impl("xla")
+    try:
+        state = st.init_state(bank)
+        state, r1 = st.chunk_step(bank, state, x1, nv)
+        state, r2 = st.chunk_step(bank, state, x2, nv)
+        ref_state = state
+    finally:
+        st.set_mac_impl("auto")
+
+    st.set_mac_impl("pallas_interpret")
+    try:
+        state = st.init_state(bank)
+        state, g1 = st.single_chunk_step(bank, state, x1, nv)
+        state, g2 = st.single_chunk_step(bank, state, x2, nv)
+    finally:
+        st.set_mac_impl("auto")
+    tol = 1e-4 * float(np.max(np.abs(np.asarray(r2)))) + 1e-5
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), atol=tol)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), atol=tol)
+    for f in ("hist_re", "hist_im", "tail", "max_abs"):
+        r = np.asarray(getattr(ref_state, f))
+        np.testing.assert_allclose(
+            np.asarray(getattr(state, f)), r,
+            atol=max(2e-4, 1e-4 * float(np.max(np.abs(r)))))
