@@ -65,11 +65,21 @@ print(f"wall: {wall*1e3/iters:.2f} ms/step", file=sys.stderr)
 paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True)
 print("xplane:", paths, file=sys.stderr)
 
+from folve_tpu.utils.profiling import analyze_device_trace
+
+prof = analyze_device_trace(log_dir)
+print(f"device: {prof.get('device_time_ms', 0)/iters:.2f} ms/step, "
+      f"mem bw {100*prof.get('mem_bw_frac', 0):.1f}% of peak")
+for name, ms in prof.get("ops", [])[:12]:
+    print(f"  {name[:64]:64s} {ms/iters:7.3f} ms/step")
+
+# Raw tool dumps for deeper digging (str paths only — bytes silently
+# returns an error blob, DEVNOTES r5).
 from xprof.convert import _pywrap_profiler_plugin as pw
 
-for tool in ("op_profile", "framework_op_stats", "overview_page"):
+for tool in ("op_profile", "framework_op_stats"):
     try:
-        data = pw.xspace_to_tools_data([paths[0].encode()], tool, {})
+        data = pw.xspace_to_tools_data([paths[0]], tool, {})
         blob = data[0] if isinstance(data, tuple) else data
         out = f"/tmp/prof_{tool}.out"
         mode = "wb" if isinstance(blob, bytes) else "w"
