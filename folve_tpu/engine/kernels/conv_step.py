@@ -51,6 +51,7 @@ maxpart = fragm (reference zita-fconfig.cc:74-94).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -137,22 +138,33 @@ def _bf16_split(m: np.ndarray):
 
 
 def _mk_dot(three: bool):
-    """Dot helper: ``c`` is a (hi, lo) pair of const refs (lo is None in
-    6-pass mode), ``x`` a runtime f32 value.  ``const_first`` picks the
-    operand order of the underlying dot_general."""
+    """Dot helpers: ``(prep, dotp)``.
+
+    ``prep(x)`` pre-stages a runtime f32 operand (the bf16 hi/lo split in
+    3-pass mode — done ONCE even when the operand feeds several dots);
+    ``dotp(c, xp, dn, const_first)`` runs the dot against a (hi, lo)
+    const-ref pair (lo is None in 6-pass mode).  ``const_first`` picks
+    the operand order of the underlying dot_general."""
 
     if not three:
-        def dot(c, x, dn, const_first):
-            cv = c[0][...]
-            return (lax.dot_general(cv, x, dn, precision=_PREC)
-                    if const_first else
-                    lax.dot_general(x, cv, dn, precision=_PREC))
-        return dot
+        def prep(x):
+            return (x,)
 
-    def dot(c, x, dn, const_first):
-        ch, cl = c[0][...], c[1][...]
+        def dotp(c, xp, dn, const_first):
+            cv = c[0][...]
+            return (lax.dot_general(cv, xp[0], dn, precision=_PREC)
+                    if const_first else
+                    lax.dot_general(xp[0], cv, dn, precision=_PREC))
+        return prep, dotp
+
+    def prep(x):
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return xh, xl
+
+    def dotp(c, xp, dn, const_first):
+        ch, cl = c[0][...], c[1][...]
+        xh, xl = xp
         f32 = jnp.float32
         if const_first:
             o = lax.dot_general(ch, xh, dn, preferred_element_type=f32)
@@ -164,25 +176,34 @@ def _mk_dot(three: bool):
             o = o + lax.dot_general(xl, ch, dn, preferred_element_type=f32)
         return o
 
-    return dot
+    return prep, dotp
 
 
 def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
             twr_t, twi_t, wn_t, *rest,
-            p, cin, cout, t_total, rows, three):
+            p, cin, cout, t_total, rows, three, stacked):
     """One (stream, block) grid step.  See module docstring.
 
-    ``rest``: 8 dot-constant hi refs [+ 8 lo refs in 3-pass mode], then
-    the 5 outputs, then the 3 scratch refs.
+    ``rest``: ``nd`` dot-constant hi refs [+ ``nd`` lo refs in 3-pass
+    mode], then the 5 outputs, then the 3 scratch refs.  ``nd`` is 5 in
+    stacked mode (re/im constant pairs pre-concatenated so each FFT
+    stage runs half as many, twice-as-large MXU dots — see
+    _stacked_consts) and 8 in the legacy per-matrix layout (kept for
+    m1 % 128 != 0, where the stacked form's lane slices/concats would
+    need relayouts).
     """
-    nd = 8
+    nd = 5 if stacked else 8
     hi_refs = rest[:nd]
     lo_refs = rest[nd:2 * nd] if three else (None,) * nd
     consts = list(zip(hi_refs, lo_refs))
-    (f1r_u, f1i_u, f2r_c, f2i_c, f2tr, f2ti, if1r, if1i) = consts
+    if stacked:
+        f1s, fwd_cr, fwd_ci, inv_uv, inv_c2 = consts
+    else:
+        (f1r_u, f1i_u, f2r_c, f2i_c, f2tr, f2ti, if1r, if1i) = consts
     y_ref, hr_out, hi_out, tail_out, max_ref = rest[-8:-3]
     ring, tail_scr, max_scr = rest[-3:]
-    dot = _mk_dot(three)
+    prep, dot = _mk_dot(three)
+    m2_k, m1_k = twr_t.shape  # transposed twiddle: [m2, m1]
 
     t = pl.program_id(1)
     s_idx = pl.program_id(0)
@@ -209,20 +230,35 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
 
     # --- forward FFT of each input channel (transposed tiles) ----------
     a_all = x_ref[0, 0]  # [cin, rows, m2]
+    tw_r = twr_t[...]
+    tw_i = twi_t[...]
+    dn = (((0,), (1,)), ((), ()))
+    dn0 = (((0,), (0,)), ((), ()))
     cur = []
     for i in range(cin):
-        a = a_all[i]  # [rows, m2] real
-        # S1^T [m2, m1] = contract rows: sum_r a[r, b] * F1u[q, r].
-        dn = (((0,), (1,)), ((), ()))
-        s1r = dot(f1r_u, a, dn, False)
-        s1i = dot(f1i_u, a, dn, False)
+        ap = prep(a_all[i])  # [rows, m2] real
+        if stacked:
+            # S1^T for re AND im in one dot: [m2, 2*m1], lane-split.
+            s1 = dot(f1s, ap, dn, False)
+            s1r, s1i = s1[:, :m1_k], s1[:, m1_k:]
+        else:
+            # S1^T [m2, m1] = contract rows: sum_r a[r, b] * F1u[q, r].
+            s1r = dot(f1r_u, ap, dn, False)
+            s1i = dot(f1i_u, ap, dn, False)
         # Twiddle (transposed tables).
-        t_r = s1r * twr_t[...] - s1i * twi_t[...]
-        t_i = s1r * twi_t[...] + s1i * twr_t[...]
+        t_r = s1r * tw_r - s1i * tw_i
+        t_i = s1r * tw_i + s1i * tw_r
         # Y^T [cols, m1] = contract m2: sum_b F2c[b, c] * T^T[b, q].
-        dn0 = (((0,), (0,)), ((), ()))
-        yr = dot(f2r_c, t_r, dn0, True) - dot(f2i_c, t_i, dn0, True)
-        yi = dot(f2i_c, t_r, dn0, True) + dot(f2r_c, t_i, dn0, True)
+        if stacked:
+            # Contraction-stacked: [F2r; -F2i]·[t_r; t_i] folds the
+            # complex sub/add into the MXU accumulate.
+            tp = prep(jnp.concatenate([t_r, t_i], axis=0))
+            yr = dot(fwd_cr, tp, dn0, True)
+            yi = dot(fwd_ci, tp, dn0, True)
+        else:
+            tpr, tpi = prep(t_r), prep(t_i)
+            yr = dot(f2r_c, tpr, dn0, True) - dot(f2i_c, tpi, dn0, True)
+            yi = dot(f2i_c, tpr, dn0, True) + dot(f2r_c, tpi, dn0, True)
         cur.append((yr, yi))
 
     # --- FDL MAC (elementwise on [cols, m1] tiles) ----------------------
@@ -265,21 +301,34 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
             hi_out[0, pl.ds(j, 1), i] = jnp.transpose(cur[i][1])[None]
 
     # --- inverse FFT + overlap-add + clipping max -----------------------
-    m1 = if1r[0].shape[0]
-    half_rows = m1 // 2
+    half_rows = m1_k // 2
+    wn = wn_t[...]
+    dn1 = (((1,), (1,)), ((), ()))
     vb = valid_ref[s_idx, t]
     blk_max = None
     for o in range(cout):
-        ar = acc_r[o] * wn_t[...]
-        ai = acc_i[o] * wn_t[...]
-        dn0 = (((0,), (0,)), ((), ()))
-        ur = dot(f2tr, ar, dn0, True) + dot(f2ti, ai, dn0, True)
-        ui = dot(f2tr, ai, dn0, True) - dot(f2ti, ar, dn0, True)
-        vr = ur * twr_t[...] + ui * twi_t[...]
-        vi = ui * twr_t[...] - ur * twi_t[...]
+        ar = acc_r[o] * wn
+        ai = acc_i[o] * wn
+        if stacked:
+            # Output-stacked [F2r, F2i] along m2: q = [A.x; B.x].
+            q_r = dot(inv_uv, prep(ar), dn0, True)  # [2*m2, m1]
+            q_i = dot(inv_uv, prep(ai), dn0, True)
+            ur = q_r[:m2_k] + q_i[m2_k:]
+            ui = q_i[:m2_k] - q_r[m2_k:]
+        else:
+            arp, aip = prep(ar), prep(ai)
+            ur = dot(f2tr, arp, dn0, True) + dot(f2ti, aip, dn0, True)
+            ui = dot(f2tr, aip, dn0, True) - dot(f2ti, arp, dn0, True)
+        vr = ur * tw_r + ui * tw_i
+        vi = ui * tw_r - ur * tw_i
         # x[n1, n2] = contract q: sum_q F1[n1, q] * V^T[n2, q].
-        dn1 = (((1,), (1,)), ((), ()))
-        xo = dot(if1r, vr, dn1, True) + dot(if1i, vi, dn1, True)
+        if stacked:
+            # Contraction-stacked: [F1r, F1i]·[vr, vi] folds the add.
+            xo = dot(inv_c2, prep(jnp.concatenate([vr, vi], axis=1)),
+                     dn1, True)
+        else:
+            xo = (dot(if1r, prep(vr), dn1, True)
+                  + dot(if1i, prep(vi), dn1, True))
         yo = xo[:half_rows] + tail_scr[o]
         tail_scr[o] = xo[half_rows:]
         y_ref[0, 0, o] = yo
@@ -410,8 +459,25 @@ def pallas_conv_step_fused_pre(
     f2tr = np.ascontiguousarray(plan.f2_re[:, :cols].T)  # [cols, m2]
     f2ti = np.ascontiguousarray(plan.f2_im[:, :cols].T)
 
-    dot_consts = [f1r_u, f1i_u, f2r_c, f2i_c, f2tr, f2ti,
-                  plan.f1_re, plan.f1_im]
+    # Stacked-dot mode (production shapes): pre-concatenate the re/im
+    # constant pairs so each FFT stage issues HALF as many dots of TWICE
+    # the size — at the headline shape the legacy layout runs 72 hw dots
+    # per grid step (24 logical x 3 bf16 passes) of near-minimum MXU
+    # size (~[128,64..128,128] at ~54 ns each), where per-dot overhead
+    # dominates.  All concats/slices are 128-lane-aligned iff
+    # m1 % 128 == 0; other shapes keep the per-matrix layout.
+    stacked = m1 % 128 == 0 and not os.environ.get("FOLVE_FUSED_NO_STACK")
+    if stacked:
+        f1s = np.concatenate([f1r_u, f1i_u], axis=0)      # [2*m1, rows]
+        fwd_cr = np.concatenate([f2r_c, -f2i_c], axis=0)  # [2*m2, cols]
+        fwd_ci = np.concatenate([f2i_c, f2r_c], axis=0)
+        inv_uv = np.concatenate([f2tr, f2ti], axis=1)     # [cols, 2*m2]
+        inv_c2 = np.concatenate([plan.f1_re, plan.f1_im],
+                                axis=1)                   # [m1, 2*m1]
+        dot_consts = [f1s, fwd_cr, fwd_ci, inv_uv, inv_c2]
+    else:
+        dot_consts = [f1r_u, f1i_u, f2r_c, f2i_c, f2tr, f2ti,
+                      plan.f1_re, plan.f1_im]
     if three:
         pairs = [_bf16_split(m) for m in dot_consts]
         dot_arrays = [hl[0] for hl in pairs] + [hl[1] for hl in pairs]
@@ -426,7 +492,7 @@ def pallas_conv_step_fused_pre(
 
     kernel = functools.partial(
         _kernel, p=p, cin=cin, cout=cout, t_total=t_total, rows=rows,
-        three=three)
+        three=three, stacked=stacked)
     kwargs = {}
     if pltpu is not None and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

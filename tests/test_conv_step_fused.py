@@ -220,6 +220,44 @@ def test_fused_pre_shaped_path_matches(rng):
             atol=max(2e-4, 1e-4 * float(np.max(np.abs(r)))))
 
 
+def test_fused_stacked_dot_path(rng):
+    """Production shapes (m1 % 128 == 0, i.e. fragm >= 8192) take the
+    stacked-dot kernel layout (re/im constant pairs concatenated, half
+    the dots at twice the size).  Verify it against the XLA path at the
+    smallest such bank."""
+    p, t, fragm = 2, 3, 8192  # n=16384 -> m1=m2=128
+    from folve_tpu.engine.rfft import get_plan
+
+    assert get_plan(2 * fragm).m1 % 128 == 0
+    ir = rng.standard_normal((2, 2, p * fragm - 11)).astype(np.float32)
+    bank = compile_filter_bank(ir, fragm=fragm)
+    assert bank.partitions == p
+    s = 2
+    x = (rng.standard_normal((s, t, 2, fragm)) * 0.3).astype(np.float32)
+    n_valid = np.array([t * fragm, t * fragm - 100], np.int64)
+
+    ref_y, ref_states = _ref_chunks(bank, x, n_valid)
+    y, hr, hi, tl, mx = _run_fused(bank, x, n_valid)
+
+    tol = 1e-4 * float(np.max(np.abs(ref_y)))
+    np.testing.assert_allclose(np.asarray(y), ref_y, atol=tol)
+    for si in range(s):
+        rs = ref_states[si]
+        for got, ref in (
+            (hr[si], rs.hist_re), (hi[si], rs.hist_im), (tl[si], rs.tail),
+        ):
+            r = np.asarray(ref)
+            np.testing.assert_allclose(
+                np.asarray(got), r,
+                atol=max(2e-4, 1e-4 * float(np.max(np.abs(r)))))
+        np.testing.assert_allclose(
+            np.asarray(mx)[si], np.asarray(rs.max_abs), rtol=1e-3)
+
+    # 3-pass (production default) accuracy on the stacked layout too.
+    y3, *_ = _run_fused(bank, x, n_valid, passes=3)
+    np.testing.assert_allclose(np.asarray(y3), ref_y, atol=tol)
+
+
 def test_fused_support_gate():
     # MAXSIZE-class FDL depth must NOT claim fused support (VMEM).
     assert not fused_supported(128, 2, 2, 4, 2 * 8192)
