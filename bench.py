@@ -136,12 +136,15 @@ def _engine_configs(out, rng):
         if fused:
             carry = _stream.fused_carry_init(bank, s)
             x = jax.device_put(_stream.stage_x_for_fused(bank, xh))
-            carry, y = pre_step(bank, carry, x, nv)  # compile + warmup
+            # Filter permute hoisted out of the jitted loop (once per
+            # bank, not once per step).
+            hp = _stream.eager_h_perm(bank)
+            carry, y = pre_step(bank, carry, x, nv, h_perm=hp)  # compile
             float(jnp.sum(y))
             t0 = time.perf_counter()
             with scope():
                 for _ in range(iters):
-                    carry, y = pre_step(bank, carry, x, nv)
+                    carry, y = pre_step(bank, carry, x, nv, h_perm=hp)
                 float(jnp.sum(y))
         else:
             states = jax.vmap(lambda _: init_state(bank))(np.arange(s))

@@ -947,13 +947,17 @@ class Mat5StreamEncoder(PcmStreamEncoderBase):
         return bytes(pad)
 
 
-def _mat_finish(rate, data, channels):
+def _mat_finish(rate, data, channels,
+                codec=SampleCodec.PCM_16, bits=16):
     if rate is None or data is None:
         raise LegacyError("missing samplerate/wavedata matrices")
     n = data.shape[0]
+    # Report the wavedata's REAL element type: the output-depth policy
+    # keys off bits_per_sample (a double MAT must serve FLAC/24, not be
+    # squeezed through the int16 MAT5 writer).
     info = AudioInfo(rate=int(round(rate)), channels=channels, frames=n,
-                     container=Container.MAT, codec=SampleCodec.PCM_16,
-                     bits_per_sample=16)
+                     container=Container.MAT, codec=codec,
+                     bits_per_sample=bits)
     return data, info
 
 
@@ -964,6 +968,7 @@ def read_mat4(path: str):
     rate = None
     data = None
     channels = 1
+    codec, bits = SampleCodec.PCM_16, 16
     while pos + 20 <= len(blob):
         mtype, mrows, ncols, imagf, namelen = struct.unpack(
             "<IIIII", blob[pos : pos + 20]
@@ -990,14 +995,19 @@ def read_mat4(path: str):
             m = vals[: n * channels].reshape(n, channels)  # column-major
             if p_code == 3:  # int16
                 data = m.astype(np.float32) / 32768.0
-            elif p_code in (0, 1):
+            elif p_code == 0:  # double
                 data = m.astype(np.float32)
+                codec, bits = SampleCodec.DOUBLE, 64
+            elif p_code == 1:  # float32
+                data = m.astype(np.float32)
+                codec, bits = SampleCodec.FLOAT, 32
             elif p_code == 2:
                 data = m.astype(np.float32) / 2147483648.0
+                codec, bits = SampleCodec.PCM_32, 32
             else:
                 raise LegacyError("unsupported MAT4 wavedata type")
         pos = body + count * elem
-    return _mat_finish(rate, data, channels)
+    return _mat_finish(rate, data, channels, codec, bits)
 
 
 def _mat5_element(blob, pos):
@@ -1030,6 +1040,7 @@ def read_mat5(path: str):
     rate = None
     data = None
     channels = 1
+    codec, bits = SampleCodec.PCM_16, 16
     while True:
         el = _mat5_element(blob, pos)
         if el is None:
@@ -1066,15 +1077,21 @@ def read_mat5(path: str):
             m = vals[: n * channels].reshape(n, channels)
             if dt == "<i2":
                 data = m.astype(np.float32) / 32768.0
-            elif dt in ("<f4", "<f8"):
+            elif dt == "<f4":
                 data = m.astype(np.float32)
+                codec, bits = SampleCodec.FLOAT, 32
+            elif dt == "<f8":
+                data = m.astype(np.float32)
+                codec, bits = SampleCodec.DOUBLE, 64
             elif dt == "<i4":
                 data = m.astype(np.float32) / 2147483648.0
+                codec, bits = SampleCodec.PCM_32, 32
             elif dt == "u1":  # miUINT8, offset-binary
                 data = (m.astype(np.float32) - 128.0) / 128.0
+                codec, bits = SampleCodec.PCM_U8, 8
             else:
                 raise LegacyError("unsupported MAT5 wavedata type")
-    return _mat_finish(rate, data, channels)
+    return _mat_finish(rate, data, channels, codec, bits)
 
 
 def read_mat4_info(path: str) -> AudioInfo:

@@ -163,7 +163,6 @@ class OpusSource:
         self._dpos = 0      # frames handed out
         self._skip = self._p.pre_skip
         self._pending = np.zeros((0, self._p.channels), np.float32)
-        self._dead = False  # a packet failed to decode; stream ends there
         # Flat packet table for the batched native call (one FFI crossing
         # per read instead of per packet; native/opus_api.cc
         # folve_opus_decode_batch).
@@ -183,9 +182,12 @@ class OpusSource:
     def _decode_more(self, need: int = 1) -> bool:
         """Decode at least `need` more playable frames (one native call
         over as many packets as that takes).  False when the stream is
-        exhausted or a packet fails."""
+        exhausted.  An undecodable packet mid-stream contributes its
+        nominal (TOC-derived) duration as silence and decode resumes at
+        the next packet — granule alignment is preserved and one corrupt
+        payload cannot truncate the rest of the track."""
         start = self._pkt
-        if self._dead or start >= len(self._p.packets):
+        if start >= len(self._p.packets):
             return False
         target = self._cum_ns[start] + max(need, 1) + self._skip
         j = int(np.searchsorted(self._cum_ns, target, side="left"))
@@ -201,11 +203,19 @@ class OpusSource:
             count, out.ctypes.data_as(ctypes.c_void_p), cap,
             ctypes.byref(used))
         self._pkt = start + used.value
+        out = out[: max(n, 0)]
         if used.value < count:
-            self._dead = True
-        if n <= 0:
+            # Packet at self._pkt refused to decode: stand in silence
+            # for its nominal duration, reset the (now-desynced) decoder
+            # state, skip it, and carry on.
+            bad = self._pkt
+            ns = int(self._cum_ns[bad + 1] - self._cum_ns[bad])
+            out = np.concatenate(
+                [out, np.zeros((ns, self._p.channels), np.float32)])
+            self._pkt = bad + 1
+            self._lib.folve_opus_reset(self._h)
+        elif n <= 0:
             return False
-        out = out[:n]
         if self._skip > 0:
             drop = min(self._skip, out.shape[0])
             out = out[drop:]
@@ -244,7 +254,6 @@ class OpusSource:
             self._dpos = 0
             self._skip = self._p.pre_skip
             self._pending = np.zeros((0, self._p.channels), np.float32)
-            self._dead = False
         while self._dpos < frame:
             got = self.read_float(min(frame - self._dpos, 1 << 14))
             if got.shape[0] == 0:

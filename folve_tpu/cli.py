@@ -239,7 +239,11 @@ def _output_encoder(out: str, rate: int, channels: int, in_bits: int,
         from folve_tpu.audio.legacy import MpcStreamEncoder
 
         return MpcStreamEncoder(rate, channels, 16, total_frames)
-    if ext == ".wve" and channels == 1:
+    if ext == ".wve" and channels == 1 and rate == 8000:
+        # The Psion WVE header carries no sample-rate field (readers
+        # assume 8 kHz A-law mono); any other rate would be silently
+        # mislabeled on readback — fall through to FLAC instead, like
+        # the other impossible-container combinations.
         from folve_tpu.audio.legacy import WveStreamEncoder
 
         return WveStreamEncoder(rate, channels, 16, total_frames)

@@ -80,12 +80,37 @@ _PREC = lax.Precision.HIGHEST
 FFT_DOT_PASSES = 3
 
 # VMEM budget for the resident set (H + ring + hist blocks + consts +
-# working tiles).  v5e-class chips have 128 MiB VMEM/core (the 16 MiB
-# figure is the default *scoped* compiler limit, which the pallas_call
-# raises via ``vmem_limit_bytes``); stay well under the hardware so the
-# compiler keeps room for double-buffering and temporaries.
-_VMEM_BUDGET = 48 * 1024 * 1024
-_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+# working tiles), derived from the local chip generation: v4/v5-class
+# cores have 128 MiB VMEM (the 16 MiB figure is the default *scoped*
+# compiler limit, which the pallas_call raises via ``vmem_limit_bytes``),
+# v2/v3 only 16 MiB.  The gate must be sized to the REAL hardware — a
+# 128 MiB-sized budget on a v3 would claim fused support and then fail
+# at Mosaic compile time instead of taking the split-kernel fallback.
+# Budget = 3/8 of VMEM (headroom for double-buffering + temporaries);
+# scoped limit = 3/4.
+_VMEM_HW_BYTES: int | None = None
+
+
+def _vmem_hw_bytes() -> int:
+    global _VMEM_HW_BYTES
+    if _VMEM_HW_BYTES is None:
+        size = 128 * 1024 * 1024
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+            if "v2" in kind or "v3" in kind:
+                size = 16 * 1024 * 1024
+        except Exception:  # pragma: no cover - no backend at all
+            pass
+        _VMEM_HW_BYTES = size
+    return _VMEM_HW_BYTES
+
+
+def _vmem_budget() -> int:
+    return _vmem_hw_bytes() * 3 // 8
+
+
+def _vmem_limit_bytes() -> int:
+    return _vmem_hw_bytes() * 3 // 4
 
 
 def _pad_sub(rows: int) -> int:
@@ -123,7 +148,7 @@ def fused_supported(p: int, cin: int, cout: int, t: int, n: int) -> bool:
     work = 8 * m2 * m1 * 4 * max(cin, cout)
     total = (h_bytes + ring_bytes + hist_bytes + x_bytes
              + y_bytes + tail_bytes + consts + work)
-    return total <= _VMEM_BUDGET
+    return total <= _vmem_budget()
 
 
 def _bf16_split(m: np.ndarray):
@@ -497,7 +522,7 @@ def pallas_conv_step_fused_pre(
     if pltpu is not None and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+            vmem_limit_bytes=_vmem_limit_bytes(),
         )
 
     scratch = [

@@ -402,6 +402,15 @@ _H_PERM_CACHE: dict = {}
 def _fused_h_perm(bank: FilterBank) -> jax.Array:
     from folve_tpu.engine.kernels.conv_step import permute_h_for_fused
 
+    if isinstance(bank.h_spec, jax.core.Tracer):
+        # Under jit the permute cannot be hoisted across steps — it is
+        # traced inline (one device transpose of the spectra per
+        # executed step, ~4 MB at the headline bank).  Steady-state
+        # callers avoid this by passing a pre-permuted ``h_perm``
+        # (:func:`eager_h_perm`, computed OUTSIDE the jit) to the step
+        # functions.  Never cache tracers: id()-keyed entries would pin
+        # dead trace machinery and can never hit.
+        return permute_h_for_fused(bank.h_spec, 2 * bank.fragm)
     key = id(bank.h_spec)
     hit = _H_PERM_CACHE.get(key)
     if hit is not None and hit[0] is bank.h_spec:
@@ -411,6 +420,23 @@ def _fused_h_perm(bank: FilterBank) -> jax.Array:
         _H_PERM_CACHE.clear()
     _H_PERM_CACHE[key] = (bank.h_spec, hp)
     return hp
+
+
+def eager_h_perm(bank: FilterBank):
+    """Pre-permuted fused-kernel filter spectra for ``bank``, or None
+    when the bank cannot take the fused route.  Call OUTSIDE jit (eager
+    values only) and pass the result as the step functions' ``h_perm``
+    so the permute happens once per filter instead of once per step."""
+    if isinstance(bank.h_spec, jax.core.Tracer):  # pragma: no cover
+        raise TypeError("eager_h_perm must be called outside jit")
+    impl = _MAC_IMPL
+    if impl == "auto":
+        impl = "pallas" if _is_tpu_backend() else "xla"
+    if impl not in ("pallas", "pallas_interpret"):
+        return None  # fused route never taken on this backend
+    if not fused_serving_supported(bank, 1):
+        return None
+    return _fused_h_perm(bank)
 
 
 def fused_serving_supported(bank: FilterBank, t: int) -> bool:
@@ -432,6 +458,7 @@ def serving_chunk_step(
     states: StreamState,
     x: jax.Array,
     n_valid: jax.Array,
+    h_perm: "jax.Array | None" = None,
 ) -> tuple[StreamState, jax.Array]:
     """Batched shared-filter serving step (BASELINE config 5): ``states``
     is a :class:`StreamState` with a leading stream axis, ``x`` is
@@ -458,7 +485,8 @@ def serving_chunk_step(
             jnp.asarray(n_valid, jnp.int32)[:, None] - blk[None, :], 0, b
         )
         y, hr, hi, tl, mx = pallas_conv_step_fused(
-            _fused_h_perm(bank), x, states.hist_re, states.hist_im,
+            h_perm if h_perm is not None else _fused_h_perm(bank),
+            x, states.hist_re, states.hist_im,
             states.tail, valid, 2 * b,
             interpret=(impl == "pallas_interpret"),
         )
@@ -556,6 +584,7 @@ def fused_serving_step_pre(
     x5: jax.Array,
     n_valid: jax.Array,
     interpret: bool = False,
+    h_perm: "jax.Array | None" = None,
 ) -> tuple[FusedServingCarry, jax.Array]:
     """Steady-state fused serving step on pre-shaped arrays.
 
@@ -576,7 +605,8 @@ def fused_serving_step_pre(
         jnp.asarray(n_valid, jnp.int32)[:, None] - blk[None, :], 0, b
     )
     y5, hr, hi, tl, mx = pallas_conv_step_fused_pre(
-        _fused_h_perm(bank), x5, carry.hist_re, carry.hist_im,
+        h_perm if h_perm is not None else _fused_h_perm(bank),
+        x5, carry.hist_re, carry.hist_im,
         carry.tail, valid, 2 * b, interpret=interpret,
     )
     new = FusedServingCarry(
@@ -591,6 +621,7 @@ def single_chunk_step(
     state: StreamState,
     x: jax.Array,
     n_valid=None,
+    h_perm: "jax.Array | None" = None,
 ) -> tuple[StreamState, jax.Array]:
     """:func:`chunk_step` for ONE stream, routed through the fused
     single-kernel step when the shape supports it (the lone-stream
@@ -617,7 +648,7 @@ def single_chunk_step(
             (jnp.asarray(n_valid, jnp.int32) - blk)[None, :], 0, b
         )
         y, hr, hi, tl, mx = pallas_conv_step_fused(
-            _fused_h_perm(bank),
+            h_perm if h_perm is not None else _fused_h_perm(bank),
             x[None],
             state.hist_re[None],
             state.hist_im[None],

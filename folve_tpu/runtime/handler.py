@@ -115,6 +115,13 @@ class FileHandler:
     def is_gapless(self) -> bool:
         return False
 
+    def can_adopt_processor(self) -> bool:
+        """True if a gapless handover could seed this handler's
+        processor (fresh convolve handler that has not streamed yet).
+        Used by the cache's prefer_gapless path to keep prewarmed
+        successors instead of evicting them."""
+        return False
+
     def passover_processor(self, processor: "SoundProcessor",
                            split_write=None) -> bool:
         return False
@@ -313,9 +320,15 @@ class ConvolveFileHandler(FileHandler):
         elif in_container in (Container.VOC, Container.IRCAM,
                               Container.NIST, Container.PVF,
                               Container.AVR, Container.MPC,
-                              Container.WVE, Container.HTK,
-                              Container.MAT):
+                              Container.WVE, Container.HTK):
             out_bits = 16  # these legacy containers are 16-bit PCM out
+        elif (in_container == Container.MAT
+              and self._in_info.bits_per_sample <= 16):
+            # MAT stays in-container only at <=16-bit source depth (the
+            # MAT5 writer emits int16); float/double/int32 wavedata
+            # keeps the full path's depth via the FLAC/24 fallback
+            # below instead of losing 8 bits.
+            out_bits = 16
         else:
             out_bits = min(self._in_info.bits_per_sample, 24)
             if out_bits not in (8, 16, 24):
@@ -349,13 +362,18 @@ class ConvolveFileHandler(FileHandler):
             from folve_tpu.audio.legacy import AvrStreamEncoder as encoder_cls
         elif in_container == Container.MPC:
             from folve_tpu.audio.legacy import MpcStreamEncoder as encoder_cls
-        elif in_container == Container.WVE and processor.output_channels == 1:
-            # WVE is mono A-law by definition; an upmixing filter falls
-            # back to FLAC below.
+        elif (in_container == Container.WVE
+              and processor.output_channels == 1
+              and self._in_info.rate == 8000):
+            # WVE is mono 8 kHz A-law by definition (the header has no
+            # rate field); an upmixing filter — or a rate the container
+            # cannot label — falls back to FLAC below.
             from folve_tpu.audio.legacy import WveStreamEncoder as encoder_cls
         elif in_container == Container.HTK and processor.output_channels == 1:
             from folve_tpu.audio.legacy import HtkStreamEncoder as encoder_cls
-        elif in_container == Container.MAT:
+        elif in_container == Container.MAT and out_bits == 16:
+            # >16-bit MAT sources keep their depth via FLAC/24 (the
+            # MAT5 writer is int16-only; see out_bits selection above).
             from folve_tpu.audio.legacy import Mat5StreamEncoder as encoder_cls
         if encoder_cls is not None:
             self._encoder = encoder_cls(
@@ -644,6 +662,11 @@ class ConvolveFileHandler(FileHandler):
     def is_gapless(self) -> bool:
         return self._base_stats.in_gapless or self._base_stats.out_gapless
 
+    def can_adopt_processor(self) -> bool:
+        # Racy read is fine: passover_processor re-checks under the
+        # pump lock; this only steers the cache's evict-vs-keep choice.
+        return self._processor is not None and not self.has_started()
+
     def has_started(self) -> bool:
         return self._in_info.frames != self._input_frames_left
 
@@ -842,6 +865,22 @@ class ConvolveFileHandler(FileHandler):
         if next_handler is None:
             return False, None, None
         passed = next_handler.passover_processor(proc, split_write=split_write)
+        if not passed:
+            # The cached successor refused — it already streamed, or its
+            # prewarmed processor went config-stale.  Evict it and retry
+            # ONCE with a freshly-built handler: the reference always
+            # hands over to a fresh one (its find_and_pin evicts every
+            # idle non-gapless handler); ours keeps adoptable prewarmed
+            # handlers, so the stale case needs this explicit rebuild.
+            key = self._fs.cache_key(next_handler.filter_dir(), next_path)
+            self._fs.close_handler(next_path, next_handler)
+            next_handler = None
+            if self._fs.open_file_cache.evict_unreferenced(key):
+                next_handler = self._fs.get_or_create_handler(
+                    next_path, want_gapless=True)
+                if next_handler is not None:
+                    passed = next_handler.passover_processor(
+                        proc, split_write=split_write)
         return passed, next_path, next_handler
 
     # ---------------------------------------------------------------- close

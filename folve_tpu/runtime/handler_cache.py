@@ -83,9 +83,18 @@ class FileHandlerCache:
             entry = self._cache.get(key)
             if entry is None:
                 return None
-            # Gapless wants a fresh handler whose processor can be seeded:
-            # evict an idle non-gapless one instead of returning it (cc:87-90).
-            if prefer_gapless and entry.references == 0 and not entry.handler.is_gapless():
+            # Gapless wants a handler whose processor can be seeded:
+            # evict an idle one that can no longer adopt (already
+            # streamed) instead of returning it (cc:87-90).  A fresh
+            # PREWARMED successor (handler.py _prewarm_successor) is
+            # exactly the adoptable case — keep and return it, or the
+            # prewarm work is thrown away at the seam it exists for.
+            if (
+                prefer_gapless
+                and entry.references == 0
+                and not entry.handler.is_gapless()
+                and not entry.handler.can_adopt_processor()
+            ):
                 to_delete = self._erase_locked(key)
             else:
                 entry.references += 1
@@ -94,6 +103,20 @@ class FileHandlerCache:
         if to_delete:
             to_delete.release()
         return None
+
+    def evict_unreferenced(self, key: str) -> bool:
+        """Drop ``key`` now if present and unpinned (gapless handover
+        retry: a cached successor refused the passover — e.g. its
+        prewarmed processor went config-stale — and must be rebuilt)."""
+        to_delete: Optional[FileHandler] = None
+        with self._mutex:
+            entry = self._cache.get(key)
+            if entry is None or entry.references:
+                return False
+            to_delete = self._erase_locked(key)
+        if to_delete:
+            to_delete.release()
+        return True
 
     def unpin(self, key: str) -> None:
         to_delete: Optional[FileHandler] = None

@@ -106,6 +106,13 @@ class SoundProcessor:
         # Per-stream device-step latency (SURVEY §5 tracing: "per-stream
         # block latency counters surfaced on the status page").
         self.latency = LatencyStats()
+        # Pre-permuted fused-kernel filter spectra (None when the bank
+        # can't take the fused route).  Computed HERE, outside jit, so
+        # the permute — a real device transpose of the whole spectra —
+        # happens once per processor instead of once per pump step.
+        from folve_tpu.engine.stream import eager_h_perm
+
+        self._h_perm = eager_h_perm(self.bank)
         self._state = init_state(self.bank)
         b = self.bank.fragm
         self._in_buf = np.zeros((b, self.bank.ninp), dtype=np.float32)
@@ -272,7 +279,8 @@ class SoundProcessor:
                 self._state, y = fut.result()
             else:
                 self._state, y = _jitted_chunk(
-                    self.bank, self._state, x, np.int32(self._input_pos)
+                    self.bank, self._state, x, np.int32(self._input_pos),
+                    h_perm=self._h_perm,
                 )
             if quantize_bits is not None and not _is_quantized(y):
                 y = _jitted_quantize(y, quantize_bits)
@@ -337,7 +345,9 @@ class SoundProcessor:
                 )
                 self._inflight = _Inflight(fut, None, r, quantize_bits, sink)
             else:
-                state, y = _jitted_chunk(self.bank, self._state, x, np.int32(r))
+                state, y = _jitted_chunk(
+                    self.bank, self._state, x, np.int32(r),
+                    h_perm=self._h_perm)
                 self._state = state  # async: chunk N queues on device
                 if quantize_bits is not None:
                     y = _jitted_quantize(y, quantize_bits)

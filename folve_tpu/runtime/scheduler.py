@@ -50,11 +50,11 @@ _shared_step = jax.jit(serving_chunk_step)
 from folve_tpu.runtime.processor import _jitted_chunk as _single_step
 
 
-def _single_step_quantized(bank, state, x, n_valid, bits):
+def _single_step_quantized(bank, state, x, n_valid, bits, h_perm=None):
     from folve_tpu.engine.stream import single_chunk_step
     from folve_tpu.runtime.processor import _quantize
 
-    state, y = single_chunk_step(bank, state, x, n_valid)
+    state, y = single_chunk_step(bank, state, x, n_valid, h_perm=h_perm)
     return state, _quantize(y, bits)
 
 
@@ -486,16 +486,26 @@ class DeviceScheduler:
             # host work, no batch dim (same math as the vmapped path,
             # bit-identity covered by test_scheduler).
             job = jobs[0]
+            from folve_tpu.engine import stream as _stream
+
+            # Hoist the fused-kernel filter permute out of the jitted
+            # step (once per filter via the placed cache, not per step).
+            hp = None
+            if _stream.fused_serving_supported(
+                job.bank, np.asarray(job.x).shape[0]
+            ):
+                hp = self._fused_placed(job.bank)
             t0 = time.perf_counter()
             if job.quantize_bits is not None:
                 state, y = _single_step_q(
                     job.bank, job.state, jnp.asarray(job.x),
                     jnp.int32(int(job.n_valid)), bits=job.quantize_bits,
+                    h_perm=hp,
                 )
             else:
                 state, y = _single_step(
                     job.bank, job.state, jnp.asarray(job.x),
-                    jnp.int32(int(job.n_valid)),
+                    jnp.int32(int(job.n_valid)), h_perm=hp,
                 )
             jax.block_until_ready(y)
             dt = time.perf_counter() - t0

@@ -639,6 +639,24 @@ def test_mat_through_filesystem_same_container(tmp_path, rng):
         np.testing.assert_array_equal(got, oracle)
 
 
+def test_mat_wide_depth_keeps_flac24(tmp_path, rng):
+    """A MAT5 file with double wavedata must NOT be downgraded to the
+    int16 MAT5 writer: it keeps its depth via FLAC/24 (the pre-MAT-writer
+    policy; regression guard for the 16-bit forcing)."""
+    from tests.test_runtime import make_fs, read_all, read_audio_bytes
+
+    x = _material(rng, frames=2000, ch=2)
+    fs, src_dir = make_fs(tmp_path)
+    _sf_write(src_dir / "wide.mat", x, RATE, SF_MAT5 | SF_DOUBLE)
+    h = fs.get_or_create_handler("/wide.mat")
+    blob = read_all(h)
+    fs.close_handler("/wide.mat", h)
+    assert blob[:4] == b"fLaC"
+    got, info = read_audio_bytes(blob)
+    assert info.bits_per_sample == 24
+    assert got.shape[0] == x.shape[0]
+
+
 def test_alaw_encode_matches_oracle_exhaustive(tmp_path):
     """_alaw_encode == libsndfile's encoder over ALL 65536 int16."""
     import ctypes

@@ -410,6 +410,55 @@ def test_malformed_opus_stream_passes_through(tmp_path):
     assert open_source(str(p)) is None
 
 
+def test_undecodable_packet_recovers_not_truncates(tmp_path, rng):
+    """One corrupt payload mid-stream must NOT silence the rest of the
+    track: the reader stands in the packet's nominal duration as
+    silence, resets the decoder, and resumes with the next packet
+    (regression: the batched decode path used to mark the stream dead
+    and zero-pad everything after the first failure)."""
+    ol = _libopus()
+    enc = make_encoder(ol, 2, 96000)
+    look = ctypes.c_int(0)
+    ol.opus_encoder_ctl(ctypes.c_void_p(enc), CTL_LOOKAHEAD,
+                        ctypes.byref(look))
+    npkt = 12
+    sig = _material(rng, "tone", 960 * npkt, 2)
+    pkts = encode_packets(ol, enc, sig, 960)
+    ol.opus_encoder_destroy(ctypes.c_void_p(enc))
+    nsamples = 960 * npkt
+
+    clean, _ = read_audio_bytes_helper(
+        tmp_path, "clean.opus.ogg", mux_ogg_opus(pkts, 2, look.value, nsamples))
+
+    # Same-duration packet (20 ms SILK NB TOC) whose payload reliably
+    # fails the SILK layer — probes fine (passes the parse), decodes -3.
+    bad = 5
+    pkts = list(pkts)
+    pkts[bad] = bytes([0x0C]) + b"\xff" * 50
+    got, info = read_audio_bytes_helper(
+        tmp_path, "corrupt.opus.ogg", mux_ogg_opus(pkts, 2, look.value, nsamples))
+
+    # Declared length = total packet samples - pre-skip (the mux's
+    # granule is not the binding cap here); the corrupt stream must
+    # keep the SAME length as the clean one.
+    assert clean.shape == (nsamples - look.value, 2)
+    assert got.shape == clean.shape
+    # Audio BEFORE the bad packet is untouched.
+    pre = 960 * bad - look.value - 48  # a hair before the seam
+    np.testing.assert_allclose(got[:pre], clean[:pre], atol=1e-6)
+    # Audio well AFTER the bad packet is alive again (the old bug made
+    # everything from the bad packet on exactly zero).
+    tail = got[960 * (bad + 3):]
+    assert np.max(np.abs(tail)) > 0.05, "stream stayed dead after a bad packet"
+    assert np.all(np.isfinite(got))
+
+
+def read_audio_bytes_helper(tmp_path, name, blob):
+    p = tmp_path / name
+    p.write_bytes(blob)
+    return read_audio(str(p))
+
+
 def test_garbage_ogg_opus_never_crashes(tmp_path, rng):
     ol = _libopus()
     enc = make_encoder(ol, 1, 32000)

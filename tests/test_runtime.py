@@ -313,9 +313,17 @@ class TestGapless:
             time.sleep(0.05)
         assert "/c_track2.flac" in stats, stats
         # The prewarmed successor is unpinned (cached, not leaked) and
-        # has not started streaming — the handover must still succeed.
+        # has not started streaming — the handover must still succeed
+        # AND must REUSE the prewarmed handler: no new file opening may
+        # happen at the seam (a prefer_gapless eviction of the prewarm
+        # would rebuild it, wasting the prewarm — the regression this
+        # pins down).
+        openings_before = fs.total_file_openings
         out1 = read_all(h1)
         assert h1.get_handler_status().out_gapless
+        assert fs.total_file_openings == openings_before, (
+            "gapless handover rebuilt the successor instead of adopting"
+            " the prewarmed handler")
         fs.close_handler("/c_track1.flac", h1)
         h2 = fs.get_or_create_handler("/c_track2.flac")
         assert h2.get_handler_status().in_gapless

@@ -58,11 +58,12 @@ def main():
         carry = st.fused_carry_init(bank, s)
         x5 = jax.device_put(st.stage_x_for_fused(
             bank, rng.standard_normal((s, t, 2, b)).astype(np.float32)))
-        carry, y = pre_step(bank, carry, x5, nv)
+        hp = st.eager_h_perm(bank)
+        carry, y = pre_step(bank, carry, x5, nv, h_perm=hp)
         jax.block_until_ready(y)
         t0 = time.perf_counter()
         for _ in range(iters):
-            carry, y = pre_step(bank, carry, x5, nv)
+            carry, y = pre_step(bank, carry, x5, nv, h_perm=hp)
         force = float(jnp.sum(y)) + float(jnp.sum(carry.tail))
         dt = (time.perf_counter() - t0) / iters
     elif mode == "fused":
