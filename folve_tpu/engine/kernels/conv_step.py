@@ -151,6 +151,26 @@ def fused_supported(p: int, cin: int, cout: int, t: int, n: int) -> bool:
     return total <= _vmem_budget()
 
 
+def _stack_flags(m1: int) -> tuple[bool, bool, bool, bool]:
+    """Per-stage stacked-dot flags (fwd1, fwd2, inv1, inv2) from the
+    FOLVE_FUSED_STACK env ("all" or a comma list of f1,f2,i1,i2).
+    Default: all off (measured slower on v5e, see the kernel docstring);
+    f1/i2 require m1 % 128 == 0 for lane-aligned slices/concats."""
+    spec = os.environ.get("FOLVE_FUSED_STACK", "")
+    if not spec:
+        return (False, False, False, False)
+    names = {"f1", "f2", "i1", "i2"}
+    on = names if spec.strip() == "all" else {
+        s.strip() for s in spec.split(",")} & names
+    aligned = m1 % 128 == 0
+    return (
+        "f1" in on and aligned,
+        "f2" in on,
+        "i1" in on,
+        "i2" in on and aligned,
+    )
+
+
 def _bf16_split(m: np.ndarray):
     """Pre-split a constant factor matrix into bf16 (hi, lo) planes.
     hi + lo reproduces the f32 value to ~2^-18 relative (lo itself is
@@ -206,25 +226,38 @@ def _mk_dot(three: bool):
 
 def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
             twr_t, twi_t, wn_t, *rest,
-            p, cin, cout, t_total, rows, three, stacked):
+            p, cin, cout, t_total, rows, three, stack):
     """One (stream, block) grid step.  See module docstring.
 
     ``rest``: ``nd`` dot-constant hi refs [+ ``nd`` lo refs in 3-pass
-    mode], then the 5 outputs, then the 3 scratch refs.  ``nd`` is 5 in
-    stacked mode (re/im constant pairs pre-concatenated so each FFT
-    stage runs half as many, twice-as-large MXU dots — see
-    _stacked_consts) and 8 in the legacy per-matrix layout (kept for
-    m1 % 128 != 0, where the stacked form's lane slices/concats would
-    need relayouts).
+    mode], then the 5 outputs, then the 3 scratch refs.  ``stack`` is a
+    4-tuple of per-stage stacked-dot flags (fwd stage 1/2, inv stage
+    1/2): a stacked stage's re/im constant pair is pre-concatenated so
+    it runs half as many, twice-as-large MXU dots.  MEASURED SLOWER
+    end-to-end on v5e as of 2026-08 (the all-on variant was ~10x
+    slower — in-kernel concats/slices are not free in Mosaic), so all
+    four default off; kept behind FOLVE_FUSED_STACK for re-evaluation
+    on future toolchains.
     """
-    nd = 5 if stacked else 8
+    f1, f2, i1, i2 = stack
+    nd = (1 if f1 else 2) + 2 + (1 if i1 else 2) + (1 if i2 else 2)
     hi_refs = rest[:nd]
     lo_refs = rest[nd:2 * nd] if three else (None,) * nd
     consts = list(zip(hi_refs, lo_refs))
-    if stacked:
-        f1s, fwd_cr, fwd_ci, inv_uv, inv_c2 = consts
+    it = iter(consts)
+    if f1:
+        f1s = next(it)
     else:
-        (f1r_u, f1i_u, f2r_c, f2i_c, f2tr, f2ti, if1r, if1i) = consts
+        f1r_u, f1i_u = next(it), next(it)
+    c_f2a, c_f2b = next(it), next(it)  # stacked: (cr, ci); else (re, im)
+    if i1:
+        inv_uv = next(it)
+    else:
+        f2tr, f2ti = next(it), next(it)
+    if i2:
+        inv_c2 = next(it)
+    else:
+        if1r, if1i = next(it), next(it)
     y_ref, hr_out, hi_out, tail_out, max_ref = rest[-8:-3]
     ring, tail_scr, max_scr = rest[-3:]
     prep, dot = _mk_dot(three)
@@ -262,7 +295,7 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
     cur = []
     for i in range(cin):
         ap = prep(a_all[i])  # [rows, m2] real
-        if stacked:
+        if f1:
             # S1^T for re AND im in one dot: [m2, 2*m1], lane-split.
             s1 = dot(f1s, ap, dn, False)
             s1r, s1i = s1[:, :m1_k], s1[:, m1_k:]
@@ -274,16 +307,16 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
         t_r = s1r * tw_r - s1i * tw_i
         t_i = s1r * tw_i + s1i * tw_r
         # Y^T [cols, m1] = contract m2: sum_b F2c[b, c] * T^T[b, q].
-        if stacked:
+        if f2:
             # Contraction-stacked: [F2r; -F2i]·[t_r; t_i] folds the
             # complex sub/add into the MXU accumulate.
             tp = prep(jnp.concatenate([t_r, t_i], axis=0))
-            yr = dot(fwd_cr, tp, dn0, True)
-            yi = dot(fwd_ci, tp, dn0, True)
+            yr = dot(c_f2a, tp, dn0, True)
+            yi = dot(c_f2b, tp, dn0, True)
         else:
             tpr, tpi = prep(t_r), prep(t_i)
-            yr = dot(f2r_c, tpr, dn0, True) - dot(f2i_c, tpi, dn0, True)
-            yi = dot(f2i_c, tpr, dn0, True) + dot(f2r_c, tpi, dn0, True)
+            yr = dot(c_f2a, tpr, dn0, True) - dot(c_f2b, tpi, dn0, True)
+            yi = dot(c_f2b, tpr, dn0, True) + dot(c_f2a, tpi, dn0, True)
         cur.append((yr, yi))
 
     # --- FDL MAC (elementwise on [cols, m1] tiles) ----------------------
@@ -334,7 +367,7 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
     for o in range(cout):
         ar = acc_r[o] * wn
         ai = acc_i[o] * wn
-        if stacked:
+        if i1:
             # Output-stacked [F2r, F2i] along m2: q = [A.x; B.x].
             q_r = dot(inv_uv, prep(ar), dn0, True)  # [2*m2, m1]
             q_i = dot(inv_uv, prep(ai), dn0, True)
@@ -347,7 +380,7 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
         vr = ur * tw_r + ui * tw_i
         vi = ui * tw_r - ur * tw_i
         # x[n1, n2] = contract q: sum_q F1[n1, q] * V^T[n2, q].
-        if stacked:
+        if i2:
             # Contraction-stacked: [F1r, F1i]·[vr, vi] folds the add.
             xo = dot(inv_c2, prep(jnp.concatenate([vr, vi], axis=1)),
                      dn1, True)
@@ -484,25 +517,37 @@ def pallas_conv_step_fused_pre(
     f2tr = np.ascontiguousarray(plan.f2_re[:, :cols].T)  # [cols, m2]
     f2ti = np.ascontiguousarray(plan.f2_im[:, :cols].T)
 
-    # Stacked-dot mode (production shapes): pre-concatenate the re/im
-    # constant pairs so each FFT stage issues HALF as many dots of TWICE
-    # the size — at the headline shape the legacy layout runs 72 hw dots
-    # per grid step (24 logical x 3 bf16 passes) of near-minimum MXU
-    # size (~[128,64..128,128] at ~54 ns each), where per-dot overhead
-    # dominates.  All concats/slices are 128-lane-aligned iff
-    # m1 % 128 == 0; other shapes keep the per-matrix layout.
-    stacked = m1 % 128 == 0 and not os.environ.get("FOLVE_FUSED_NO_STACK")
-    if stacked:
-        f1s = np.concatenate([f1r_u, f1i_u], axis=0)      # [2*m1, rows]
-        fwd_cr = np.concatenate([f2r_c, -f2i_c], axis=0)  # [2*m2, cols]
-        fwd_ci = np.concatenate([f2i_c, f2r_c], axis=0)
-        inv_uv = np.concatenate([f2tr, f2ti], axis=1)     # [cols, 2*m2]
-        inv_c2 = np.concatenate([plan.f1_re, plan.f1_im],
-                                axis=1)                   # [m1, 2*m1]
-        dot_consts = [f1s, fwd_cr, fwd_ci, inv_uv, inv_c2]
+    # Per-stage stacked-dot variants: pre-concatenate a stage's re/im
+    # constant pair so it issues HALF as many dots of TWICE the size
+    # (the legacy layout runs 72 hw dots per grid step at the headline
+    # shape — 24 logical x 3 bf16 passes — of near-minimum MXU size).
+    # MEASURED SLOWER on v5e (2026-08): the all-on variant was ~10x
+    # slower end-to-end — in-kernel concats/slices are not free in
+    # Mosaic — so every stage defaults OFF.  FOLVE_FUSED_STACK takes a
+    # comma list of f1,f2,i1,i2 (or "all") for re-evaluation on future
+    # toolchains; f1/i2 additionally need m1 % 128 == 0 (lane-aligned
+    # slices/concats).
+    stack = _stack_flags(m1)
+    f1, f2, i1, i2 = stack
+    dot_consts = []
+    if f1:
+        dot_consts.append(np.concatenate([f1r_u, f1i_u], axis=0))
     else:
-        dot_consts = [f1r_u, f1i_u, f2r_c, f2i_c, f2tr, f2ti,
-                      plan.f1_re, plan.f1_im]
+        dot_consts += [f1r_u, f1i_u]
+    if f2:
+        dot_consts.append(np.concatenate([f2r_c, -f2i_c], axis=0))
+        dot_consts.append(np.concatenate([f2i_c, f2r_c], axis=0))
+    else:
+        dot_consts += [f2r_c, f2i_c]
+    if i1:
+        dot_consts.append(np.concatenate([f2tr, f2ti], axis=1))
+    else:
+        dot_consts += [f2tr, f2ti]
+    if i2:
+        dot_consts.append(
+            np.concatenate([plan.f1_re, plan.f1_im], axis=1))
+    else:
+        dot_consts += [plan.f1_re, plan.f1_im]
     if three:
         pairs = [_bf16_split(m) for m in dot_consts]
         dot_arrays = [hl[0] for hl in pairs] + [hl[1] for hl in pairs]
@@ -517,7 +562,7 @@ def pallas_conv_step_fused_pre(
 
     kernel = functools.partial(
         _kernel, p=p, cin=cin, cout=cout, t_total=t_total, rows=rows,
-        three=three, stacked=stacked)
+        three=three, stack=stack)
     kwargs = {}
     if pltpu is not None and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

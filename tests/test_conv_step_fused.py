@@ -220,11 +220,12 @@ def test_fused_pre_shaped_path_matches(rng):
             atol=max(2e-4, 1e-4 * float(np.max(np.abs(r)))))
 
 
-def test_fused_stacked_dot_path(rng):
-    """Production shapes (m1 % 128 == 0, i.e. fragm >= 8192) take the
-    stacked-dot kernel layout (re/im constant pairs concatenated, half
-    the dots at twice the size).  Verify it against the XLA path at the
-    smallest such bank."""
+def test_fused_stacked_dot_path(rng, monkeypatch):
+    """The opt-in stacked-dot kernel layout (re/im constant pairs
+    concatenated, half the dots at twice the size; FOLVE_FUSED_STACK —
+    off by default, measured slower on v5e) must stay numerically
+    equal to the XLA path at the smallest qualifying bank."""
+    monkeypatch.setenv("FOLVE_FUSED_STACK", "all")
     p, t, fragm = 2, 3, 8192  # n=16384 -> m1=m2=128
     from folve_tpu.engine.rfft import get_plan
 
