@@ -226,7 +226,7 @@ def _mk_dot(three: bool):
 
 def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
             twr_t, twi_t, wn_t, *rest,
-            p, cin, cout, t_total, rows, three, stack):
+            p, cin, cout, t_total, rows, three, stack, hist_t):
     """One (stream, block) grid step.  See module docstring.
 
     ``rest``: ``nd`` dot-constant hi refs [+ ``nd`` lo refs in 3-pass
@@ -238,6 +238,13 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
     slower — in-kernel concats/slices are not free in Mosaic), so all
     four default off; kept behind FOLVE_FUSED_STACK for re-evaluation
     on future toolchains.
+
+    ``hist_t``: the hist rows are stored in the kernel's TRANSPOSED tile
+    layout [cols, m1] (the steady-state carry), so ring import/export
+    are plain copies; False = canonical [m1, cols] rows, transposed on
+    the way in and out (2*(P-1)*Cin*2 in-kernel tile transposes per
+    stream per step at the headline shape — the reason the carry path
+    uses True).
     """
     f1, f2, i1, i2 = stack
     nd = (1 if f1 else 2) + 2 + (1 if i1 else 2) + (1 if i2 else 2)
@@ -270,12 +277,17 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
     # --- t == 0: import state ------------------------------------------
     @pl.when(t == 0)
     def _init():
-        # Ring slots from hist rows (canonical [m1, cols] -> transposed
-        # [cols, m1]); slot index == hist row index (see invariant).
+        # Ring slots from hist rows; slot index == hist row index (see
+        # invariant).  hist_t: rows are already transposed [cols, m1] —
+        # plain copies; else canonical [m1, cols] rows transpose in.
         for h in range(pm1):
             for i in range(cin):
-                ring[h, i, 0] = jnp.transpose(hr_in[0, h, i])
-                ring[h, i, 1] = jnp.transpose(hi_in[0, h, i])
+                if hist_t:
+                    ring[h, i, 0] = hr_in[0, h, i]
+                    ring[h, i, 1] = hi_in[0, h, i]
+                else:
+                    ring[h, i, 0] = jnp.transpose(hr_in[0, h, i])
+                    ring[h, i, 1] = jnp.transpose(hi_in[0, h, i])
         tail_scr[...] = tail_in[0]
         max_scr[...] = jnp.zeros_like(max_scr)
         # T < P-1: hist rows that outlive the whole chunk move from old
@@ -355,8 +367,12 @@ def _kernel(x_ref, hr_in, hi_in, tail_in, valid_ref, h_ref,
     def _export():
         j = t - first_exported if t_total >= pm1 else t + (pm1 - t_total)
         for i in range(cin):
-            hr_out[0, pl.ds(j, 1), i] = jnp.transpose(cur[i][0])[None]
-            hi_out[0, pl.ds(j, 1), i] = jnp.transpose(cur[i][1])[None]
+            if hist_t:
+                hr_out[0, pl.ds(j, 1), i] = cur[i][0][None]
+                hi_out[0, pl.ds(j, 1), i] = cur[i][1][None]
+            else:
+                hr_out[0, pl.ds(j, 1), i] = jnp.transpose(cur[i][0])[None]
+                hi_out[0, pl.ds(j, 1), i] = jnp.transpose(cur[i][1])[None]
 
     # --- inverse FFT + overlap-add + clipping max -----------------------
     half_rows = m1_k // 2
@@ -471,7 +487,8 @@ def pallas_conv_step_fused(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret", "passes"))
+@functools.partial(
+    jax.jit, static_argnames=("n", "interpret", "passes", "hist_t"))
 def pallas_conv_step_fused_pre(
     h_perm: jax.Array,
     xg: jax.Array,
@@ -482,14 +499,19 @@ def pallas_conv_step_fused_pre(
     n: int,
     interpret: bool = False,
     passes: int | None = None,
+    hist_t: bool = False,
 ):
     """Fused step on PRE-SHAPED arrays (no device retiles).
 
     ``xg``: [S, T, Cin, rows, m2]; ``hr``/``hi``: [S, P-1, Cin, m1,
-    cols]; ``tl``: [S, Cout, rows, m2] (see :func:`fused_preshape`);
-    ``h_perm`` flat as in :func:`pallas_conv_step_fused` (reshaped here
-    — it is placed once per filter, not per step).  Returns
-    ``(y5, hr5, hi5, tl4, max_s)`` with ``y5`` [S, T, Cout, rows, m2].
+    cols] — or the kernel's TRANSPOSED tile layout [S, P-1, Cin, cols,
+    m1] with ``hist_t=True`` (the steady-state carry: skips every
+    in-kernel hist tile transpose); ``tl``: [S, Cout, rows, m2] (see
+    :func:`fused_preshape`); ``h_perm`` flat as in
+    :func:`pallas_conv_step_fused` (reshaped here — it is placed once
+    per filter, not per step).  Returns ``(y5, hr5, hi5, tl4, max_s)``
+    with ``y5`` [S, T, Cout, rows, m2] and hist outputs in the same
+    layout as the inputs.
     """
     if passes is None:
         passes = FFT_DOT_PASSES
@@ -562,7 +584,9 @@ def pallas_conv_step_fused_pre(
 
     kernel = functools.partial(
         _kernel, p=p, cin=cin, cout=cout, t_total=t_total, rows=rows,
-        three=three, stack=stack)
+        three=three, stack=stack, hist_t=hist_t)
+    hist_shape = ((1, p - 1, cin, cols, m1) if hist_t
+                  else (1, p - 1, cin, m1, cols))
     kwargs = {}
     if pltpu is not None and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -585,8 +609,8 @@ def pallas_conv_step_fused_pre(
         in_specs=[
             pl.BlockSpec((1, 1, cin, rows, m2),
                          lambda si, ti: (si, ti, 0, 0, 0), **mem),
-            per_s((1, p - 1, cin, m1, cols)),
-            per_s((1, p - 1, cin, m1, cols)),
+            per_s(hist_shape),
+            per_s(hist_shape),
             per_s((1, cout, half_rows, m2)),
             pl.BlockSpec(memory_space=pltpu.SMEM)
             if pltpu else pl.BlockSpec((1, 1), lambda si, ti: (si, ti), **mem),
@@ -598,15 +622,15 @@ def pallas_conv_step_fused_pre(
         out_specs=[
             pl.BlockSpec((1, 1, cout, half_rows, m2),
                          lambda si, ti: (si, ti, 0, 0, 0), **mem),
-            per_s((1, p - 1, cin, m1, cols)),
-            per_s((1, p - 1, cin, m1, cols)),
+            per_s(hist_shape),
+            per_s(hist_shape),
             per_s((1, cout, half_rows, m2)),
             per_s((1, 8, 128)),
         ],
         out_shape=[
             _sds((s, t_total, cout, half_rows, m2), jnp.float32, xg),
-            _sds((s, p - 1, cin, m1, cols), jnp.float32, xg),
-            _sds((s, p - 1, cin, m1, cols), jnp.float32, xg),
+            _sds((s,) + hist_shape[1:], jnp.float32, xg),
+            _sds((s,) + hist_shape[1:], jnp.float32, xg),
             _sds((s, cout, half_rows, m2), jnp.float32, xg),
             _sds((s, 8, 128), jnp.float32, xg),
         ],

@@ -514,9 +514,12 @@ import typing as _typing
 class FusedServingCarry(_typing.NamedTuple):
     """Batched serving state in the fused kernel's pre-shaped layouts.
 
-    ``hist_re``/``hist_im``: [S, P-1, Cin, m1, cols]; ``tail``:
-    [S, Cout, rows, m2]; ``max_abs``: [S].  Convert with
-    :func:`carry_from_states` / :func:`states_from_carry`.
+    ``hist_re``/``hist_im``: [S, P-1, Cin, cols, m1] — the kernel's
+    TRANSPOSED tile layout, so the steady-state loop pays ZERO in-kernel
+    hist transposes (2*(P-1)*Cin*2 per stream per step otherwise);
+    ``tail``: [S, Cout, rows, m2]; ``max_abs``: [S].  Convert with
+    :func:`carry_from_states` / :func:`states_from_carry` (one device
+    transpose each way, on entry/exit only).
     """
 
     hist_re: jax.Array
@@ -536,8 +539,8 @@ def fused_carry_init(bank: FilterBank, s: int) -> FusedServingCarry:
     rows, m2, m1, cols = _fused_dims(bank)
     z = lambda shape: jnp.zeros(shape, jnp.float32)
     return FusedServingCarry(
-        hist_re=z((s, p - 1, cin, m1, cols)),
-        hist_im=z((s, p - 1, cin, m1, cols)),
+        hist_re=z((s, p - 1, cin, cols, m1)),
+        hist_im=z((s, p - 1, cin, cols, m1)),
         tail=z((s, cout, rows, m2)),
         max_abs=z((s,)),
     )
@@ -545,13 +548,15 @@ def fused_carry_init(bank: FilterBank, s: int) -> FusedServingCarry:
 
 def carry_from_states(bank: FilterBank, states: StreamState) -> FusedServingCarry:
     """Batched StreamState (leading S axis, canonical flat bins) ->
-    pre-shaped carry.  One-time physical retile on device."""
+    pre-shaped carry.  One-time physical retile + transpose on device."""
     p, cin, cout, _, k = bank.h_spec.shape
     rows, m2, m1, cols = _fused_dims(bank)
     s = states.hist_re.shape[0]
+    tr = lambda h: jnp.swapaxes(
+        h.reshape(s, p - 1, cin, m1, cols), -1, -2)
     return FusedServingCarry(
-        hist_re=states.hist_re.reshape(s, p - 1, cin, m1, cols),
-        hist_im=states.hist_im.reshape(s, p - 1, cin, m1, cols),
+        hist_re=tr(states.hist_re),
+        hist_im=tr(states.hist_im),
         tail=states.tail.reshape(s, cout, rows, m2),
         max_abs=states.max_abs,
     )
@@ -561,9 +566,10 @@ def states_from_carry(bank: FilterBank, carry: FusedServingCarry) -> StreamState
     """Inverse of :func:`carry_from_states` (streams leaving the loop)."""
     p, cin, cout, _, k = bank.h_spec.shape
     s = carry.hist_re.shape[0]
+    untr = lambda h: jnp.swapaxes(h, -1, -2).reshape(s, p - 1, cin, k)
     return StreamState(
-        hist_re=carry.hist_re.reshape(s, p - 1, cin, k),
-        hist_im=carry.hist_im.reshape(s, p - 1, cin, k),
+        hist_re=untr(carry.hist_re),
+        hist_im=untr(carry.hist_im),
         tail=carry.tail.reshape(s, cout, bank.fragm),
         max_abs=carry.max_abs,
     )
@@ -607,7 +613,7 @@ def fused_serving_step_pre(
     y5, hr, hi, tl, mx = pallas_conv_step_fused_pre(
         h_perm if h_perm is not None else _fused_h_perm(bank),
         x5, carry.hist_re, carry.hist_im,
-        carry.tail, valid, 2 * b, interpret=interpret,
+        carry.tail, valid, 2 * b, interpret=interpret, hist_t=True,
     )
     new = FusedServingCarry(
         hist_re=hr, hist_im=hi, tail=tl,

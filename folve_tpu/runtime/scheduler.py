@@ -161,13 +161,16 @@ class FusedStateRef:
 
     @property
     def hist_re(self):
-        h = self.parent.carry.hist_re[self.idx]  # [P-1, Cin, m1, cols]
-        return h.reshape(h.shape[0], h.shape[1], -1)
+        # Carry rows are in the kernel's transposed tile layout
+        # [P-1, Cin, cols, m1]; canonical flat bins = transpose + flatten
+        # (a device transpose — fallback paths only).
+        h = self.parent.carry.hist_re[self.idx]
+        return jnp.swapaxes(h, -1, -2).reshape(h.shape[0], h.shape[1], -1)
 
     @property
     def hist_im(self):
         h = self.parent.carry.hist_im[self.idx]
-        return h.reshape(h.shape[0], h.shape[1], -1)
+        return jnp.swapaxes(h, -1, -2).reshape(h.shape[0], h.shape[1], -1)
 
     @property
     def tail(self):
@@ -213,7 +216,7 @@ def _fused_gather_step(h_perm, carry, idx, x5, n_valid, n, interpret=False):
     )
     y5, hr, hi, tl, mx = pallas_conv_step_fused_pre(
         h_perm, x5, g.hist_re, g.hist_im, g.tail, valid, n,
-        interpret=interpret,
+        interpret=interpret, hist_t=True,
     )
     new = FusedServingCarry(hr, hi, tl, jnp.maximum(g.max_abs, mx))
     s, t2, cout = y5.shape[:3]
