@@ -589,8 +589,15 @@ def pallas_conv_step_fused_pre(
                   else (1, p - 1, cin, m1, cols))
     kwargs = {}
     if pltpu is not None and not interpret:
+        # The s grid dim is parallel in principle (independent streams;
+        # scratch re-initializes at t==0) — FOLVE_FUSED_DIMSEM=parallel
+        # lets Mosaic know, for A/B on hardware where it matters
+        # (megacore partitioning); default stays conservative.
+        s_sem = ("parallel"
+                 if os.environ.get("FOLVE_FUSED_DIMSEM") == "parallel"
+                 else "arbitrary")
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=(s_sem, "arbitrary"),
             vmem_limit_bytes=_vmem_limit_bytes(),
         )
 
